@@ -1,0 +1,22 @@
+"""sbsim_tpu: a TPU-native smart-building control stack.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of google/sbsim
+("Smart Buildings Control Suite" / smart_control): a calibrated 2-D
+finite-difference thermal simulator with HVAC device models, a batched RL
+environment with an energy/carbon/comfort reward, and an on-device SAC
+actor-learner, all expressed as pure-functional pytree state transitions so
+thousands of building instances step in lockstep on TPU via jit/vmap/shard_map.
+
+Layer map (mirrors SURVEY.md section 1):
+  core/        building geometry -> static stencil tensors     (host, numpy)
+  physics/     FDM Jacobi solver (jnp + Pallas) + convection   (device)
+  hvac/        vectorized VAV / air handler / boiler / thermostat
+  scenario/    weather, occupancy, calendar/tariff tables
+  envs/        batched environment: obs / action / reward
+  agents/      SAC, replay buffer, baseline schedule policy
+  distributed/ mesh + shard_map scaling across hosts/chips
+  io/          record IO, metrics, rendering
+  proto/       wire-format compatibility with the reference protos
+"""
+
+__version__ = "0.1.0"

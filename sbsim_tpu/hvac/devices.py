@@ -1,0 +1,303 @@
+"""Vectorized HVAC device transitions: thermostat, VAV, air handler, boiler.
+
+Every function is pure: (state, inputs) -> outputs, array math only, no
+Python control flow on traced values. All zones update at once.
+
+Parity sources are cited per function.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from sbsim_tpu import constants
+from sbsim_tpu.hvac.params import (
+    HvacParams,
+    HvacState,
+    MODE_COOL,
+    MODE_HEAT,
+    MODE_OFF,
+    MODE_PASSIVE_COOL,
+)
+
+CP_AIR = jnp.float32(constants.AIR_HEAT_CAPACITY)
+CP_WATER = jnp.float32(constants.WATER_HEAT_CAPACITY)
+
+
+def thermostat_update(
+    mode: jnp.ndarray,
+    zone_temp: jnp.ndarray,
+    heating_setpoint: jnp.ndarray,
+    cooling_setpoint: jnp.ndarray,
+    comfort_now: jnp.ndarray,
+    prev_comfort: jnp.ndarray,
+) -> jnp.ndarray:
+    """4-mode deadband state machine with eco passive-cool entry.
+
+    Parity: thermostat.py:76-148. `heating/cooling_setpoint` are the window
+    for the current schedule mode (comfort or eco).
+    """
+    mid = 0.5 * (cooling_setpoint - heating_setpoint) + heating_setpoint
+    default_mode = jnp.where(
+        zone_temp < heating_setpoint,
+        MODE_HEAT,
+        jnp.where(
+            zone_temp > cooling_setpoint,
+            MODE_COOL,
+            jnp.where(
+                (zone_temp < mid) & (mode == MODE_HEAT),
+                MODE_HEAT,
+                jnp.where(
+                    (zone_temp > mid) & (mode == MODE_COOL),
+                    MODE_COOL,
+                    MODE_OFF,
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+
+    stay_passive = (mode == MODE_PASSIVE_COOL) & (zone_temp > heating_setpoint)
+    eco_mode = jnp.where(
+        prev_comfort,
+        MODE_PASSIVE_COOL,  # just entered eco -> passive cool
+        jnp.where(stay_passive, MODE_PASSIVE_COOL, default_mode),
+    ).astype(jnp.int32)
+
+    return jnp.where(comfort_now, default_mode, eco_mode)
+
+
+def vav_settings_for_mode(
+    mode: jnp.ndarray, damper: jnp.ndarray, reheat_valve: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Thermostat mode -> (damper, reheat valve) settings (vav.py:219-243)."""
+    is_heat = mode == MODE_HEAT
+    is_cool = mode == MODE_COOL
+    is_vent = (mode == MODE_OFF) | (mode == MODE_PASSIVE_COOL)
+    new_damper = jnp.where(
+        is_heat | is_cool, 1.0, jnp.where(is_vent, 0.1, damper)
+    ).astype(jnp.float32)
+    new_valve = jnp.where(
+        is_heat, 1.0, jnp.where(is_cool | is_vent, 0.0, reheat_valve)
+    ).astype(jnp.float32)
+    return new_damper, new_valve
+
+
+def vav_zone_supply_temp(
+    supply_air_temp: jnp.ndarray,
+    water_temp: jnp.ndarray,
+    damper: jnp.ndarray,
+    reheat_valve: jnp.ndarray,
+    params: HvacParams,
+) -> jnp.ndarray:
+    """Air temp delivered to the zone after reheat (vav.py:168-195)."""
+    reheat_flow = reheat_valve * params.vav_reheat_max_water_flow_rate
+    air_flow = damper * params.vav_max_air_flow_rate
+    heat_difference = CP_AIR * air_flow - CP_WATER * reheat_flow
+    input_water_heat = water_temp * CP_WATER * reheat_flow
+    return (
+        (supply_air_temp * heat_difference + input_water_heat)
+        / air_flow
+        / CP_AIR
+    )
+
+
+def vav_output(
+    zone_temp: jnp.ndarray,
+    supply_air_temp: jnp.ndarray,
+    water_temp: jnp.ndarray,
+    damper: jnp.ndarray,
+    reheat_valve: jnp.ndarray,
+    params: HvacParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (q_zone, zone_supply_temp) per zone (vav.py:197-264).
+
+    The water temperature is the boiler *setpoint*, not the ramped measured
+    temperature (vav.py:259).
+    """
+    zone_supply_temp = vav_zone_supply_temp(
+        supply_air_temp, water_temp, damper, reheat_valve, params
+    )
+    air_flow = damper * params.vav_max_air_flow_rate
+    q_zone = air_flow * CP_AIR * (zone_supply_temp - zone_temp)
+    # damper == 0 -> no output (vav.py:207-208); min damper is 0.1 in the
+    # mode map but the guard is preserved.
+    q_zone = jnp.where(air_flow > 0, q_zone, 0.0)
+    return q_zone, zone_supply_temp
+
+
+def ahu_mixed_air_temp(
+    recirculation_temp: jnp.ndarray,
+    ambient_temp: jnp.ndarray,
+    params: HvacParams,
+) -> jnp.ndarray:
+    """air_handler.py:204-216."""
+    r = params.ahu_recirculation
+    return r * recirculation_temp + (1.0 - r) * ambient_temp
+
+
+def ahu_supply_air_temp(
+    recirculation_temp: jnp.ndarray,
+    ambient_temp: jnp.ndarray,
+    heating_setpoint: jnp.ndarray,
+    cooling_setpoint: jnp.ndarray,
+    params: HvacParams,
+) -> jnp.ndarray:
+    """Mixed air clamped to the heating/cooling setpoints
+    (air_handler.py:218-233)."""
+    mixed = ahu_mixed_air_temp(recirculation_temp, ambient_temp, params)
+    return jnp.clip(mixed, heating_setpoint, cooling_setpoint)
+
+
+def ahu_accumulate_demand(
+    flow_rate_demands: jnp.ndarray, params: HvacParams
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sums positive VAV flow demands, clamped at the AHU max
+    (air_handler.py:250-268). Returns (air_flow_rate, cooling_request_count).
+    """
+    positive = flow_rate_demands > 0
+    total = jnp.sum(jnp.where(positive, flow_rate_demands, 0.0))
+    flow = jnp.minimum(total, params.ahu_max_air_flow_rate)
+    count = jnp.sum(positive).astype(jnp.int32)
+    return flow.astype(jnp.float32), count
+
+
+def ahu_fan_power(
+    flow_rate: jnp.ndarray, params: HvacParams
+) -> jnp.ndarray:
+    """air_handler.py:287-304."""
+    return (
+        flow_rate
+        * params.ahu_fan_differential_pressure
+        / params.ahu_fan_efficiency
+    )
+
+
+def ahu_blower_power(state: HvacState, params: HvacParams) -> jnp.ndarray:
+    """Intake fan (full flow) + exhaust fan (non-recirculated flow)
+    (air_handler.py:306-320)."""
+    intake = ahu_fan_power(state.ahu_air_flow_rate, params)
+    exhaust = ahu_fan_power(
+        state.ahu_air_flow_rate * (1.0 - params.ahu_recirculation), params
+    )
+    return intake + exhaust
+
+
+def ahu_thermal_energy_rate(
+    state: HvacState,
+    recirculation_temp: jnp.ndarray,
+    ambient_temp: jnp.ndarray,
+    params: HvacParams,
+) -> jnp.ndarray:
+    """Energy to move mixed air to the supply temp (air_handler.py:270-285)."""
+    mixed = ahu_mixed_air_temp(recirculation_temp, ambient_temp, params)
+    supply = ahu_supply_air_temp(
+        recirculation_temp,
+        ambient_temp,
+        state.ahu_heating_setpoint,
+        state.ahu_cooling_setpoint,
+        params,
+    )
+    return state.ahu_air_flow_rate * CP_AIR * (supply - mixed)
+
+
+def boiler_accumulate_demand(
+    reheat_demands: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sums positive VAV reheat demands (boiler.py:219-231)."""
+    positive = reheat_demands > 0
+    total = jnp.sum(jnp.where(positive, reheat_demands, 0.0))
+    count = jnp.sum(positive).astype(jnp.int32)
+    return total.astype(jnp.float32), count
+
+
+def boiler_observe_supply_temp(
+    state: HvacState, params: HvacParams, dt_sec: jnp.ndarray
+) -> HvacState:
+    """Ramps the measured supply-water temp toward the setpoint.
+
+    The reference ramps lazily when the supply_water_temperature_sensor is
+    observed, using (observation_ts - action_ts) (boiler.py:158-217). In the
+    env loop that gap is exactly one time step after the first action; before
+    any action the duration is zero.
+
+    Returns the state with updated current temp / tank change / duration.
+    """
+    dur = jnp.where(state.boiler_has_action, dt_sec, state.boiler_last_step_duration)
+    rates_set = (params.boiler_heating_rate > 0.0) & (
+        params.boiler_cooling_rate > 0.0
+    )
+    begin = state.boiler_current_temp
+    target = state.boiler_setpoint
+    heated = jnp.minimum(
+        begin + params.boiler_heating_rate * dur / 60.0, target
+    )
+    cooled = jnp.maximum(
+        begin - params.boiler_cooling_rate * dur / 60.0, target
+    )
+    ramped = jnp.where(target > begin, heated, jnp.where(target < begin, cooled, target))
+    new_temp = jnp.where(rates_set, ramped, target)
+    tank_change = jnp.where(rates_set, new_temp - begin, state.boiler_tank_temp_change)
+    return state.replace(
+        boiler_current_temp=new_temp.astype(jnp.float32),
+        boiler_tank_temp_change=tank_change.astype(jnp.float32),
+        boiler_last_step_duration=dur.astype(jnp.float32),
+        boiler_has_action=jnp.asarray(True),
+    )
+
+
+def boiler_thermal_dissipation_rate(
+    water_temp: jnp.ndarray, outside_temp: jnp.ndarray, params: HvacParams
+) -> jnp.ndarray:
+    """Cylindrical-annulus tank loss solved in closed form (boiler.py:275-320)."""
+    delta = water_temp - outside_temp
+    numerator = params.boiler_tank_length * 2.0 * jnp.pi * delta
+    r1 = params.boiler_tank_radius
+    r2 = r1 + params.boiler_insulation_thickness
+    conduction = jnp.log(r2 / r1) / params.boiler_insulation_conductivity
+    convection = 1.0 / params.boiler_convection_coefficient / r2
+    return numerator / (conduction + convection)
+
+
+def boiler_thermal_energy_rate(
+    state: HvacState, outside_temp: jnp.ndarray, params: HvacParams
+) -> jnp.ndarray:
+    """Flow heating + tank dissipation + tank heat-up (boiler.py:233-273)."""
+    return_temp = state.boiler_return_water_temp
+    supply_temp = jnp.maximum(state.boiler_setpoint, return_temp)
+    flow_heating = CP_WATER * state.boiler_total_flow_rate * (
+        supply_temp - return_temp
+    )
+    dissipation = boiler_thermal_dissipation_rate(
+        supply_temp, outside_temp, params
+    )
+    tank_heating = jnp.where(
+        state.boiler_last_step_duration > 0,
+        CP_WATER
+        * params.boiler_water_capacity
+        * state.boiler_tank_temp_change
+        / jnp.maximum(state.boiler_last_step_duration, 1e-9),
+        0.0,
+    )
+    return flow_heating + dissipation + tank_heating
+
+
+def boiler_pump_power(state: HvacState, params: HvacParams) -> jnp.ndarray:
+    """boiler.py:322-333."""
+    return (
+        state.boiler_total_flow_rate
+        * constants.WATER_DENSITY
+        * constants.GRAVITY
+        * params.boiler_pump_differential_head
+        / params.boiler_pump_efficiency
+    )
+
+
+def return_water_temperature(
+    reheat_valves: jnp.ndarray, zone_supply_temps: jnp.ndarray
+) -> jnp.ndarray:
+    """Reheat-weighted mean zone supply temp (simulator.py:373-381)."""
+    numerator = jnp.sum(reheat_valves * zone_supply_temps)
+    denominator = jnp.sum(reheat_valves)
+    return (numerator / (denominator + 1e-6)).astype(jnp.float32)

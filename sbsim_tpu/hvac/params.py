@@ -1,0 +1,157 @@
+"""HVAC parameter and state pytrees.
+
+All per-zone quantities are vectors over the building's zones so every VAV of
+every env updates in one vectorized op. Scalars are 0-d arrays so the whole
+state vmaps cleanly over an env batch.
+
+Parity sources: vav.py:29-286, air_handler.py:29-320, boiler.py:30-333,
+thermostat.py:39-148 in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# Thermostat modes (thermostat.py:52-66).
+MODE_OFF = 0
+MODE_HEAT = 1
+MODE_COOL = 2
+MODE_PASSIVE_COOL = 3
+
+
+@struct.dataclass
+class HvacParams:
+    """Static HVAC configuration (shared across the env batch)."""
+
+    # VAV (vav.py:45-92). Per-zone vectors to allow heterogeneous buildings.
+    vav_max_air_flow_rate: Any  # f32 (Z,) kg/s
+    vav_reheat_max_water_flow_rate: Any  # f32 (Z,) m3/s
+
+    # Air handler (air_handler.py:47-135).
+    ahu_recirculation: Any  # f32 scalar
+    ahu_max_air_flow_rate: Any  # f32 scalar
+    ahu_fan_differential_pressure: Any  # f32 scalar, Pa
+    ahu_fan_efficiency: Any  # f32 scalar
+    ahu_init_heating_setpoint: Any  # f32 scalar, K
+    ahu_init_cooling_setpoint: Any  # f32 scalar, K
+
+    # Boiler (boiler.py:54-110).
+    boiler_init_setpoint: Any  # f32 scalar, K
+    boiler_pump_differential_head: Any  # f32 scalar, m
+    boiler_pump_efficiency: Any  # f32 scalar
+    boiler_heating_rate: Any  # f32 scalar, K/min
+    boiler_cooling_rate: Any  # f32 scalar, K/min
+    boiler_convection_coefficient: Any  # f32 scalar, W/m2/K
+    boiler_tank_length: Any  # f32 scalar, m
+    boiler_tank_radius: Any  # f32 scalar, m
+    boiler_water_capacity: Any  # f32 scalar, m3
+    boiler_insulation_conductivity: Any  # f32 scalar, W/m/K
+    boiler_insulation_thickness: Any  # f32 scalar, m
+
+
+def make_hvac_params(
+    n_zones: int,
+    *,
+    vav_max_air_flow_rate: float,
+    vav_reheat_max_water_flow_rate: float,
+    ahu_recirculation: float,
+    ahu_heating_setpoint: float,
+    ahu_cooling_setpoint: float,
+    ahu_fan_differential_pressure: float,
+    ahu_fan_efficiency: float,
+    ahu_max_air_flow_rate: float = 8.67,
+    boiler_setpoint: float = 360.0,
+    boiler_pump_differential_head: float = 6.0,
+    boiler_pump_efficiency: float = 0.98,
+    boiler_heating_rate: float = 0.0,
+    boiler_cooling_rate: float = 0.0,
+    boiler_convection_coefficient: float = 5.6,
+    boiler_tank_length: float = 2.0,
+    boiler_tank_radius: float = 0.5,
+    boiler_water_capacity: float = 1.5,
+    boiler_insulation_conductivity: float = 0.067,
+    boiler_insulation_thickness: float = 0.06,
+) -> HvacParams:
+    f = lambda x: jnp.float32(x)
+    return HvacParams(
+        vav_max_air_flow_rate=jnp.full(
+            (n_zones,), vav_max_air_flow_rate, jnp.float32
+        ),
+        vav_reheat_max_water_flow_rate=jnp.full(
+            (n_zones,), vav_reheat_max_water_flow_rate, jnp.float32
+        ),
+        ahu_recirculation=f(ahu_recirculation),
+        ahu_max_air_flow_rate=f(ahu_max_air_flow_rate),
+        ahu_fan_differential_pressure=f(ahu_fan_differential_pressure),
+        ahu_fan_efficiency=f(ahu_fan_efficiency),
+        ahu_init_heating_setpoint=f(ahu_heating_setpoint),
+        ahu_init_cooling_setpoint=f(ahu_cooling_setpoint),
+        boiler_init_setpoint=f(boiler_setpoint),
+        boiler_pump_differential_head=f(boiler_pump_differential_head),
+        boiler_pump_efficiency=f(boiler_pump_efficiency),
+        boiler_heating_rate=f(boiler_heating_rate),
+        boiler_cooling_rate=f(boiler_cooling_rate),
+        boiler_convection_coefficient=f(boiler_convection_coefficient),
+        boiler_tank_length=f(boiler_tank_length),
+        boiler_tank_radius=f(boiler_tank_radius),
+        boiler_water_capacity=f(boiler_water_capacity),
+        boiler_insulation_conductivity=f(boiler_insulation_conductivity),
+        boiler_insulation_thickness=f(boiler_insulation_thickness),
+    )
+
+
+@struct.dataclass
+class HvacState:
+    """Mutable HVAC state for one env (vmapped over the batch)."""
+
+    # VAV / thermostat, per zone.
+    damper: Any  # f32 (Z,) in [0, 1]
+    reheat_valve: Any  # f32 (Z,) in [0, 1]
+    thermostat_mode: Any  # i32 (Z,)
+    zone_air_temp: Any  # f32 (Z,) last temp given to the VAV
+    prev_comfort: Any  # bool scalar: was the previous update in comfort mode
+
+    # Air handler.
+    ahu_air_flow_rate: Any  # f32 scalar, accumulated demand
+    ahu_cooling_request_count: Any  # i32 scalar
+    ahu_heating_setpoint: Any  # f32 scalar (agent action)
+    ahu_cooling_setpoint: Any  # f32 scalar (agent action)
+
+    # Boiler.
+    boiler_setpoint: Any  # f32 scalar (agent action)
+    boiler_current_temp: Any  # f32 scalar, ramped measured supply temp
+    boiler_return_water_temp: Any  # f32 scalar
+    boiler_total_flow_rate: Any  # f32 scalar, accumulated demand
+    boiler_heating_request_count: Any  # i32 scalar
+    boiler_tank_temp_change: Any  # f32 scalar, last obs-phase ramp delta
+    boiler_last_step_duration: Any  # f32 scalar, seconds
+    boiler_has_action: Any  # bool scalar: an action timestamp exists
+
+
+def initial_hvac_state(params: HvacParams) -> HvacState:
+    """Reset state (vav.py:93-99, air_handler.py:127-135, boiler.py:112-123)."""
+    n_zones = params.vav_max_air_flow_rate.shape[0]
+    f = lambda x: jnp.float32(x)
+    return HvacState(
+        damper=jnp.full((n_zones,), 0.1, jnp.float32),
+        reheat_valve=jnp.zeros((n_zones,), jnp.float32),
+        thermostat_mode=jnp.full((n_zones,), MODE_OFF, jnp.int32),
+        zone_air_temp=jnp.zeros((n_zones,), jnp.float32),
+        prev_comfort=jnp.asarray(False),
+        ahu_air_flow_rate=f(0.0),
+        ahu_cooling_request_count=jnp.int32(0),
+        ahu_heating_setpoint=params.ahu_init_heating_setpoint,
+        ahu_cooling_setpoint=params.ahu_init_cooling_setpoint,
+        boiler_setpoint=params.boiler_init_setpoint,
+        boiler_current_temp=params.boiler_init_setpoint,
+        boiler_return_water_temp=f(0.0),
+        boiler_total_flow_rate=f(0.0),
+        boiler_heating_request_count=jnp.int32(0),
+        boiler_tank_temp_change=f(0.0),
+        boiler_last_step_duration=f(0.0),
+        boiler_has_action=jnp.asarray(False),
+    )

@@ -1,0 +1,22 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Multi-chip sharding is validated on a host-platform mesh
+(xla_force_host_platform_device_count); the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip.
+
+Note: this image's sitecustomize registers a remote TPU ("axon") backend in
+every interpreter and forces jax_platforms="axon,cpu", so we must override
+the config *after* jax is imported, before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,208 @@
+"""FDM solver tests.
+
+Mirrors the reference's physics test strategy (tf_simulator_test.py:193-726,
+simulator_test.py:338-553): device solver vs numpy oracle parity, equilibrium,
+monotone conduction, corner-vs-edge convection, and batched bitwise identity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.core import geometry
+from sbsim_tpu.physics import fdm, reference_impl
+
+AIR = geometry.MaterialProperties(50.0, 700.0, 1.0)
+WALL = geometry.MaterialProperties(2.0, 500.0, 1800.0)
+EXTERIOR = geometry.MaterialProperties(0.05, 700.0, 1.0)
+
+
+def small_plan():
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    return plan
+
+
+@pytest.fixture(scope="module")
+def geom():
+    return geometry.geometry_from_floor_plan(
+        small_plan(),
+        cv_size_cm=10.0,
+        floor_height_cm=300.0,
+        initial_temp=294.0,
+        inside_air=AIR,
+        inside_wall=WALL,
+        exterior_wall=EXTERIOR,
+        buffer_from_walls=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def coeffs(geom):
+    return fdm.stencil_coefficients(geom, time_step_sec=300.0)
+
+
+def rand_state(geom, seed=0):
+    rng = np.random.default_rng(seed)
+    temp = 294.0 + rng.normal(0, 2.0, geom.shape).astype(np.float32)
+    q = np.zeros(geom.shape, np.float32)
+    diff = np.asarray(geom.diffusers)
+    q[diff > 0] = 400.0 * diff[diff > 0]
+    return temp, q
+
+
+class TestJacobiParity:
+    def test_single_iteration_matches_oracle(self, geom, coeffs):
+        temp, q = rand_state(geom)
+        ambient, h = 283.0, 12.0
+        expected, _ = reference_impl.tf_jacobi_step(
+            geom, temp, temp, q, ambient, h, 300.0
+        )
+        got = fdm.jacobi_iteration(
+            jnp.asarray(temp),
+            coeffs.absorb * temp
+            + q
+            + jnp.float32(h * ambient) * coeffs.conv_area,
+            coeffs.cond_sum + jnp.float32(h) * coeffs.conv_area + coeffs.absorb,
+            coeffs,
+            jnp.float32(ambient),
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, atol=2e-4)
+
+    def test_full_step_matches_oracle(self, geom, coeffs):
+        temp, q = rand_state(geom, seed=1)
+        ambient, h = 275.0, 100.0
+        expected, conv, n_iter = reference_impl.tf_finite_differences_timestep(
+            geom, temp, q, ambient, h, 300.0, 0.1, 100
+        )
+        got, converged, n = fdm.fdm_step(
+            jnp.asarray(temp)[None],
+            jnp.asarray(q)[None],
+            jnp.full((1,), ambient, jnp.float32),
+            jnp.full((1,), h, jnp.float32),
+            coeffs,
+            convergence_threshold=0.1,
+            iteration_limit=100,
+        )
+        assert bool(converged[0]) == conv
+        assert int(n) == n_iter
+        np.testing.assert_allclose(np.asarray(got[0]), expected, atol=1e-3)
+
+    def test_batched_identical_to_solo(self, geom, coeffs):
+        """Envs in a batch must be bitwise identical to solo runs, even when
+        their convergence iteration counts differ."""
+        temps, qs, ambients = [], [], []
+        for seed, amb in [(0, 283.0), (1, 270.0), (2, 294.0), (3, 300.0)]:
+            t, q = rand_state(geom, seed)
+            temps.append(t)
+            qs.append(q)
+            ambients.append(amb)
+        batch_t = jnp.stack([jnp.asarray(t) for t in temps])
+        batch_q = jnp.stack([jnp.asarray(q) for q in qs])
+        batch_a = jnp.asarray(ambients, jnp.float32)
+        batch_h = jnp.full((4,), 12.0, jnp.float32)
+
+        solve = jax.jit(
+            lambda t, q, a, h: fdm.fdm_step(
+                t, q, a, h, coeffs, convergence_threshold=0.1,
+                iteration_limit=100,
+            )[0]
+        )
+        batched = solve(batch_t, batch_q, batch_a, batch_h)
+        for i in range(4):
+            solo = solve(
+                batch_t[i : i + 1],
+                batch_q[i : i + 1],
+                batch_a[i : i + 1],
+                batch_h[i : i + 1],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(batched[i]), np.asarray(solo[0])
+            )
+
+
+class TestPhysicsProperties:
+    def test_equilibrium_no_change(self, geom, coeffs):
+        """Uniform temps equal to ambient with no heat input stay fixed
+        (mirrors simulator_test.py:338)."""
+        temp = jnp.full(geom.shape, 285.0, jnp.float32)
+        q = jnp.zeros(geom.shape, jnp.float32)
+        got, converged, _ = fdm.fdm_step(
+            temp[None], q[None],
+            jnp.full((1,), 285.0, jnp.float32),
+            jnp.full((1,), 12.0, jnp.float32),
+            coeffs, convergence_threshold=0.1, iteration_limit=100,
+        )
+        assert bool(converged[0])
+        np.testing.assert_allclose(np.asarray(got[0]), 285.0, atol=1e-3)
+
+    def test_heating_raises_zone_temps(self, geom, coeffs):
+        """Positive diffuser heat warms the rooms (simulator_test.py:764)."""
+        temp = jnp.full(geom.shape, 294.0, jnp.float32)
+        q = jnp.asarray(np.asarray(geom.diffusers) * 3000.0)
+        got, _, _ = fdm.fdm_step(
+            temp[None], q[None],
+            jnp.full((1,), 294.0, jnp.float32),
+            jnp.full((1,), 12.0, jnp.float32),
+            coeffs, convergence_threshold=0.01, iteration_limit=100,
+        )
+        zone_mask = np.asarray(geom.zone_ids) < geom.n_zones
+        assert np.asarray(got[0])[zone_mask].mean() > 294.0
+
+    def test_cold_ambient_cools_building(self, geom, coeffs):
+        temp = jnp.full(geom.shape, 294.0, jnp.float32)
+        q = jnp.zeros(geom.shape, jnp.float32)
+        got, _, _ = fdm.fdm_step(
+            temp[None], q[None],
+            jnp.full((1,), 260.0, jnp.float32),
+            jnp.full((1,), 100.0, jnp.float32),
+            coeffs, convergence_threshold=0.01, iteration_limit=100,
+        )
+        interior = ~np.asarray(geom.exterior_mask)
+        # Mean interior temperature must drop.
+        assert np.asarray(got[0])[interior].mean() < 294.0
+
+
+class TestScalarOracle:
+    """Property tests on the float64 Gauss-Seidel oracle, mirroring
+    simulator_test.py:398-553 on the legacy rectangular building."""
+
+    @pytest.fixture()
+    def rect(self):
+        return geometry.geometry_rectangular(
+            cv_size_cm=20.0,
+            floor_height_cm=250.0,
+            room_shape=(6, 6),
+            building_shape=(1, 1),
+            initial_temp=294.0,
+            inside_air=AIR,
+            inside_wall=WALL,
+            building_exterior=EXTERIOR,
+        )
+
+    def test_corner_changes_faster_than_edge_under_convection(self, rect):
+        """Corners have two convection faces, edges one
+        (simulator_test.py:491-553)."""
+        temp = np.full(rect.shape, 294.0)
+        q = np.zeros(rect.shape)
+        new, _ = reference_impl.scalar_gauss_seidel_step(
+            rect, temp, temp, q, 260.0, 50.0, 300.0
+        )
+        corner_drop = 294.0 - new[0, 0]
+        edge_drop = 294.0 - new[0, 4]
+        assert corner_drop > edge_drop > 0
+
+    def test_conduction_monotone(self, rect):
+        """A hot cell sheds heat to its cooler neighbors
+        (simulator_test.py:398-446)."""
+        temp = np.full(rect.shape, 294.0)
+        temp[5, 5] = 320.0
+        q = np.zeros(rect.shape)
+        new, _ = reference_impl.scalar_gauss_seidel_step(
+            rect, temp, temp, q, 294.0, 0.0, 300.0
+        )
+        assert new[5, 5] < 320.0
+        assert new[5, 6] > 294.0

@@ -1,0 +1,180 @@
+"""Geometry construction tests (mirrors building_test / building_utils_test)."""
+
+import numpy as np
+import pytest
+
+from sbsim_tpu.core import floorplan, geometry
+
+AIR = geometry.MaterialProperties(
+    conductivity=50.0, heat_capacity=700.0, density=1.0
+)
+WALL = geometry.MaterialProperties(
+    conductivity=2.0, heat_capacity=500.0, density=1800.0
+)
+EXTERIOR = geometry.MaterialProperties(
+    conductivity=0.05, heat_capacity=700.0, density=1.0
+)
+
+
+def simple_plan():
+    """5x7 interior: two rooms separated by a wall, air rim around."""
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0  # building envelope
+    plan[2:7, 2:5] = 0.0  # room 1
+    plan[2:7, 6:9] = 0.0  # room 2
+    return plan
+
+
+class TestFloorPlanProcessing:
+    def test_air_padding_added_when_wall_touches_edge(self):
+        plan = np.ones((4, 4))
+        padded = floorplan.guarantee_air_padding(plan)
+        assert padded.shape == (6, 6)
+        assert (padded[0, :] == 2).all() and (padded[:, 0] == 2).all()
+
+    def test_air_padding_noop_when_rimmed(self):
+        plan = simple_plan()
+        assert floorplan.guarantee_air_padding(plan).shape == plan.shape
+
+    def test_rooms_labeled_in_raster_order(self):
+        processed = floorplan.process_floor_plan(simple_plan())
+        assert processed.n_rooms == 2
+        # room_1 is the first encountered in raster order (leftmost).
+        assert (2, 2) in processed.room_dict["room_1"]
+        assert (2, 6) in processed.room_dict["room_2"]
+        assert len(processed.room_dict["room_1"]) == 15
+        assert len(processed.room_dict["room_2"]) == 15
+
+    def test_exterior_wall_shell_and_expansion(self):
+        processed = floorplan.process_floor_plan(simple_plan())
+        # The envelope is only 1 CV thick here, so every wall CV within
+        # distance 2 of the shell is exterior wall; the room divider column
+        # at j=5 is within distance 2 of the top/bottom shell rows but its
+        # middle cells are >2 away from any shell CV.
+        assert processed.exterior_walls[1, 5]
+        assert processed.exterior_walls[4, 1]
+        assert processed.interior_walls[4, 5]
+        assert not processed.exterior_walls[4, 5]
+
+    def test_enlarge_component_matches_l2_disc(self):
+        mask = np.zeros((7, 7), dtype=bool)
+        mask[3, 3] = True
+        grown = floorplan.enlarge_component(mask, 2)
+        # L2 distance <= 2: offsets with dx^2+dy^2 <= 4.
+        expected = np.zeros((7, 7), dtype=bool)
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                if dx * dx + dy * dy <= 4:
+                    expected[3 + dx, 3 + dy] = True
+        np.testing.assert_array_equal(grown, expected)
+
+
+class TestFloorPlanGeometry:
+    def make(self):
+        return geometry.geometry_from_floor_plan(
+            simple_plan(),
+            cv_size_cm=10.0,
+            floor_height_cm=300.0,
+            initial_temp=294.0,
+            inside_air=AIR,
+            inside_wall=WALL,
+            exterior_wall=EXTERIOR,
+            buffer_from_walls=0,
+        )
+
+    def test_zone_structure(self):
+        geom = self.make()
+        assert geom.n_zones == 2
+        assert geom.zone_names == ("room_1", "room_2")
+        assert geom.zone_ext_ids == ("zone_id_1", "zone_id_2")
+        np.testing.assert_allclose(np.asarray(geom.zone_sizes), [15.0, 15.0])
+
+    def test_diffusers_sum_to_one_per_zone(self):
+        geom = self.make()
+        diff = np.asarray(geom.diffusers)
+        zid = np.asarray(geom.zone_ids)
+        for z in range(geom.n_zones):
+            assert diff[zid == z].sum() == pytest.approx(1.0)
+
+    def test_exterior_mask_is_outside_air(self):
+        geom = self.make()
+        ext = np.asarray(geom.exterior_mask)
+        assert ext[0, 0]
+        assert not ext[1, 1]  # wall CV belongs to the building
+        assert not ext[3, 3]
+
+    def test_boundary_faces(self):
+        geom = self.make()
+        # The top-left building corner CV (1,1) misses its top and left
+        # neighbors: convection there, conduction zeroed, half dims.
+        assert np.asarray(geom.h_top)[1, 1] == 1.0
+        assert np.asarray(geom.h_left)[1, 1] == 1.0
+        assert np.asarray(geom.k_top)[1, 1] == 0.0
+        assert np.asarray(geom.k_left)[1, 1] == 0.0
+        assert np.asarray(geom.k_right)[1, 1] > 0.0
+        assert np.asarray(geom.u)[1, 1] == pytest.approx(0.05)
+        assert np.asarray(geom.v)[1, 1] == pytest.approx(0.05)
+        # A top-edge CV keeps full u but half v.
+        assert np.asarray(geom.u)[1, 4] == pytest.approx(0.1)
+        assert np.asarray(geom.v)[1, 4] == pytest.approx(0.05)
+        # Interior CVs: full dims, no convection.
+        assert np.asarray(geom.h_top)[4, 3] == 0.0
+        assert np.asarray(geom.u)[4, 3] == pytest.approx(0.1)
+
+
+class TestRectangularGeometry:
+    def make(self):
+        # 2x1 building of 8x6 rooms: 21x10 grid, matching
+        # simulator_building_test_lib.py:44-78.
+        return geometry.geometry_rectangular(
+            cv_size_cm=20.0,
+            floor_height_cm=250.0,
+            room_shape=(8, 6),
+            building_shape=(2, 1),
+            initial_temp=294.0,
+            inside_air=AIR,
+            inside_wall=WALL,
+            building_exterior=EXTERIOR,
+        )
+
+    def test_shape(self):
+        geom = self.make()
+        assert geom.shape == (21, 10)
+        assert geom.n_zones == 2
+        assert geom.zone_ext_ids[0] == "zone_id_(0, 0)"
+
+    def test_material_layout(self):
+        geom = self.make()
+        k = np.asarray(geom.conductivity)
+        assert k[0, 0] == pytest.approx(EXTERIOR.conductivity)
+        assert k[1, 5] == pytest.approx(EXTERIOR.conductivity)
+        assert k[10, 5] == pytest.approx(WALL.conductivity)  # room divider
+        assert k[5, 5] == pytest.approx(AIR.conductivity)
+
+    def test_no_exterior_cvs_and_border_is_boundary(self):
+        geom = self.make()
+        assert not np.asarray(geom.exterior_mask).any()
+        assert np.asarray(geom.h_top)[0, 5] == 1.0
+        assert np.asarray(geom.h_top)[0, 0] == 1.0
+        assert np.asarray(geom.h_left)[0, 0] == 1.0
+
+    def test_four_diffusers_per_room(self):
+        geom = self.make()
+        diff = np.asarray(geom.diffusers)
+        zid = np.asarray(geom.zone_ids)
+        for z in range(2):
+            assert (diff[zid == z] > 0).sum() == 4
+            assert diff[zid == z].sum() == pytest.approx(1.0)
+
+    def test_zone_bounds_exclude_walls(self):
+        geom = self.make()
+        zid = np.asarray(geom.zone_ids)
+        assert (zid[2:10, 2:8] == 0).all()
+        assert zid[10, 5] == 2  # wall row not in any zone
+        assert (zid[11:19, 2:8] == 1).all()
+
+
+def test_synthetic_office_plan_processes():
+    plan = geometry.make_synthetic_office_plan(2, 3, room_cvs=8)
+    processed = floorplan.process_floor_plan(plan)
+    assert processed.n_rooms == 6
