@@ -1,0 +1,559 @@
+"""The batched smart-building RL environment.
+
+One env step reproduces the reference control loop exactly
+(environment.py:1228-1360 -> simulator_building.py:204-268 ->
+simulator_flexible_floor_plan.py:124-190):
+
+  1. request_action: default thermostat control from *pre-step* zone temps
+     (setup_step_sim, simulator.py:383-396), then agent setpoints applied.
+  2. wait_time: FDM solve, stochastic convection, VAV outputs computed from
+     the pre-step zone temps (one-step actuation delay, simulator.py:578-592),
+     demand accumulation, boiler return-water temperature, clock advance.
+  3. observation at the new timestamp (boiler supply-temp ramp happens here,
+     boiler.py:158-217).
+  4. reward at the new timestamp via the 3C regret function.
+
+Everything is a pure function of (EnvState, action, step tables); batching is
+plain vmap over EnvState, with per-env FDM convergence freezing so batched
+trajectories equal solo runs bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sbsim_tpu.core import geometry as geometry_lib
+from sbsim_tpu.core.geometry import BuildingGeometry
+from sbsim_tpu.envs import observation as obs_lib
+from sbsim_tpu.envs import reward as reward_lib
+from sbsim_tpu.envs.config import EnvConfig
+from sbsim_tpu.hvac import devices as hvac_ops
+from sbsim_tpu.hvac.params import HvacParams, HvacState, initial_hvac_state, make_hvac_params
+from sbsim_tpu.physics import convection as convection_lib
+from sbsim_tpu.physics import fdm
+from sbsim_tpu.scenario import occupancy as occupancy_lib
+from sbsim_tpu.scenario import tables as tables_lib
+
+
+@struct.dataclass
+class EnvState:
+    """Complete env state for one building instance (vmappable pytree)."""
+
+    temp: Any  # f32 (H, W)
+    input_q: Any  # f32 (H, W)
+    hvac: HvacState
+    occupants: Any  # bool (Z, N)
+    step_idx: Any  # i32: completed steps; sim time = start + step_idx * dt
+    rng: Any  # PRNG key
+    fdm_converged: Any  # bool, last step
+    fdm_iterations: Any  # i32, last step
+
+
+@struct.dataclass
+class StepOutput:
+    observation: Any  # f32 (obs_dim,)
+    reward: Any  # f32 scalar
+    done: Any  # bool scalar
+    reward_breakdown: reward_lib.RewardBreakdown
+
+
+def _zone_means(
+    temp: jnp.ndarray, geom: BuildingGeometry
+) -> jnp.ndarray:
+    """Average temperature of each zone's CVs (building.py:863-871)."""
+    sums = jax.ops.segment_sum(
+        temp.ravel(),
+        geom.zone_ids.ravel(),
+        num_segments=geom.n_zones + 1,
+    )
+    return (sums[: geom.n_zones] / geom.zone_sizes).astype(jnp.float32)
+
+
+class BuildingEnv:
+    """Host-side wrapper holding the static pieces; all methods are pure
+    jittable functions suitable for jit/vmap/shard_map."""
+
+    def __init__(
+        self,
+        config: EnvConfig,
+        geom: Optional[BuildingGeometry] = None,
+    ):
+        self.config = config
+        self.geom = geom if geom is not None else build_geometry(config)
+        self.coeffs = fdm.stencil_coefficients(self.geom, config.time_step_sec)
+        self.hvac_params = make_hvac_params(
+            self.geom.n_zones,
+            vav_max_air_flow_rate=config.hvac.vav_max_air_flow_rate,
+            vav_reheat_max_water_flow_rate=(
+                config.hvac.vav_reheat_max_water_flow_rate
+            ),
+            ahu_recirculation=config.hvac.ahu_recirculation,
+            ahu_heating_setpoint=config.hvac.ahu_heating_setpoint,
+            ahu_cooling_setpoint=config.hvac.ahu_cooling_setpoint,
+            ahu_fan_differential_pressure=(
+                config.hvac.ahu_fan_differential_pressure
+            ),
+            ahu_fan_efficiency=config.hvac.ahu_fan_efficiency,
+            ahu_max_air_flow_rate=config.hvac.ahu_max_air_flow_rate,
+            boiler_setpoint=config.hvac.boiler_setpoint,
+            boiler_pump_differential_head=(
+                config.hvac.boiler_pump_differential_head
+            ),
+            boiler_pump_efficiency=config.hvac.boiler_pump_efficiency,
+            boiler_heating_rate=config.hvac.boiler_heating_rate,
+            boiler_cooling_rate=config.hvac.boiler_cooling_rate,
+        )
+        self.tables = tables_lib.build_episode_tables(config)
+        self.occupancy_params = occupancy_lib.make_occupancy_params(
+            config.occupancy, config.time_step_sec
+        )
+        self.convection = convection_lib.make_convection_buckets(
+            self.geom, config.convection.p, config.convection.distance
+        )
+        self.reward_params = reward_lib.make_reward_params(config.reward)
+        self.obs_layout = obs_lib.build_obs_layout(
+            self.geom.zone_names,
+            config.observation_normalization,
+            config.histogram_parameters,
+            ahu_has_outside_temp=config.hvac.ahu_observes_outside_air,
+            num_hod_features=config.num_hod_features,
+            num_dow_features=config.num_dow_features,
+        )
+
+        # Action layout: devices in reference order [boiler, air handler]
+        # (simulator_building.py:70-81) with alphabetically sorted action
+        # fields, filtered to setpoints that have a normalizer
+        # (environment.py:620-660).
+        candidates = [
+            ("boiler", "supply_water_setpoint"),
+            ("air_handler", "supply_air_cooling_temperature_setpoint"),
+            ("air_handler", "supply_air_heating_temperature_setpoint"),
+        ]
+        self.action_entries = [
+            (dev, field, config.action_normalizers[field])
+            for dev, field in candidates
+            if field in config.action_normalizers
+        ]
+        self.action_names = tuple(
+            f"{dev}_{field}" for dev, field, _ in self.action_entries
+        )
+        lows = np.array(
+            [n.min_native_value for _, _, n in self.action_entries], np.float32
+        )
+        highs = np.array(
+            [n.max_native_value for _, _, n in self.action_entries], np.float32
+        )
+        self._action_low = jnp.asarray(lows)
+        self._action_high = jnp.asarray(highs)
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+
+    @property
+    def n_actions(self) -> int:
+        return len(self.action_entries)
+
+    @property
+    def obs_dim(self) -> int:
+        return self.obs_layout.n_fields
+
+    @property
+    def n_zones(self) -> int:
+        return self.geom.n_zones
+
+    @property
+    def steps_per_episode(self) -> int:
+        return self.tables.n_steps
+
+    def default_action(self, default_setpoints: Dict[str, float]) -> np.ndarray:
+        """Normalized action vector for given native setpoints
+        (environment.py:575-589)."""
+        out = []
+        for _, field, n in self.action_entries:
+            native = default_setpoints[field]
+            ratio = (native - n.min_native_value) / (
+                n.max_native_value - n.min_native_value
+            )
+            out.append(
+                ratio * (n.max_normalized_value - n.min_normalized_value)
+                + n.min_normalized_value
+            )
+        return np.asarray(out, np.float32)
+
+    # ------------------------------------------------------------------
+    # Pure env functions
+    # ------------------------------------------------------------------
+
+    def reset(self, key: jax.Array) -> Tuple[EnvState, jnp.ndarray]:
+        """Fresh episode state + initial observation (environment.py:1165)."""
+        geom = self.geom
+        hvac = initial_hvac_state(self.hvac_params)
+        occupants = occupancy_lib.initial_occupants(
+            self.occupancy_params, geom.n_zones
+        )
+        key, obs_key = jax.random.split(key)
+        # Reset observation: boiler ramp initializes its action timestamp
+        # with zero elapsed time (boiler.py:163-168).
+        hvac = hvac_ops.boiler_observe_supply_temp(
+            hvac, self.hvac_params, jnp.float32(0.0)
+        )
+        occupants = self._occupancy_peek_randomized(
+            occupants,
+            obs_key,
+            self.tables.reset_local_hour,
+            self.tables.reset_workday,
+        )
+        state = EnvState(
+            temp=geom.reset_temps,
+            input_q=jnp.zeros(geom.shape, jnp.float32),
+            hvac=hvac,
+            occupants=occupants,
+            step_idx=jnp.int32(0),
+            rng=key,
+            fdm_converged=jnp.asarray(True),
+            fdm_iterations=jnp.int32(0),
+        )
+        obs = self._observation(state, t_obs=jnp.int32(0))
+        return state, obs
+
+    def _occupancy_peek_randomized(
+        self, occupants, key, local_hour, workday
+    ):
+        if self.occupancy_params.kind != "randomized":
+            return occupants
+        return occupancy_lib.occupancy_peek(
+            occupants, key, local_hour, workday, self.occupancy_params
+        )
+
+    def _zone_occupancy_at(
+        self, occupants: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Per-zone occupancy for the reward interval starting at step t."""
+        if self.occupancy_params.kind == "randomized":
+            return occupancy_lib.zone_occupancy(occupants)
+        return jnp.full(
+            (self.geom.n_zones,), self.tables.step_occupancy[t], jnp.float32
+        )
+
+    def step(
+        self, state: EnvState, action: jnp.ndarray
+    ) -> Tuple[EnvState, StepOutput]:
+        """One control step; `action` is the normalized [-1, 1] vector."""
+        cfg = self.config
+        geom = self.geom
+        params = self.hvac_params
+        tables = self.tables
+        t = state.step_idx
+        dt = jnp.float32(cfg.time_step_sec)
+
+        rng, conv_key, obs_key, reward_key = jax.random.split(state.rng, 4)
+
+        # ---- Phase 1: request_action -------------------------------------
+        zone_temps = _zone_means(state.temp, geom)
+        comfort_now = tables.comfort[t]
+        mode = hvac_ops.thermostat_update(
+            state.hvac.thermostat_mode,
+            zone_temps,
+            tables.heating_setpoint[t],
+            tables.cooling_setpoint[t],
+            comfort_now,
+            state.hvac.prev_comfort,
+        )
+        damper, valve = hvac_ops.vav_settings_for_mode(
+            mode, state.hvac.damper, state.hvac.reheat_valve
+        )
+        hvac = state.hvac.replace(
+            thermostat_mode=mode,
+            damper=damper,
+            reheat_valve=valve,
+            zone_air_temp=zone_temps,
+            prev_comfort=comfort_now,
+        )
+
+        # Agent setpoints: linear map [-1, 1] -> native bounds
+        # (bounded_action_normalizer.py:73-98).
+        act = jnp.clip(action.astype(jnp.float32), -1.0, 1.0)
+        native = (act + 1.0) / 2.0 * (
+            self._action_high - self._action_low
+        ) + self._action_low
+        setters: Dict[str, jnp.ndarray] = {}
+        for i, (_, field, _) in enumerate(self.action_entries):
+            setters[field] = native[i]
+        if "supply_water_setpoint" in setters:
+            hvac = hvac.replace(
+                boiler_setpoint=setters["supply_water_setpoint"],
+                boiler_has_action=jnp.asarray(True),
+            )
+        if "supply_air_heating_temperature_setpoint" in setters:
+            hvac = hvac.replace(
+                ahu_heating_setpoint=setters[
+                    "supply_air_heating_temperature_setpoint"
+                ]
+            )
+        if "supply_air_cooling_temperature_setpoint" in setters:
+            hvac = hvac.replace(
+                ahu_cooling_setpoint=setters[
+                    "supply_air_cooling_temperature_setpoint"
+                ]
+            )
+
+        # ---- Phase 2: wait_time / execute_step_sim -----------------------
+        ambient = tables.ambient_temp[t]
+        h_conv = tables.convection_coeff[t]
+        recirculation_temp = jnp.mean(state.temp)
+        supply_air_temp = hvac_ops.ahu_supply_air_temp(
+            recirculation_temp,
+            ambient,
+            hvac.ahu_heating_setpoint,
+            hvac.ahu_cooling_setpoint,
+            params,
+        )
+
+        new_temp, converged, n_iter = fdm.fdm_step(
+            state.temp,
+            state.input_q,
+            ambient,
+            h_conv,
+            self.coeffs,
+            convergence_threshold=cfg.convergence_threshold,
+            iteration_limit=cfg.iteration_limit,
+        )
+        new_temp = convection_lib.apply_convection(
+            new_temp, self.convection, conv_key
+        )
+
+        # VAV outputs use the *pre-step* zone temps (one-step delay,
+        # simulator_flexible_floor_plan.py:134, 165-179).
+        q_zone, zone_supply_temps = hvac_ops.vav_output(
+            zone_temps,
+            supply_air_temp,
+            hvac.boiler_setpoint,
+            hvac.damper,
+            hvac.reheat_valve,
+            params,
+        )
+        flow_demands = hvac.damper * params.vav_max_air_flow_rate
+        reheat_demands = hvac.reheat_valve * params.vav_reheat_max_water_flow_rate
+        ahu_flow, cooling_count = hvac_ops.ahu_accumulate_demand(
+            flow_demands, params
+        )
+        boiler_flow, heating_count = hvac_ops.boiler_accumulate_demand(
+            reheat_demands
+        )
+        return_water = hvac_ops.return_water_temperature(
+            hvac.reheat_valve, zone_supply_temps
+        )
+        hvac = hvac.replace(
+            ahu_air_flow_rate=ahu_flow,
+            ahu_cooling_request_count=cooling_count,
+            boiler_total_flow_rate=boiler_flow,
+            boiler_heating_request_count=heating_count,
+            boiler_return_water_temp=return_water,
+        )
+        # Diffuser heat for the *next* FDM step (building.py:873-889).
+        zone_q = jnp.concatenate([q_zone, jnp.zeros((1,), jnp.float32)])
+        new_input_q = geom.diffusers * zone_q[geom.zone_ids]
+
+        t_next = t + 1
+
+        # ---- Phase 3: observation at t+1 ---------------------------------
+        # Occupancy peek for the observation probes [t, t+1]
+        # (simulator_building.py:305-315).
+        occupants = self._occupancy_peek_randomized(
+            state.occupants,
+            obs_key,
+            tables.local_hour[t],
+            tables.workday_local[t],
+        )
+        hvac = hvac_ops.boiler_observe_supply_temp(hvac, params, dt)
+
+        mid_state = EnvState(
+            temp=new_temp,
+            input_q=new_input_q,
+            hvac=hvac,
+            occupants=occupants,
+            step_idx=t_next,
+            rng=rng,
+            fdm_converged=converged,
+            fdm_iterations=n_iter,
+        )
+        obs = self._observation(mid_state, t_obs=t_next)
+
+        # ---- Phase 4: reward at t+1 --------------------------------------
+        # Second occupancy peek for the reward interval [t+1, t+2]
+        # (randomized draws advance again, simulator.py:471-475).
+        occupants = self._occupancy_peek_randomized(
+            occupants,
+            reward_key,
+            tables.local_hour[t_next],
+            tables.workday_local[t_next],
+        )
+        zone_occ = self._zone_occupancy_at(occupants, t_next)
+        post_zone_temps = _zone_means(new_temp, geom)
+        breakdown = self._reward(
+            mid_state, post_zone_temps, zone_occ, t_next
+        )
+
+        new_state = mid_state.replace(occupants=occupants)
+        done = t_next >= tables.n_steps
+        out = StepOutput(
+            observation=obs,
+            reward=breakdown.agent_reward_value,
+            done=done,
+            reward_breakdown=breakdown,
+        )
+        return new_state, out
+
+    # ------------------------------------------------------------------
+
+    def _reward(
+        self,
+        state: EnvState,
+        zone_temps: jnp.ndarray,
+        zone_occ: jnp.ndarray,
+        t: jnp.ndarray,
+    ) -> reward_lib.RewardBreakdown:
+        """3C regret from the post-step state (environment.py:1073-1097)."""
+        cfg = self.config
+        params = self.hvac_params
+        tables = self.tables
+        hvac = state.hvac
+        dt = jnp.float32(cfg.time_step_sec)
+
+        ambient = tables.ambient_temp[t]
+        recirculation_temp = jnp.mean(state.temp)
+        blower = hvac_ops.ahu_blower_power(hvac, params)
+        ac = hvac_ops.ahu_thermal_energy_rate(
+            hvac, recirculation_temp, ambient, params
+        )
+        pump = hvac_ops.boiler_pump_power(hvac, params)
+        gas = hvac_ops.boiler_thermal_energy_rate(hvac, ambient, params)
+        electricity_rate = blower + jnp.abs(ac) + pump
+
+        return reward_lib.compute_regret_reward(
+            heating_setpoint=tables.heating_setpoint[t],
+            cooling_setpoint=tables.cooling_setpoint[t],
+            zone_temps=zone_temps,
+            zone_occupancy=zone_occ,
+            electricity_energy_rate=electricity_rate,
+            natural_gas_energy_rate=gas,
+            elec_price=tables.elec_price[t],
+            elec_carbon=tables.elec_carbon[t],
+            gas_price=tables.gas_price[t],
+            dt_sec=dt,
+            params=self.reward_params,
+        )
+
+    def _observation(self, state: EnvState, t_obs: jnp.ndarray) -> jnp.ndarray:
+        """Flat normalized observation at table index t_obs."""
+        params = self.hvac_params
+        tables = self.tables
+        hvac = state.hvac
+
+        flow = hvac.ahu_air_flow_rate
+        fan_pct = flow / params.ahu_max_air_flow_rate
+        ahu_values = {
+            "cooling_request_count": hvac.ahu_cooling_request_count.astype(
+                jnp.float32
+            ),
+            "differential_pressure_setpoint": (
+                params.ahu_fan_differential_pressure
+            ),
+            "discharge_fan_speed_percentage_command": fan_pct,
+            "outside_air_flowrate_sensor": (
+                (1.0 - params.ahu_recirculation) * flow
+            ),
+            "outside_air_temperature_sensor": tables.ambient_temp[t_obs],
+            "supply_air_cooling_temperature_setpoint": (
+                hvac.ahu_cooling_setpoint
+            ),
+            "supply_air_flowrate_sensor": flow,
+            "supply_air_heating_temperature_setpoint": (
+                hvac.ahu_heating_setpoint
+            ),
+            "supply_fan_speed_percentage_command": fan_pct,
+        }
+        boiler_values = {
+            "heating_request_count": hvac.boiler_heating_request_count.astype(
+                jnp.float32
+            ),
+            "supply_water_setpoint": hvac.boiler_setpoint,
+            "supply_water_temperature_sensor": hvac.boiler_current_temp,
+        }
+        vav_values = {
+            "supply_air_damper_percentage_command": hvac.damper,
+            "supply_air_flowrate_setpoint": params.vav_max_air_flow_rate,
+            "zone_air_temperature_sensor": hvac.zone_air_temp,
+        }
+
+        if self.occupancy_params.kind == "randomized":
+            total_occ = jnp.sum(
+                occupancy_lib.zone_occupancy(state.occupants)
+            )
+        else:
+            # Average over the trailing 5-minute window per zone
+            # (simulator_building.py:305-315).
+            probe = jnp.maximum(t_obs - 1, 0)
+            total_occ = (
+                self.tables.step_occupancy[probe] * self.geom.n_zones
+            )
+        # int() truncation then occupancy normalization
+        # (simulator_building.py:315, environment.py:952-956).
+        c = jnp.float32(self.config.occupancy_normalization_constant)
+        num_occupants = (jnp.trunc(total_occ) - c) / (c + 1.0)
+
+        return obs_lib.assemble_observation(
+            self.obs_layout,
+            ahu_values=ahu_values,
+            boiler_values=boiler_values,
+            vav_values=vav_values,
+            hod_rad=tables.hod_rad[t_obs],
+            dow_rad=tables.dow_rad[t_obs],
+            comfort_now=tables.comfort[t_obs],
+            comfort_soon=tables.comfort_soon[t_obs],
+            num_occupants=num_occupants,
+        )
+
+
+def build_geometry(config: EnvConfig) -> BuildingGeometry:
+    """Builds the BuildingGeometry described by an EnvConfig."""
+    b = config.building
+    if b.kind == "floor_plan":
+        plan = b.floor_plan
+        if plan is None and b.floor_plan_path:
+            from sbsim_tpu.core import floorplan as floorplan_lib
+
+            plan = floorplan_lib.read_floor_plan(b.floor_plan_path)
+        if plan is None:
+            raise ValueError("floor_plan or floor_plan_path required")
+        return geometry_lib.geometry_from_floor_plan(
+            plan,
+            cv_size_cm=b.cv_size_cm,
+            floor_height_cm=b.floor_height_cm,
+            initial_temp=b.initial_temp,
+            inside_air=b.inside_air,
+            inside_wall=b.inside_wall,
+            exterior_wall=b.building_exterior,
+            zone_map=b.zone_map,
+            buffer_from_walls=b.buffer_from_walls,
+            reset_temps=b.reset_temps,
+        )
+    if b.kind == "rectangular":
+        return geometry_lib.geometry_rectangular(
+            cv_size_cm=b.cv_size_cm,
+            floor_height_cm=b.floor_height_cm,
+            room_shape=b.room_shape,
+            building_shape=b.building_shape,
+            initial_temp=b.initial_temp,
+            inside_air=b.inside_air,
+            inside_wall=b.inside_wall,
+            building_exterior=b.building_exterior,
+        )
+    raise ValueError(f"Unknown building kind: {b.kind}")

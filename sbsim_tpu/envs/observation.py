@@ -1,0 +1,299 @@
+"""Observation vector assembly.
+
+Builds the flat float32 observation in the reference's field order
+(environment.py:709-813): devices sorted by device id, measurements sorted
+alphabetically within a device, histogram-reduced measurements contributing
+per-bin count features instead of per-device features, followed by the
+auxiliary time/comfort/occupancy features (environment.py:555-573, 916-956).
+
+Device schema (one air handler, one boiler, one VAV per zone) and the exact
+measurement lists mirror the reference devices (air_handler.py:66-104,
+boiler.py:69-85, vav.py:54-69). Field order is precomputed host-side; the
+device-side assembly is one fused concatenate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+AHU_DEVICE_ID = "air_handler"
+BOILER_DEVICE_ID = "boiler"
+
+# Sorted measurement names (environment.py:547-552 sorts device ids then
+# measurement names).
+AHU_MEASUREMENTS = (
+    "cooling_request_count",
+    "differential_pressure_setpoint",
+    "discharge_fan_speed_percentage_command",
+    "outside_air_flowrate_sensor",
+    "outside_air_temperature_sensor",  # present when weather is attached
+    "supply_air_cooling_temperature_setpoint",
+    "supply_air_flowrate_sensor",
+    "supply_air_heating_temperature_setpoint",
+    "supply_fan_speed_percentage_command",
+)
+BOILER_MEASUREMENTS = (
+    "heating_request_count",
+    "supply_water_setpoint",
+    "supply_water_temperature_sensor",
+)
+VAV_MEASUREMENTS = (
+    "supply_air_damper_percentage_command",
+    "supply_air_flowrate_setpoint",
+    "zone_air_temperature_sensor",
+)
+
+
+@struct.dataclass
+class ObsLayout:
+    """Static observation layout + normalization constants.
+
+    Scalar fields (AHU + boiler) are normalized with aligned mean/std arrays;
+    VAV measurements are normalized per measurement then either emitted per
+    device (sorted by device id) or histogram-reduced.
+    """
+
+    scalar_means: Any  # f32 (S,)
+    scalar_stds: Any  # f32 (S,)
+    scalar_zero: Any  # bool (S,) zero-variance fields pinned to 0
+    vav_means: Any  # f32 (3,)
+    vav_stds: Any  # f32 (3,)
+    vav_zero: Any  # bool (3,)
+    vav_device_order: Any  # i32 (Z,) zones sorted by device id string
+    hist_bins: Any  # f32 (3, max_bins) padded bin edges
+    hist_n_bins: Any  # i32 (3,) actual edge counts
+    field_names: Tuple[str, ...] = struct.field(pytree_node=False)
+    use_histogram: Tuple[bool, bool, bool] = struct.field(pytree_node=False)
+    normalize_histogram: bool = struct.field(pytree_node=False)
+    ahu_has_outside_temp: bool = struct.field(pytree_node=False)
+    num_hod_features: int = struct.field(pytree_node=False)
+    num_dow_features: int = struct.field(pytree_node=False)
+
+    @property
+    def n_fields(self) -> int:
+        return len(self.field_names)
+
+
+def _norm_constants(
+    names: Sequence[str], table: Mapping[str, Tuple[float, float]]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-field (mean, std, zero_mask): unknown fields pass through
+    unchanged, zero-variance fields collapse to 0
+    (observation_normalizer.py:60-91)."""
+    means, stds, zero = [], [], []
+    for name in names:
+        if name in table:
+            mean, var = table[name]
+            if var > 0:
+                means.append(mean)
+                stds.append(float(np.sqrt(var)))
+                zero.append(False)
+            else:
+                means.append(0.0)
+                stds.append(1.0)
+                zero.append(True)
+        else:
+            means.append(0.0)
+            stds.append(1.0)
+            zero.append(False)
+    return (
+        np.asarray(means, np.float32),
+        np.asarray(stds, np.float32),
+        np.asarray(zero),
+    )
+
+
+def build_obs_layout(
+    zone_names: Sequence[str],
+    observation_normalization: Mapping[str, Tuple[float, float]],
+    histogram_parameters: Mapping[str, Sequence[float]],
+    *,
+    ahu_has_outside_temp: bool = True,
+    normalize_histogram: bool = True,
+    num_hod_features: int = 1,
+    num_dow_features: int = 1,
+) -> ObsLayout:
+    """Builds the static observation layout for one building config."""
+    ahu_fields = tuple(
+        m
+        for m in AHU_MEASUREMENTS
+        if ahu_has_outside_temp or m != "outside_air_temperature_sensor"
+    )
+    scalar_names = [f"{AHU_DEVICE_ID}_{m}" for m in ahu_fields] + [
+        f"{BOILER_DEVICE_ID}_{m}" for m in BOILER_MEASUREMENTS
+    ]
+    scalar_meas_names = list(ahu_fields) + list(BOILER_MEASUREMENTS)
+    scalar_means, scalar_stds, scalar_zero = _norm_constants(
+        scalar_meas_names, observation_normalization
+    )
+    vav_means, vav_stds, vav_zero = _norm_constants(
+        VAV_MEASUREMENTS, observation_normalization
+    )
+
+    # Devices iterate sorted by id; VAV ids are "vav_<zone_name>", giving a
+    # lexicographic order over zones (environment.py:740, 789).
+    device_ids = [f"vav_{name}" for name in zone_names]
+    vav_device_order = np.argsort(np.asarray(device_ids, dtype=object))
+
+    use_histogram = tuple(m in histogram_parameters for m in VAV_MEASUREMENTS)
+    max_bins = max(
+        [len(histogram_parameters.get(m, ())) for m in VAV_MEASUREMENTS] + [1]
+    )
+    hist_bins = np.zeros((3, max_bins), np.float32)
+    hist_n = np.zeros((3,), np.int32)
+    for i, m in enumerate(VAV_MEASUREMENTS):
+        edges = histogram_parameters.get(m, ())
+        hist_bins[i, : len(edges)] = edges
+        hist_n[i] = len(edges)
+
+    # Field ordering (environment.py:731-781): devices sorted by id, fields
+    # sorted; histogram fields appear once, at the first VAV encounter. When
+    # every histogrammed measurement belongs to the VAVs (the sb1 case) this
+    # reduces to: histogram blocks in measurement order, then any passthrough
+    # VAV fields per device in sorted-device order.
+    field_names: List[str] = list(scalar_names)
+    for i, m in enumerate(VAV_MEASUREMENTS):
+        if use_histogram[i]:
+            for edge in histogram_parameters[m]:
+                field_names.append(f"{m}_h_%.2f" % edge)
+    for z in vav_device_order:
+        for i, m in enumerate(VAV_MEASUREMENTS):
+            if not use_histogram[i]:
+                field_names.append(f"{device_ids[z]}_{m}")
+    for i in range(num_hod_features):
+        field_names.append(f"hod_cos_%03d" % i)
+    for i in range(num_hod_features):
+        field_names.append(f"hod_sin_%03d" % i)
+    for i in range(num_dow_features):
+        field_names.append(f"dow_cos_%03d" % i)
+    for i in range(num_dow_features):
+        field_names.append(f"dow_sin_%03d" % i)
+    field_names += ["comfort_mode_now", "comfort_mode_soon", "num_occupants"]
+
+    return ObsLayout(
+        scalar_means=jnp.asarray(scalar_means),
+        scalar_stds=jnp.asarray(scalar_stds),
+        scalar_zero=jnp.asarray(scalar_zero),
+        vav_means=jnp.asarray(vav_means),
+        vav_stds=jnp.asarray(vav_stds),
+        vav_zero=jnp.asarray(vav_zero),
+        vav_device_order=jnp.asarray(vav_device_order, jnp.int32),
+        hist_bins=jnp.asarray(hist_bins),
+        hist_n_bins=jnp.asarray(hist_n),
+        field_names=tuple(field_names),
+        use_histogram=use_histogram,
+        normalize_histogram=normalize_histogram,
+        ahu_has_outside_temp=ahu_has_outside_temp,
+        num_hod_features=num_hod_features,
+        num_dow_features=num_dow_features,
+    )
+
+
+def _clipped_histogram(
+    values: jnp.ndarray, edges: jnp.ndarray, n_edges: int
+) -> jnp.ndarray:
+    """Counts per bin with min/max clipping.
+
+    Parity: histogram_reducer.get_clipped_histogram (:136-148): n_edges bin
+    features; values land in bin i when edges[i] <= v < edges[i+1], the last
+    bin holding only v == max(edges) after clipping.
+    """
+    e = edges[:n_edges]
+    v = jnp.clip(values, e[0], e[-1])
+    # bin index = number of edges[1:] that are <= v.
+    idx = jnp.sum(v[:, None] >= e[None, 1:], axis=1)
+    one_hot = idx[:, None] == jnp.arange(n_edges)[None, :]
+    return jnp.sum(one_hot, axis=0).astype(jnp.float32)
+
+
+def _expand_time_features(rad: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase-shifted cos/sin pairs (regression_building_utils.py:97-126)."""
+    phase = rad + jnp.arange(n, dtype=jnp.float32) / n * (2.0 * jnp.pi)
+    return jnp.cos(phase), jnp.sin(phase)
+
+
+def assemble_observation(
+    layout: ObsLayout,
+    *,
+    ahu_values: Dict[str, jnp.ndarray],
+    boiler_values: Dict[str, jnp.ndarray],
+    vav_values: Dict[str, jnp.ndarray],  # measurement -> (Z,)
+    hod_rad: jnp.ndarray,
+    dow_rad: jnp.ndarray,
+    comfort_now: jnp.ndarray,
+    comfort_soon: jnp.ndarray,
+    num_occupants: jnp.ndarray,
+) -> jnp.ndarray:
+    """Builds the normalized flat observation vector for one env."""
+    ahu_fields = [
+        m
+        for m in AHU_MEASUREMENTS
+        if layout.ahu_has_outside_temp or m != "outside_air_temperature_sensor"
+    ]
+    scalars = jnp.stack(
+        [ahu_values[m] for m in ahu_fields]
+        + [boiler_values[m] for m in BOILER_MEASUREMENTS]
+    )
+    scalars_n = jnp.where(
+        layout.scalar_zero,
+        0.0,
+        (scalars - layout.scalar_means) / layout.scalar_stds,
+    )
+
+    vav_normed = []
+    for i, m in enumerate(VAV_MEASUREMENTS):
+        v = vav_values[m]
+        vav_normed.append(
+            jnp.where(
+                layout.vav_zero[i],
+                0.0,
+                (v - layout.vav_means[i]) / layout.vav_stds[i],
+            )
+        )
+
+    pieces = [scalars_n]
+    hist_emitted = [False, False, False]
+    per_device: List[List[jnp.ndarray]] = []
+    # Histogram features are emitted once (at the first VAV in device order);
+    # passthrough VAV features are emitted per device in device order.
+    for i, m in enumerate(VAV_MEASUREMENTS):
+        if layout.use_histogram[i] and not hist_emitted[i]:
+            n_edges = int(np.asarray(layout.hist_n_bins)[i])
+            counts = _clipped_histogram(
+                vav_normed[i], layout.hist_bins[i], n_edges
+            )
+            if layout.normalize_histogram:
+                counts = counts / jnp.sum(counts)
+            pieces.append(counts)
+            hist_emitted[i] = True
+        elif not layout.use_histogram[i]:
+            per_device.append(vav_normed[i])
+    if per_device:
+        # Interleave measurements per device, devices in sorted-id order.
+        stacked = jnp.stack(per_device, axis=1)  # (Z, n_passthrough)
+        pieces.append(stacked[layout.vav_device_order].reshape(-1))
+
+    hod_cos, hod_sin = _expand_time_features(hod_rad, layout.num_hod_features)
+    dow_cos, dow_sin = _expand_time_features(dow_rad, layout.num_dow_features)
+    aux = jnp.concatenate(
+        [
+            hod_cos,
+            hod_sin,
+            dow_cos,
+            dow_sin,
+            jnp.stack(
+                [
+                    comfort_now.astype(jnp.float32),
+                    comfort_soon.astype(jnp.float32),
+                    num_occupants.astype(jnp.float32),
+                ]
+            ),
+        ]
+    )
+    pieces.append(aux)
+    return jnp.concatenate(pieces).astype(jnp.float32)

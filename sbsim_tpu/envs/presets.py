@@ -1,0 +1,185 @@
+"""Canonical configurations.
+
+`sb1_config` mirrors the released calibrated office-building config
+(configs/resources/sb1/sim_config.gin) including its z-score normalization
+constants and histogram bins. The sb1 floor-plan blobs are absent from the
+reference snapshot (.MISSING_LARGE_BLOBS), so the default uses a synthetic
+plan of comparable scale; pass `floor_plan` to use a real one.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Tuple
+
+import numpy as np
+
+from sbsim_tpu.core.geometry import MaterialProperties, make_synthetic_office_plan
+from sbsim_tpu.envs.config import (
+    BuildingConfig,
+    ConvectionConfig,
+    EnvConfig,
+    HvacConfig,
+    OccupancyConfig,
+    RegretRewardConfig,
+    ScheduleConfig,
+    WeatherConfig,
+)
+
+# Calibrated z-score constants for the measurements this simulator emits
+# (sim_config.gin:252-583; fields the gin map does not cover pass through
+# unnormalized, matching observation_normalizer.py:60-66).
+SB1_OBSERVATION_NORMALIZATION: Mapping[str, Tuple[float, float]] = {
+    "differential_pressure_setpoint": (83810.269540, 14889040.603647),
+    "outside_air_flowrate_sensor": (3.701930, 20.300565),
+    "outside_air_temperature_sensor": (291.244931, 12.904175),
+    "supply_air_temperature_setpoint": (289.329414, 3.186769),
+    "supply_air_cooling_temperature_setpoint": (289.329414, 3.186769),
+    "supply_air_heating_temperature_setpoint": (289.329414, 3.186769),
+    "supply_air_flowrate_sensor": (177.520026, 50499.153481),
+    "supply_fan_speed_percentage_command": (26.543748, 575.094979),
+    "supply_water_temperature_sensor": (321.520315, 658.413066),
+    "supply_water_setpoint": (320.261985, 240.195517),
+    "zone_air_temperature_sensor": (190.0, 408.113303),
+    "cooling_request_count": (100.0, 25.0),
+}
+
+# Histogram bins (sim_config.gin:586-590).
+SB1_HISTOGRAM_PARAMETERS: Mapping[str, Tuple[float, ...]] = {
+    "zone_air_temperature_sensor": (
+        285.0, 286.0, 287.0, 288.0, 289.0, 290.0, 291.0, 292.0, 293.0,
+        294.0, 295.0, 296.0, 297.0, 298.0, 299.0, 300.0, 301.0, 302.0, 303.0,
+    ),
+    "supply_air_damper_percentage_command": (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    "supply_air_flowrate_setpoint": (
+        0.0, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.7, 0.9,
+    ),
+}
+
+# sb1 material constants (sim_config.gin:45-86; note the gin file transposes
+# heat_capacity and density for the interior walls - the values are identical
+# for sb1 air so the effective grids match).
+SB1_AIR = MaterialProperties(conductivity=50.0, heat_capacity=700.0, density=1.0)
+SB1_WALL = MaterialProperties(conductivity=50.0, heat_capacity=1.0, density=700.0)
+SB1_EXTERIOR = MaterialProperties(
+    conductivity=0.05, heat_capacity=700.0, density=1.0
+)
+
+
+def sb1_config(
+    floor_plan: Optional[np.ndarray] = None,
+    weather_csv: Optional[str] = None,
+    num_days_in_episode: int = 14,
+    convection_p: float = 1.0,
+    convection_distance: int = 5,
+) -> EnvConfig:
+    """The calibrated sb1 environment (sim_config.gin:15-614)."""
+    if floor_plan is None:
+        floor_plan = make_synthetic_office_plan(
+            n_rooms_x=3, n_rooms_y=4, room_cvs=14
+        )
+    if weather_csv:
+        weather = WeatherConfig(
+            kind="replay",
+            replay_csv_path=weather_csv,
+            convection_coefficient=100.0,
+        )
+    else:
+        weather = WeatherConfig(
+            kind="sinusoid",
+            low_temp=273.0,
+            high_temp=283.0,
+            convection_coefficient=100.0,
+        )
+    return EnvConfig(
+        building=BuildingConfig(
+            kind="floor_plan",
+            cv_size_cm=10.0,
+            floor_height_cm=300.0,
+            initial_temp=294.0,
+            inside_air=SB1_AIR,
+            inside_wall=SB1_WALL,
+            building_exterior=SB1_EXTERIOR,
+            floor_plan=floor_plan,
+            buffer_from_walls=3,
+        ),
+        hvac=HvacConfig(
+            vav_max_air_flow_rate=0.035,
+            vav_reheat_max_water_flow_rate=0.03,
+            ahu_recirculation=0.3,
+            ahu_heating_setpoint=285.0,
+            ahu_cooling_setpoint=298.0,
+            ahu_fan_differential_pressure=10000.0,
+            ahu_fan_efficiency=0.9,
+            ahu_max_air_flow_rate=8.67,
+            boiler_setpoint=360.0,
+            boiler_pump_differential_head=6.0,
+            boiler_pump_efficiency=0.98,
+            boiler_heating_rate=0.5,
+            boiler_cooling_rate=0.1,
+        ),
+        weather=weather,
+        schedule=ScheduleConfig(
+            morning_start_hour=6,
+            evening_start_hour=19,
+            comfort_temp_window=(294.0, 297.0),
+            eco_temp_window=(289.0, 298.0),
+            time_zone="US/Pacific",
+        ),
+        occupancy=OccupancyConfig(
+            kind="randomized",
+            zone_assignment=1,
+            earliest_expected_arrival_hour=7,
+            latest_expected_arrival_hour=12,
+            earliest_expected_departure_hour=13,
+            latest_expected_departure_hour=18,
+            time_zone="US/Pacific",
+        ),
+        convection=ConvectionConfig(
+            p=convection_p, distance=convection_distance, seed=5
+        ),
+        reward=RegretRewardConfig(),
+        start_timestamp="2023-07-06 07:00:00+00:00",
+        time_step_sec=300.0,
+        convergence_threshold=0.1,
+        iteration_limit=100,
+        num_days_in_episode=num_days_in_episode,
+        discount_factor=0.9,
+        observation_normalization=SB1_OBSERVATION_NORMALIZATION,
+        histogram_parameters=SB1_HISTOGRAM_PARAMETERS,
+    )
+
+
+def two_zone_test_config(
+    num_days_in_episode: int = 1,
+    occupancy_kind: str = "step_function",
+) -> EnvConfig:
+    """A tiny two-room building for fast deterministic tests (the analogue of
+    simulator_building_test_lib.py:36-78)."""
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    return EnvConfig(
+        building=BuildingConfig(
+            kind="floor_plan",
+            cv_size_cm=20.0,
+            floor_height_cm=250.0,
+            initial_temp=294.0,
+            inside_air=SB1_AIR,
+            inside_wall=MaterialProperties(2.0, 500.0, 1800.0),
+            building_exterior=SB1_EXTERIOR,
+            floor_plan=plan,
+            buffer_from_walls=0,
+        ),
+        weather=WeatherConfig(
+            kind="sinusoid",
+            low_temp=278.0,
+            high_temp=288.0,
+            convection_coefficient=12.0,
+        ),
+        occupancy=OccupancyConfig(kind=occupancy_kind),
+        convection=ConvectionConfig(p=0.0, distance=0),
+        num_days_in_episode=num_days_in_episode,
+        observation_normalization=SB1_OBSERVATION_NORMALIZATION,
+        histogram_parameters={},
+    )

@@ -1,0 +1,198 @@
+"""Energy/carbon/comfort ("3C") reward, fully vectorized.
+
+Implements the normalized regret function (reward in [-1, 0]) of
+smart_control/reward/setpoint_energy_carbon_regret.py:93-291 on top of the
+shared productivity/energy math of base_setpoint_energy_carbon_reward.py:
+28-172, plus the unnormalized absolute variant
+(setpoint_energy_carbon_reward.py:84-190).
+
+Tariff lookups arrive as per-step scalars from the precomputed episode tables
+(scenario/tables.py), so the whole reward is branch-free array math.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+from sbsim_tpu import constants
+from sbsim_tpu.envs.config import RegretRewardConfig
+
+_HOUR_SEC = 3600.0
+# Natural-gas carbon intensity, kg CO2 per Joule
+# (natural_gas_energy_cost.py:68-73).
+GAS_CARBON_KG_PER_J = (
+    constants.GAS_CO2 / constants.KWH_PER_KFT3_GAS / constants.JOULES_PER_KWH
+)
+
+
+@struct.dataclass
+class RewardParams:
+    max_productivity_personhour_usd: Any
+    min_productivity_personhour_usd: Any
+    max_electricity_rate: Any
+    max_natural_gas_rate: Any
+    productivity_midpoint_delta: Any
+    productivity_decay_stiffness: Any
+    productivity_weight: Any
+    energy_cost_weight: Any
+    carbon_emission_weight: Any
+
+
+def make_reward_params(config: RegretRewardConfig) -> RewardParams:
+    f = jnp.float32
+    return RewardParams(
+        max_productivity_personhour_usd=f(config.max_productivity_personhour_usd),
+        min_productivity_personhour_usd=f(config.min_productivity_personhour_usd),
+        max_electricity_rate=f(config.max_electricity_rate),
+        max_natural_gas_rate=f(config.max_natural_gas_rate),
+        productivity_midpoint_delta=f(config.productivity_midpoint_delta),
+        productivity_decay_stiffness=f(config.productivity_decay_stiffness),
+        productivity_weight=f(config.productivity_weight),
+        energy_cost_weight=f(config.energy_cost_weight),
+        carbon_emission_weight=f(config.carbon_emission_weight),
+    )
+
+
+@struct.dataclass
+class RewardBreakdown:
+    """Mirror of the informative RewardResponse fields
+    (smart_control_reward.proto:123-195)."""
+
+    agent_reward_value: Any
+    productivity_reward: Any
+    electricity_energy_cost: Any
+    natural_gas_energy_cost: Any
+    carbon_emitted: Any
+    total_occupancy: Any
+    productivity_regret: Any
+    normalized_productivity_regret: Any
+    normalized_energy_cost: Any
+    normalized_carbon_emission: Any
+
+
+def zone_productivity(
+    heating_setpoint: jnp.ndarray,
+    cooling_setpoint: jnp.ndarray,
+    zone_temp: jnp.ndarray,
+    occupancy: jnp.ndarray,
+    dt_sec: jnp.ndarray,
+    params: RewardParams,
+) -> jnp.ndarray:
+    """Per-zone productivity in USD over the interval.
+
+    Piecewise logistic decay outside the setpoint deadband
+    (base_setpoint_energy_carbon_reward.py:78-123).
+    """
+    k = params.productivity_decay_stiffness
+    x0_low = heating_setpoint - params.productivity_midpoint_delta
+    x0_high = cooling_setpoint + params.productivity_midpoint_delta
+    max_p = params.max_productivity_personhour_usd
+    below = max_p / (1.0 + jnp.exp(-k * (zone_temp - x0_low)))
+    above = max_p * (1.0 - 1.0 / (1.0 + jnp.exp(-k * (zone_temp - x0_high))))
+    per_person_hour = jnp.where(
+        zone_temp < heating_setpoint,
+        below,
+        jnp.where(zone_temp > cooling_setpoint, above, max_p),
+    )
+    return per_person_hour * occupancy * dt_sec / _HOUR_SEC
+
+
+def compute_regret_reward(
+    *,
+    heating_setpoint: jnp.ndarray,  # (Z,) or scalar broadcast
+    cooling_setpoint: jnp.ndarray,
+    zone_temps: jnp.ndarray,  # (Z,)
+    zone_occupancy: jnp.ndarray,  # (Z,)
+    electricity_energy_rate: jnp.ndarray,  # W (blowers + |AC| + pumps)
+    natural_gas_energy_rate: jnp.ndarray,  # W
+    elec_price: jnp.ndarray,  # USD per W-second at this step
+    elec_carbon: jnp.ndarray,  # kg per W-second
+    gas_price: jnp.ndarray,  # USD per Joule
+    dt_sec: jnp.ndarray,
+    params: RewardParams,
+) -> RewardBreakdown:
+    """Normalized 3C regret (setpoint_energy_carbon_regret.py:142-291)."""
+    productivity = jnp.sum(
+        zone_productivity(
+            heating_setpoint,
+            cooling_setpoint,
+            zone_temps,
+            zone_occupancy,
+            dt_sec,
+            params,
+        )
+    )
+    total_occupancy = jnp.sum(zone_occupancy)
+
+    max_productivity = (
+        params.max_productivity_personhour_usd
+        * total_occupancy
+        * dt_sec
+        / _HOUR_SEC
+    )
+    min_productivity = (
+        params.min_productivity_personhour_usd
+        * total_occupancy
+        * dt_sec
+        / _HOUR_SEC
+    )
+    actual_productivity = jnp.maximum(productivity, min_productivity)
+    normalized_productivity_regret = jnp.where(
+        total_occupancy > 0.0,
+        (actual_productivity - min_productivity)
+        / jnp.maximum(max_productivity - min_productivity, 1e-12)
+        - 1.0,
+        0.0,
+    )
+
+    capped_elec = jnp.minimum(
+        electricity_energy_rate, params.max_electricity_rate
+    )
+    elec_cost = elec_price * jnp.abs(capped_elec) * dt_sec
+    max_elec_cost = elec_price * params.max_electricity_rate * dt_sec
+    elec_carbon_kg = elec_carbon * jnp.abs(capped_elec) * dt_sec
+    max_elec_carbon = elec_carbon * params.max_electricity_rate * dt_sec
+
+    capped_gas = jnp.minimum(
+        natural_gas_energy_rate, params.max_natural_gas_rate
+    )
+    # Negative gas rates clamp to zero (natural_gas_energy_cost.py:92-96).
+    gas_energy = jnp.maximum(capped_gas, 0.0) * dt_sec
+    gas_cost = gas_price * gas_energy
+    max_gas_cost = gas_price * params.max_natural_gas_rate * dt_sec
+    gas_carbon_kg = GAS_CARBON_KG_PER_J * gas_energy
+    max_gas_carbon = GAS_CARBON_KG_PER_J * params.max_natural_gas_rate * dt_sec
+
+    normalized_energy_cost = (elec_cost + gas_cost) / (
+        max_elec_cost + max_gas_cost
+    )
+    normalized_carbon = (elec_carbon_kg + gas_carbon_kg) / (
+        max_elec_carbon + max_gas_carbon
+    )
+
+    raw = (
+        normalized_productivity_regret * params.productivity_weight
+        - normalized_energy_cost * params.energy_cost_weight
+        - normalized_carbon * params.carbon_emission_weight
+    )
+    agent_reward = raw / (
+        params.productivity_weight
+        + params.energy_cost_weight
+        + params.carbon_emission_weight
+    )
+
+    return RewardBreakdown(
+        agent_reward_value=agent_reward,
+        productivity_reward=actual_productivity,
+        electricity_energy_cost=elec_cost,
+        natural_gas_energy_cost=gas_cost,
+        carbon_emitted=elec_carbon_kg + gas_carbon_kg,
+        total_occupancy=total_occupancy,
+        productivity_regret=actual_productivity - max_productivity,
+        normalized_productivity_regret=normalized_productivity_regret,
+        normalized_energy_cost=normalized_energy_cost,
+        normalized_carbon_emission=normalized_carbon,
+    )

@@ -1,0 +1,74 @@
+"""Stochastic intra-room convection as random temperature shuffling.
+
+The reference models in-room air mixing by randomly swapping CV temperatures
+within each room (stochastic_convection_simulator.py:35-145). On device this
+is expressed as a random permutation *within each room's index bucket*,
+computed for all rooms at once with a single segmented argsort - no Python
+loops over CVs.
+
+Divergence note: the reference applies a sequential swap list with a
+distance bound (squared distance <= `distance`); the device fast path applies
+a full in-room permutation when p > 0 (the p=1/distance=-1 special case,
+stochastic_convection_simulator.py:83-99, which the reference itself uses as
+its efficient path). The exact-match host harness reproduces the reference's
+Python `random` stream; sb1 trajectory parity runs use that path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sbsim_tpu.core.geometry import BuildingGeometry
+
+
+@struct.dataclass
+class ConvectionBuckets:
+    """Flattened room-CV indices grouped by room (host precomputed)."""
+
+    flat_indices: Any  # i32 (n_room_cvs,) indices into temp.ravel()
+    segment_keys: Any  # f32 (n_room_cvs,) = room_id * 2.0, for segmented sort
+    enabled: bool = struct.field(pytree_node=False)
+
+
+def make_convection_buckets(
+    geom: BuildingGeometry, p: float, distance: int
+) -> ConvectionBuckets:
+    zone_ids = np.asarray(geom.zone_ids)
+    h, w = zone_ids.shape
+    in_room = zone_ids < geom.n_zones
+    flat = np.flatnonzero(in_room.ravel())
+    rooms = zone_ids.ravel()[flat]
+    order = np.argsort(rooms, kind="stable")
+    flat = flat[order]
+    rooms = rooms[order]
+    enabled = bool(p != 0 and distance != 0)
+    return ConvectionBuckets(
+        flat_indices=jnp.asarray(flat, jnp.int32),
+        segment_keys=jnp.asarray(rooms.astype(np.float32) * 2.0),
+        enabled=enabled,
+    )
+
+
+def apply_convection(
+    temp: jnp.ndarray, buckets: ConvectionBuckets, key: jax.Array
+) -> jnp.ndarray:
+    """Randomly permutes CV temperatures within each room.
+
+    temp: (H, W). Returns the shuffled field; non-room CVs untouched.
+    """
+    if not buckets.enabled:
+        return temp
+    flat = temp.ravel()
+    vals = flat[buckets.flat_indices]
+    u = jax.random.uniform(key, vals.shape)
+    # Sorting room_id*2 + u keeps rooms contiguous (u < 1 < 2) while ordering
+    # CVs within each room uniformly at random.
+    order = jnp.argsort(buckets.segment_keys + u)
+    shuffled = vals[order]
+    out = flat.at[buckets.flat_indices].set(shuffled)
+    return out.reshape(temp.shape)

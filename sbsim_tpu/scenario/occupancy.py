@@ -1,0 +1,98 @@
+"""Vectorized stochastic occupancy model.
+
+Each zone hosts N occupants that arrive/depart via per-step Bernoulli draws
+whose probability follows a geometric distribution so the expected event lands
+halfway through the arrival/departure window
+(randomized_arrival_departure_occupancy.py:91-102). The per-occupant state
+machine (AWAY/WORK, :125-146) is a boolean array (zones, occupants) updated in
+one fused op for all occupants of all zones.
+
+Fast mode uses counter-based jax.random streams; exact reproduction of the
+reference's shared numpy RandomState stream (lazily keyed by zone-creation
+order) is provided by the host-mode harness, not this module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sbsim_tpu.envs.config import OccupancyConfig
+
+
+@struct.dataclass
+class OccupancyParams:
+    p_arrival: Any  # f32 scalar
+    p_departure: Any  # f32 scalar
+    earliest_arrival_hour: int = struct.field(pytree_node=False)
+    latest_arrival_hour: int = struct.field(pytree_node=False)
+    earliest_departure_hour: int = struct.field(pytree_node=False)
+    occupants_per_zone: int = struct.field(pytree_node=False)
+    kind: str = struct.field(pytree_node=False)
+
+
+def make_occupancy_params(
+    config: OccupancyConfig, time_step_sec: float
+) -> OccupancyParams:
+    def event_probability(start_hour: int, end_hour: int) -> float:
+        # p = 1 / n_halfway (randomized_arrival_departure_occupancy.py:91-102)
+        window_steps = (end_hour - start_hour) * 3600.0 / time_step_sec
+        return 1.0 / (window_steps / 2.0)
+
+    return OccupancyParams(
+        p_arrival=jnp.float32(
+            event_probability(
+                config.earliest_expected_arrival_hour,
+                config.latest_expected_arrival_hour,
+            )
+        ),
+        p_departure=jnp.float32(
+            event_probability(
+                config.earliest_expected_departure_hour,
+                config.latest_expected_departure_hour,
+            )
+        ),
+        earliest_arrival_hour=config.earliest_expected_arrival_hour,
+        latest_arrival_hour=config.latest_expected_arrival_hour,
+        earliest_departure_hour=config.earliest_expected_departure_hour,
+        occupants_per_zone=config.zone_assignment,
+        kind=config.kind,
+    )
+
+
+def initial_occupants(params: OccupancyParams, n_zones: int) -> jnp.ndarray:
+    """All occupants start AWAY (randomized_...occupancy.py:74)."""
+    return jnp.zeros((n_zones, params.occupants_per_zone), dtype=bool)
+
+
+def occupancy_peek(
+    working: jnp.ndarray,
+    key: jax.Array,
+    local_hour: jnp.ndarray,
+    is_workday: jnp.ndarray,
+    params: OccupancyParams,
+) -> jnp.ndarray:
+    """One peek: every occupant makes its arrival/departure draw.
+
+    Parity: ZoneOccupant.peek (randomized_...occupancy.py:104-146): on
+    non-workdays everyone is away; otherwise AWAY occupants may arrive while
+    the local hour is within [earliest, latest] arrival, and WORK occupants
+    may depart any time at/after the earliest departure hour.
+    """
+    u = jax.random.uniform(key, working.shape)
+    in_arrival = (local_hour >= params.earliest_arrival_hour) & (
+        local_hour <= params.latest_arrival_hour
+    )
+    can_depart = local_hour >= params.earliest_departure_hour
+    arrives = (~working) & in_arrival & (u < params.p_arrival)
+    departs = working & can_depart & (u < params.p_departure)
+    new_working = jnp.where(working, ~departs, arrives)
+    return jnp.where(is_workday, new_working, jnp.zeros_like(working))
+
+
+def zone_occupancy(working: jnp.ndarray) -> jnp.ndarray:
+    """Occupants currently at work per zone -> f32 (Z,)."""
+    return jnp.sum(working, axis=-1).astype(jnp.float32)

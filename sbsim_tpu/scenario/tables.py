@@ -1,0 +1,220 @@
+"""Per-step lookup tables: all calendar/timezone/tariff logic, precomputed.
+
+The device program is pure array math; anything that depends on wall-clock
+time (comfort schedules, holidays, DST, TOU tariffs, occupancy windows,
+weather, time-of-day features) is folded host-side into arrays indexed by the
+episode step counter. Tables carry `margin` extra steps past the episode end
+because several quantities are evaluated at t+1 (reward) or t+12
+(comfort-in-one-hour observation, environment.py:946-951).
+
+Parity sources: setpoint_schedule.py:86-128 (comfort/eco windows),
+conversion_utils.py:65-135 (workday + radian time),
+electricity_energy_cost.py:166-224 and natural_gas_energy_cost.py:75-138
+(tariffs; note the reference indexes TOU tables with the *raw* timestamp hour,
+which for the sb1 config is the UTC hour - preserved here),
+weather_controller.py (ambient temperature).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional
+from zoneinfo import ZoneInfo
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from flax import struct
+
+from sbsim_tpu import constants
+from sbsim_tpu.envs.config import EnvConfig
+from sbsim_tpu.scenario import uscalendar
+from sbsim_tpu.scenario import weather as weather_lib
+
+
+@struct.dataclass
+class EpisodeTables:
+    """Step-indexed scenario tables (all leaves length T = steps + margin)."""
+
+    ambient_temp: Any  # f32 (T,) K
+    convection_coeff: Any  # f32 (T,) W/m2/K
+    comfort: Any  # bool (T,) schedule comfort mode at step start
+    heating_setpoint: Any  # f32 (T,) window low for current mode
+    cooling_setpoint: Any  # f32 (T,) window high for current mode
+    comfort_soon: Any  # bool (T,) comfort at step start + 60 min
+    hod_rad: Any  # f32 (T,) time-of-day angle, 0..2pi
+    dow_rad: Any  # f32 (T,) day-of-week angle, 0..2pi
+    elec_price: Any  # f32 (T,) USD per W-second
+    elec_carbon: Any  # f32 (T,) kg CO2 per W-second
+    gas_price: Any  # f32 (T,) USD per Joule
+    local_hour: Any  # i32 (T,) hour in the occupancy time zone
+    workday_local: Any  # bool (T,) workday in the occupancy time zone
+    step_occupancy: Any  # f32 (T,) step-function occupancy (0 if unused)
+    reset_local_hour: Any  # i32 scalar: local hour 5 min before episode start
+    reset_workday: Any  # bool scalar: workday 5 min before episode start
+    n_steps: int = struct.field(pytree_node=False)  # episode length
+    time_step_sec: float = struct.field(pytree_node=False)
+
+
+def _schedule_comfort(
+    ts: pd.Timestamp, cfg: EnvConfig, tz: ZoneInfo
+) -> bool:
+    """setpoint_schedule.is_comfort_mode (:86-98)."""
+    local = ts.tz_convert(tz) if ts.tz is not None else ts.tz_localize("UTC")
+    sched = cfg.schedule
+    return (
+        sched.morning_start_hour <= local.hour < sched.evening_start_hour
+        and local.dayofyear not in set(sched.holidays)
+        and local.weekday() < 5
+    )
+
+
+def _step_function_occupancy(
+    start: pd.Timestamp, end: pd.Timestamp, cfg: EnvConfig, tz: ZoneInfo
+) -> float:
+    """Average occupancy of [start, end] under the deterministic model.
+
+    Parity: step_function_occupancy.py:37-173 - occupancy is work-level
+    during work hours on workdays, nonwork-level otherwise, weighted by the
+    overlap of the query interval with work time.
+    """
+    occ = cfg.occupancy
+    local_start = start.tz_convert(tz)
+    local_end = end.tz_convert(tz)
+    total = (local_end - local_start).total_seconds()
+    if total <= 0:
+        return occ.nonwork_occupancy
+    if not uscalendar.is_work_day(local_start.date()):
+        work_seconds = 0.0
+    else:
+        day = local_start.normalize()
+        work_start = day + pd.Timedelta(hours=occ.work_start_hour)
+        work_end = day + pd.Timedelta(hours=occ.work_end_hour)
+        overlap_start = max(local_start, work_start)
+        overlap_end = min(local_end, work_end)
+        work_seconds = max(0.0, (overlap_end - overlap_start).total_seconds())
+    frac = work_seconds / total
+    return frac * occ.work_occupancy + (1.0 - frac) * occ.nonwork_occupancy
+
+
+def build_episode_tables(
+    config: EnvConfig, margin_steps: int = 16
+) -> EpisodeTables:
+    """Precomputes every step-indexed scenario table for one episode window."""
+    start = pd.Timestamp(config.start_timestamp)
+    if start.tz is None:
+        start = start.tz_localize("UTC")
+    dt = pd.Timedelta(config.time_step_sec, unit="s")
+    n_steps = config.steps_per_episode
+    total = n_steps + margin_steps
+    timestamps: List[pd.Timestamp] = [start + i * dt for i in range(total)]
+
+    sched_tz = ZoneInfo(config.schedule.time_zone)
+    occ_tz = ZoneInfo(config.occupancy.time_zone)
+
+    ambient = weather_lib.ambient_temperature_table(config.weather, timestamps)
+    conv = np.full(total, config.weather.convection_coefficient)
+
+    comfort = np.array(
+        [_schedule_comfort(t, config, sched_tz) for t in timestamps]
+    )
+    comfort_soon = np.array(
+        [
+            _schedule_comfort(t + pd.Timedelta(60, unit="m"), config, sched_tz)
+            for t in timestamps
+        ]
+    )
+    heat_sp = np.where(
+        comfort,
+        config.schedule.comfort_temp_window[0],
+        config.schedule.eco_temp_window[0],
+    )
+    cool_sp = np.where(
+        comfort,
+        config.schedule.comfort_temp_window[1],
+        config.schedule.eco_temp_window[1],
+    )
+
+    # Time-of-day / day-of-week angles use the raw (UTC) timestamp, matching
+    # conversion_utils.get_radian_time called on the simulation timestamp
+    # (environment.py:916-940).
+    hod_rad = np.array(
+        [
+            2.0
+            * math.pi
+            * (t.hour * 3600 + t.minute * 60 + t.second)
+            / 86400.0
+            for t in timestamps
+        ]
+    )
+    dow_rad = np.array(
+        [2.0 * math.pi * t.weekday() / 7.0 for t in timestamps]
+    )
+
+    # Tariffs: indexed by the raw timestamp's hour and weekday/holiday status
+    # (electricity_energy_cost.py:186-190 uses start_time.hour directly).
+    weekday_prices = np.asarray(config.reward.weekday_electricity_prices)
+    weekend_prices = np.asarray(config.reward.weekend_electricity_prices)
+    carbon_rates = np.asarray(config.reward.carbon_emission_rates)
+    gas_prices = np.asarray(config.reward.gas_prices_by_month)
+    elec_price = np.empty(total)
+    elec_carbon = np.empty(total)
+    gas_price = np.empty(total)
+    for i, t in enumerate(timestamps):
+        workday_utc = uscalendar.is_work_day(t.date())
+        prices = weekday_prices if workday_utc else weekend_prices
+        # cents/kWh -> USD per W-second (electricity_energy_cost.py:150-164).
+        elec_price[i] = prices[t.hour] / 100.0 / 1000.0 / 3600.0
+        # kg/MWh -> kg per W-second (:146-148).
+        elec_carbon[i] = carbon_rates[t.hour] / 1.0e6 / 3600.0
+        # USD/kft3 -> USD/J (natural_gas_energy_cost.py:61-66).
+        gas_price[i] = (
+            gas_prices[t.month - 1]
+            / constants.KWH_PER_KFT3_GAS
+            / constants.JOULES_PER_KWH
+        )
+
+    local_hour = np.array(
+        [t.tz_convert(occ_tz).hour for t in timestamps], dtype=np.int32
+    )
+    workday_local = np.array(
+        [uscalendar.is_work_day(t.tz_convert(occ_tz).date()) for t in timestamps]
+    )
+
+    if config.occupancy.kind == "step_function":
+        step_occ = np.array(
+            [
+                _step_function_occupancy(t, t + dt, config, occ_tz)
+                for t in timestamps
+            ]
+        )
+    else:
+        step_occ = np.zeros(total)
+
+    # The reset observation peeks occupancy over [start - 5 min, start]
+    # (simulator_building.py:305-315 via environment.py:1174).
+    reset_probe = (start - pd.Timedelta(5, unit="m")).tz_convert(occ_tz)
+
+    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    return EpisodeTables(
+        ambient_temp=f32(ambient),
+        convection_coeff=f32(conv),
+        comfort=jnp.asarray(comfort),
+        heating_setpoint=f32(heat_sp),
+        cooling_setpoint=f32(cool_sp),
+        comfort_soon=jnp.asarray(comfort_soon),
+        hod_rad=f32(hod_rad),
+        dow_rad=f32(dow_rad),
+        elec_price=f32(elec_price),
+        elec_carbon=f32(elec_carbon),
+        gas_price=f32(gas_price),
+        local_hour=jnp.asarray(local_hour),
+        workday_local=jnp.asarray(workday_local),
+        step_occupancy=f32(step_occ),
+        reset_local_hour=jnp.int32(reset_probe.hour),
+        reset_workday=jnp.asarray(
+            uscalendar.is_work_day(reset_probe.date())
+        ),
+        n_steps=n_steps,
+        time_step_sec=float(config.time_step_sec),
+    )

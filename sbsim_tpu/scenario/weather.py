@@ -1,0 +1,118 @@
+"""Weather models: diurnal sinusoid and recorded-weather replay.
+
+Host-side: weather is precomputed into per-step ambient-temperature tables so
+the device program never touches timestamps.
+
+Parity: smart_control/simulator/weather_controller.py:47-218.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from sbsim_tpu.envs.config import WeatherConfig
+
+_SECONDS_IN_A_DAY = 24 * 3600
+_DAYS_IN_A_YEAR = 365
+_MIN_RADIANS = -math.pi / 2.0
+_MAX_RADIANS = 3.0 * math.pi / 2.0
+_EPOCH = pd.Timestamp("1970-01-01", tz="UTC")
+
+
+def sinusoid_temperature(
+    timestamp: pd.Timestamp,
+    low: float,
+    high: float,
+    special_days: Optional[Mapping[int, Tuple[float, float]]] = None,
+) -> float:
+    """Diurnal sinusoid: minimum at midnight, maximum at noon.
+
+    Parity: WeatherController.get_current_temp (weather_controller.py:93-123),
+    including the afternoon interpolation toward *tomorrow's* low.
+    """
+    special_days = special_days or {}
+    today = timestamp.dayofyear
+    tomorrow = (today + 1) % _DAYS_IN_A_YEAR
+
+    today_low, today_high = special_days.get(today, (low, high))
+    tomorrow_low = special_days.get(tomorrow, (low, high))[0]
+
+    high_t = today_high
+    low_t = today_low if timestamp.hour < 12 else tomorrow_low
+
+    seconds_in_day = (
+        timestamp.hour * 3600.0
+        + timestamp.minute * 60.0
+        + timestamp.second
+        + timestamp.microsecond / 1e6
+    )
+    rad = (seconds_in_day / _SECONDS_IN_A_DAY) * (
+        _MAX_RADIANS - _MIN_RADIANS
+    ) + _MIN_RADIANS
+    return 0.5 * (math.sin(rad) + 1.0) * (high_t - low_t) + low_t
+
+
+class ReplayWeather:
+    """Linear interpolation over a recorded weather CSV (Time, TempF columns).
+
+    Parity: ReplayWeatherController (weather_controller.py:166-218).
+    """
+
+    def __init__(self, csv_path: str):
+        data = pd.read_csv(csv_path)
+        times = pd.to_datetime(data["Time"], utc=True)
+        self._epoch_seconds = np.array(
+            [(t - _EPOCH).total_seconds() for t in times]
+        )
+        self._temps_kelvin = (
+            (np.asarray(data["TempF"], dtype=np.float64) - 32.0) * 5.0 / 9.0
+            + 273.15
+        )
+        order = np.argsort(self._epoch_seconds)
+        self._epoch_seconds = self._epoch_seconds[order]
+        self._temps_kelvin = self._temps_kelvin[order]
+
+    @property
+    def min_timestamp(self) -> pd.Timestamp:
+        return _EPOCH + pd.Timedelta(self._epoch_seconds[0], unit="s")
+
+    @property
+    def max_timestamp(self) -> pd.Timestamp:
+        return _EPOCH + pd.Timedelta(self._epoch_seconds[-1], unit="s")
+
+    def temperatures(self, timestamps: Sequence[pd.Timestamp]) -> np.ndarray:
+        targets = np.array(
+            [(t.tz_convert("UTC") - _EPOCH).total_seconds() for t in timestamps]
+        )
+        if targets.min() < self._epoch_seconds[0] or (
+            targets.max() > self._epoch_seconds[-1]
+        ):
+            raise ValueError(
+                "Requested weather outside the recorded range "
+                f"[{self.min_timestamp}, {self.max_timestamp}]"
+            )
+        return np.interp(targets, self._epoch_seconds, self._temps_kelvin)
+
+
+def ambient_temperature_table(
+    config: WeatherConfig, timestamps: Sequence[pd.Timestamp]
+) -> np.ndarray:
+    """Ambient temperature (K) at each timestamp."""
+    if config.kind == "replay":
+        if not config.replay_csv_path:
+            raise ValueError("replay weather requires replay_csv_path")
+        return ReplayWeather(config.replay_csv_path).temperatures(timestamps)
+    if config.kind == "sinusoid":
+        return np.array(
+            [
+                sinusoid_temperature(
+                    t, config.low_temp, config.high_temp, config.special_days
+                )
+                for t in timestamps
+            ]
+        )
+    raise ValueError(f"Unknown weather kind: {config.kind}")

@@ -1,0 +1,187 @@
+"""Environment integration tests (mirrors environment_test.py patterns)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+@pytest.fixture(scope="module")
+def env():
+    return BuildingEnv(presets.two_zone_test_config())
+
+
+@pytest.fixture(scope="module")
+def reset_out(env):
+    return env.reset(jax.random.PRNGKey(0))
+
+
+class TestSpecs:
+    def test_action_layout(self, env):
+        assert env.n_actions == 2
+        assert env.action_names == (
+            "boiler_supply_water_setpoint",
+            "air_handler_supply_air_heating_temperature_setpoint",
+        )
+
+    def test_observation_layout_no_histogram(self, env):
+        names = env.obs_layout.field_names
+        # 9 AHU + 3 boiler + 2 zones x 3 VAV fields + 7 aux.
+        assert len(names) == 9 + 3 + 6 + 7
+        assert names[0] == "air_handler_cooling_request_count"
+        assert names[9] == "boiler_heating_request_count"
+        assert names[12] == "vav_room_1_supply_air_damper_percentage_command"
+        assert names[-3:] == (
+            "comfort_mode_now",
+            "comfort_mode_soon",
+            "num_occupants",
+        )
+        assert env.obs_dim == len(names)
+
+    def test_default_action_round_trip(self, env):
+        act = env.default_action(
+            {
+                "supply_water_setpoint": 340.0,
+                "supply_air_heating_temperature_setpoint": 285.0,
+            }
+        )
+        np.testing.assert_allclose(
+            act, [(340.0 - 310.0) / 45.0 * 2 - 1, -1.0], rtol=1e-6
+        )
+
+
+class TestReset:
+    def test_reset_observation_finite(self, env, reset_out):
+        state, obs = reset_out
+        assert obs.shape == (env.obs_dim,)
+        assert np.isfinite(np.asarray(obs)).all()
+        assert int(state.step_idx) == 0
+
+    def test_reset_temps(self, env, reset_out):
+        state, _ = reset_out
+        np.testing.assert_allclose(np.asarray(state.temp), 294.0)
+
+
+class TestStep:
+    def test_step_advances_and_rewards(self, env, reset_out):
+        state, _ = reset_out
+        action = jnp.asarray(env.default_action(
+            {
+                "supply_water_setpoint": 340.0,
+                "supply_air_heating_temperature_setpoint": 285.0,
+            }
+        ))
+        step = jax.jit(env.step)
+        s1, out1 = step(state, action)
+        assert int(s1.step_idx) == 1
+        assert np.isfinite(np.asarray(out1.observation)).all()
+        # Regret reward lies in [-1, 0].
+        assert -1.0 <= float(out1.reward) <= 0.0
+        assert not bool(out1.done)
+        assert bool(s1.fdm_converged)
+        assert int(s1.fdm_iterations) > 0
+
+    def test_setpoints_applied(self, env, reset_out):
+        state, _ = reset_out
+        action = jnp.asarray([1.0, 1.0])  # max setpoints
+        _, _ = env.step(state, action)
+        s1, _ = env.step(state, action)
+        assert float(s1.hvac.boiler_setpoint) == pytest.approx(355.0)
+        assert float(s1.hvac.ahu_heating_setpoint) == pytest.approx(300.0)
+
+    def test_boiler_ramp_limits_measured_temp(self, env, reset_out):
+        """Supply water sensor moves toward the setpoint at the cooling rate
+        (boiler.py:185-217): 0.1 K/min * 5 min = 0.5 K per step."""
+        state, _ = reset_out
+        action = jnp.asarray([-1.0, 0.0])  # setpoint 310, initial temp 360
+        s, _ = env.step(state, action)
+        assert float(s.hvac.boiler_current_temp) == pytest.approx(359.5)
+        s, _ = env.step(s, action)
+        assert float(s.hvac.boiler_current_temp) == pytest.approx(359.0)
+
+    def test_cold_weather_heating_mode(self, env, reset_out):
+        """With eco window [289, 298] and cold ambient, zones cool toward the
+        heating setpoint and thermostats eventually call for heat
+        (simulator_test.py:846-921 analogue)."""
+        state, _ = reset_out
+        action = jnp.asarray(env.default_action(
+            {
+                "supply_water_setpoint": 340.0,
+                "supply_air_heating_temperature_setpoint": 285.0,
+            }
+        ))
+        step = jax.jit(env.step)
+        for _ in range(40):
+            state, out = step(state, action)
+        # Building loses heat to the ~280 K ambient.
+        zone_temps = np.asarray(state.hvac.zone_air_temp)
+        assert (zone_temps < 294.0).all()
+
+    def test_episode_terminates(self, env, reset_out):
+        state, _ = reset_out
+        state = state.replace(step_idx=jnp.int32(env.steps_per_episode - 1))
+        action = jnp.zeros(env.n_actions)
+        _, out = env.step(state, action)
+        assert bool(out.done)
+
+
+class TestBatching:
+    def test_lane_isolation_bitwise(self, env):
+        """A lane's trajectory is bitwise independent of the *other lanes'
+        data*: env A stepped alongside (B, C) equals env A stepped alongside
+        (X, Y). This is the per-env independence the batched simulator
+        guarantees (convergence freezing + per-lane RNG)."""
+        keys = jax.random.split(jax.random.PRNGKey(7), 5)
+        reset_v = jax.vmap(env.reset)
+        states_all, _ = reset_v(keys)
+        take = lambda tree, idx: jax.tree.map(lambda x: x[idx], tree)
+        group1 = take(states_all, np.array([0, 1, 2]))
+        group2 = take(states_all, np.array([0, 3, 4]))
+        actions1 = jnp.asarray([[0.0, 0.0], [1.0, -1.0], [-1.0, 1.0]])
+        actions2 = jnp.asarray([[0.0, 0.0], [0.3, 0.7], [0.9, -0.2]])
+        step_v = jax.jit(jax.vmap(env.step))
+        for _ in range(3):
+            group1, out1 = step_v(group1, actions1)
+            group2, out2 = step_v(group2, actions2)
+        np.testing.assert_array_equal(
+            np.asarray(group1.temp[0]), np.asarray(group2.temp[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out1.observation[0]), np.asarray(out2.observation[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out1.reward[0]), np.asarray(out2.reward[0])
+        )
+
+    def test_batch_size_invariance_close(self, env):
+        """Across *different batch sizes* XLA may re-tile reductions, so
+        equality is to float32 rounding, not bitwise."""
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        states, _ = jax.vmap(env.reset)(keys)
+        actions = jnp.asarray([[0.0, 0.0], [1.0, -1.0], [-1.0, 1.0]])
+        step_v = jax.jit(jax.vmap(env.step))
+        b3, out3 = step_v(states, actions)
+        s0 = jax.tree.map(lambda x: x[:1], states)
+        b1, out1 = step_v(s0, actions[:1])
+        np.testing.assert_allclose(
+            np.asarray(b3.temp[0]), np.asarray(b1.temp[0]), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out3.reward[0]), np.asarray(out1.reward[0]), atol=1e-5
+        )
+
+
+class TestSb1Config:
+    def test_sb1_builds_and_steps(self):
+        env = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+        assert env.n_zones == 12
+        # Histogram layout: 9 AHU + 3 boiler + (6 + 9 + 19) bins + 7 aux.
+        assert env.obs_dim == 9 + 3 + 34 + 7
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(obs)).all()
+        state, out = jax.jit(env.step)(state, jnp.zeros(env.n_actions))
+        assert np.isfinite(np.asarray(out.observation)).all()
+        assert -1.0 <= float(out.reward) <= 0.0
