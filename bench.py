@@ -1,0 +1,74 @@
+"""Benchmark: batched env-step throughput on the calibrated building.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); the recorded
+comparison point is the BASELINE.json north star of >= 1M env-steps/s
+aggregate on a 16-chip v5p slice, i.e. 62,500 env-steps/s per chip.
+`vs_baseline` reports measured single-chip throughput against that per-chip
+share.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_TARGET = 62_500.0  # 1M aggregate / 16 chips (BASELINE.json)
+
+
+def main():
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    batch = 1024
+    n_steps = 288  # one simulated day per env per measured block
+
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=2))
+    actions = jnp.asarray(
+        schedule_policy.build_schedule_actions(env)
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.vmap(env.reset)(keys)
+    step_v = jax.vmap(env.step)
+
+    def rollout(states):
+        def body(s, _):
+            act = actions[jnp.clip(s.step_idx, 0, actions.shape[0] - 1)]
+            s, out = step_v(s, act)
+            return s, out.reward
+
+        states, rewards = jax.lax.scan(body, states, None, length=n_steps)
+        return states, jnp.mean(rewards)
+
+    rollout = jax.jit(rollout)
+
+    # Warmup/compile.
+    states, _ = jax.block_until_ready(rollout(states))
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        states, mean_r = rollout(states)
+        jax.block_until_ready(states)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * n_steps / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_single_chip",
+                "value": round(best, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(best / PER_CHIP_TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

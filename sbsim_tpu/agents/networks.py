@@ -1,0 +1,108 @@
+"""Actor and critic networks for SAC (flax.linen).
+
+Mirrors the reference's network shapes (SAC_Demo.ipynb cell 24): actor MLP
+(128, 128) with a tanh-squashed Gaussian head; critic with separate
+observation (128, 64) and action (128, 64) towers concatenated into a joint
+(128, 64) MLP -> scalar. Twin critics are handled by the learner via two
+parameter sets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LOG_STD_MIN = -20.0
+LOG_STD_MAX = 2.0
+
+
+class MLP(nn.Module):
+    features: Sequence[int]
+    activate_last: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, kernel_init=nn.initializers.glorot_uniform())(x)
+            if self.activate_last or i < len(self.features) - 1:
+                x = nn.relu(x)
+        return x
+
+
+class TanhGaussianActor(nn.Module):
+    """Tanh-squashed diagonal Gaussian policy."""
+
+    action_dim: int
+    hidden: Sequence[int] = (128, 128)
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = MLP(self.hidden)(obs)
+        mean = nn.Dense(
+            self.action_dim, kernel_init=nn.initializers.glorot_uniform()
+        )(x)
+        log_std = nn.Dense(
+            self.action_dim, kernel_init=nn.initializers.glorot_uniform()
+        )(x)
+        log_std = jnp.clip(log_std, LOG_STD_MIN, LOG_STD_MAX)
+        return mean, log_std
+
+
+def sample_action(
+    mean: jnp.ndarray, log_std: jnp.ndarray, key: jax.Array
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reparameterized sample + log-prob under the tanh-squashed Gaussian."""
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mean.shape)
+    pre_tanh = mean + std * eps
+    action = jnp.tanh(pre_tanh)
+    # Gaussian log prob + tanh change-of-variables correction.
+    gauss_logp = -0.5 * (
+        ((pre_tanh - mean) / std) ** 2 + 2.0 * log_std + jnp.log(2.0 * jnp.pi)
+    )
+    # log(1 - tanh(x)^2) = 2 * (log 2 - x - softplus(-2x)), numerically stable.
+    correction = 2.0 * (jnp.log(2.0) - pre_tanh - jax.nn.softplus(-2.0 * pre_tanh))
+    log_prob = jnp.sum(gauss_logp - correction, axis=-1)
+    return action, log_prob
+
+
+def deterministic_action(mean: jnp.ndarray) -> jnp.ndarray:
+    return jnp.tanh(mean)
+
+
+class Critic(nn.Module):
+    """Q(s, a) with separate obs/action towers and a joint MLP."""
+
+    obs_hidden: Sequence[int] = (128, 64)
+    action_hidden: Sequence[int] = (128, 64)
+    joint_hidden: Sequence[int] = (128, 64)
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+        o = MLP(self.obs_hidden)(obs) if self.obs_hidden else obs
+        a = MLP(self.action_hidden)(action) if self.action_hidden else action
+        x = jnp.concatenate([o, a], axis=-1)
+        x = MLP(self.joint_hidden)(x)
+        q = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform())(x)
+        return jnp.squeeze(q, axis=-1)
+
+
+class TwinCritic(nn.Module):
+    """Two independent critics evaluated in one call."""
+
+    obs_hidden: Sequence[int] = (128, 64)
+    action_hidden: Sequence[int] = (128, 64)
+    joint_hidden: Sequence[int] = (128, 64)
+
+    @nn.compact
+    def __call__(self, obs, action):
+        q1 = Critic(self.obs_hidden, self.action_hidden, self.joint_hidden)(
+            obs, action
+        )
+        q2 = Critic(self.obs_hidden, self.action_hidden, self.joint_hidden)(
+            obs, action
+        )
+        return q1, q2

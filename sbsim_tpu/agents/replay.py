@@ -1,0 +1,76 @@
+"""On-device uniform replay buffer.
+
+Replaces the reference's out-of-process Reverb server (SAC_Demo.ipynb cell
+28: uniform sampler, FIFO remover, capacity 50k) with a fixed-size ring of
+jnp arrays living in device memory. Insertion and sampling are pure
+functions, so the buffer shards with the envs under vmap/shard_map and never
+crosses the host boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Transition:
+    obs: Any  # (..., obs_dim)
+    action: Any  # (..., action_dim)
+    reward: Any  # (...,)
+    discount: Any  # (...,) 0 at terminal, else gamma-mask 1
+    next_obs: Any  # (..., obs_dim)
+
+
+@struct.dataclass
+class ReplayState:
+    data: Transition  # leaves shaped (capacity, ...)
+    insert_index: Any  # i32 scalar
+    size: Any  # i32 scalar
+    capacity: int = struct.field(pytree_node=False)
+
+
+def init_replay(
+    capacity: int, obs_dim: int, action_dim: int
+) -> ReplayState:
+    zeros = lambda *shape: jnp.zeros(shape, jnp.float32)
+    data = Transition(
+        obs=zeros(capacity, obs_dim),
+        action=zeros(capacity, action_dim),
+        reward=zeros(capacity),
+        discount=zeros(capacity),
+        next_obs=zeros(capacity, obs_dim),
+    )
+    return ReplayState(
+        data=data,
+        insert_index=jnp.int32(0),
+        size=jnp.int32(0),
+        capacity=capacity,
+    )
+
+
+def add_batch(state: ReplayState, batch: Transition) -> ReplayState:
+    """Inserts a batch of transitions (FIFO ring semantics)."""
+    n = batch.reward.shape[0]
+    idx = (state.insert_index + jnp.arange(n)) % state.capacity
+    data = jax.tree.map(
+        lambda buf, new: buf.at[idx].set(new), state.data, batch
+    )
+    return state.replace(
+        data=data,
+        insert_index=(state.insert_index + n) % state.capacity,
+        size=jnp.minimum(state.size + n, state.capacity),
+    )
+
+
+def sample(
+    state: ReplayState, key: jax.Array, batch_size: int
+) -> Transition:
+    """Uniform sampling over the filled prefix."""
+    idx = jax.random.randint(
+        key, (batch_size,), 0, jnp.maximum(state.size, 1)
+    )
+    return jax.tree.map(lambda buf: buf[idx], state.data)

@@ -1,0 +1,64 @@
+"""Rules-based schedule baseline policy.
+
+The reference bootstraps SAC's replay buffer from a weekday/weekend setpoint
+schedule (SAC_Demo.ipynb cells 13-18): on weekdays 06:00-19:00 local time the
+hot-water setpoint is 350 K and the AHU heating setpoint 292 K, otherwise
+315 K / 285 K; weekends and holidays use the night values all day.
+
+Here the whole schedule is precomputed into a per-step normalized action
+table, so the baseline policy on device is a single table lookup by step
+index - usable inside jit/vmap/scan rollouts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Tuple
+from zoneinfo import ZoneInfo
+
+import numpy as np
+import pandas as pd
+
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.scenario import uscalendar
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleValues:
+    day_start_hour: int = 6
+    day_end_hour: int = 19
+    weekday_day: Mapping[str, float] = dataclasses.field(
+        default_factory=lambda: {
+            "supply_water_setpoint": 350.0,
+            "supply_air_heating_temperature_setpoint": 292.0,
+        }
+    )
+    night_and_weekend: Mapping[str, float] = dataclasses.field(
+        default_factory=lambda: {
+            "supply_water_setpoint": 315.0,
+            "supply_air_heating_temperature_setpoint": 285.0,
+        }
+    )
+
+
+def build_schedule_actions(
+    env: BuildingEnv, values: ScheduleValues = ScheduleValues()
+) -> np.ndarray:
+    """Normalized action table (T, A) for one episode of `env`."""
+    cfg = env.config
+    start = pd.Timestamp(cfg.start_timestamp)
+    if start.tz is None:
+        start = start.tz_localize("UTC")
+    tz = ZoneInfo(cfg.schedule.time_zone)
+    dt = pd.Timedelta(cfg.time_step_sec, unit="s")
+    n = env.steps_per_episode + 1
+    actions = np.zeros((n, env.n_actions), np.float32)
+    for i in range(n):
+        local = (start + i * dt).tz_convert(tz)
+        is_day = (
+            values.day_start_hour <= local.hour < values.day_end_hour
+            and uscalendar.is_work_day(local.date())
+        )
+        setpoints = values.weekday_day if is_day else values.night_and_weekend
+        actions[i] = env.default_action(dict(setpoints))
+    return actions

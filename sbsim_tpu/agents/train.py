@@ -1,0 +1,205 @@
+"""Unified on-device training loop: batched rollout + replay + SAC updates.
+
+Replaces the reference's Actor/Learner/Reverb triangle (SAC_Demo.ipynb cells
+28-48) with a single jitted program: N vectorized envs step in lockstep, the
+transitions stream into the on-device replay ring, and K SAC gradient steps
+run per env step - no host round-trips, no IPC.
+
+The same functions run unchanged under shard_map for multi-host scaling
+(distributed/mesh.py): envs + replay shard over the batch axis, learner
+gradients are psum-reduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sbsim_tpu.agents import replay as replay_lib
+from sbsim_tpu.agents.replay import ReplayState, Transition
+from sbsim_tpu.agents.sac import SACConfig, SACLearner, SACState
+from sbsim_tpu.envs.building_env import BuildingEnv, EnvState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    n_envs: int = 16
+    replay_capacity: int = 50_000
+    batch_size: int = 256
+    updates_per_env_step: int = 1
+    seed_steps: int = 1_000  # env steps before learning starts
+    sac: SACConfig = SACConfig()
+
+
+@struct.dataclass
+class TrainState:
+    env_states: EnvState  # batched (B, ...)
+    last_obs: Any  # (B, obs_dim)
+    replay: ReplayState
+    sac: SACState
+    rng: Any
+    env_steps: Any  # i32 total env steps taken (per-host)
+
+
+class SACTrainer:
+    def __init__(self, env: BuildingEnv, config: TrainConfig = TrainConfig()):
+        self.env = env
+        self.config = config
+        self.learner = SACLearner(env.obs_dim, env.n_actions, config.sac)
+        self._reset_v = jax.vmap(env.reset)
+        self._step_v = jax.vmap(env.step)
+
+    def init(self, key: jax.Array) -> TrainState:
+        k_env, k_sac, k_rng = jax.random.split(key, 3)
+        env_keys = jax.random.split(k_env, self.config.n_envs)
+        env_states, obs = self._reset_v(env_keys)
+        return TrainState(
+            env_states=env_states,
+            last_obs=obs,
+            replay=replay_lib.init_replay(
+                self.config.replay_capacity, self.env.obs_dim, self.env.n_actions
+            ),
+            sac=self.learner.init(k_sac),
+            rng=k_rng,
+            env_steps=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _maybe_reset(
+        self, env_states: EnvState, obs: jnp.ndarray, done: jnp.ndarray, key
+    ) -> Tuple[EnvState, jnp.ndarray]:
+        """Resets envs that finished their episode (masked select)."""
+        keys = jax.random.split(key, self.config.n_envs)
+        fresh_states, fresh_obs = self._reset_v(keys)
+
+        def select(new, old):
+            mask = done.reshape(done.shape + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        states = jax.tree.map(select, fresh_states, env_states)
+        new_obs = jnp.where(done[:, None], fresh_obs, obs)
+        return states, new_obs
+
+    def collect_step(
+        self, state: TrainState, action_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One lockstep env transition for all envs, appended to replay."""
+        rng, k_act, k_reset = jax.random.split(state.rng, 3)
+        actions = action_fn(state.last_obs, k_act)
+        env_states, out = self._step_v(state.env_states, actions)
+        discount = jnp.where(
+            out.done, 0.0, jnp.float32(self.env.config.discount_factor)
+        )
+        batch = Transition(
+            obs=state.last_obs,
+            action=actions,
+            reward=out.reward,
+            discount=discount,
+            next_obs=out.observation,
+        )
+        replay = replay_lib.add_batch(state.replay, batch)
+        env_states, obs = self._maybe_reset(
+            env_states, out.observation, out.done, k_reset
+        )
+        new_state = state.replace(
+            env_states=env_states,
+            last_obs=obs,
+            replay=replay,
+            rng=rng,
+            env_steps=state.env_steps + self.config.n_envs,
+        )
+        metrics = {"reward_mean": jnp.mean(out.reward)}
+        return new_state, metrics
+
+    def train_step(
+        self, state: TrainState
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One env step (policy actions) + K SAC updates."""
+
+        def policy(obs, key):
+            return self.learner.act(state.sac, obs, key)
+
+        state, metrics = self.collect_step(state, policy)
+
+        def do_update(carry, key):
+            sac, replay = carry
+            k_sample, k_update = jax.random.split(key)
+            batch = replay_lib.sample(
+                replay, k_sample, self.config.batch_size
+            )
+            sac, m = self.learner.update(sac, batch, k_update)
+            return (sac, replay), m
+
+        rng, k_updates = jax.random.split(state.rng)
+        update_keys = jax.random.split(
+            k_updates, self.config.updates_per_env_step
+        )
+
+        can_learn = state.env_steps >= self.config.seed_steps
+
+        def run_updates(sac):
+            (sac, _), ms = jax.lax.scan(
+                do_update, (sac, state.replay), update_keys
+            )
+            return sac, jax.tree.map(lambda x: x[-1], ms)
+
+        def skip_updates(sac):
+            zero_metrics = {
+                "critic_loss": jnp.float32(0),
+                "actor_loss": jnp.float32(0),
+                "alpha_loss": jnp.float32(0),
+                "alpha": jnp.exp(state.sac.log_alpha),
+                "q1_mean": jnp.float32(0),
+                "q2_mean": jnp.float32(0),
+                "entropy": jnp.float32(0),
+            }
+            return sac, zero_metrics
+
+        sac, update_metrics = jax.lax.cond(
+            can_learn, run_updates, skip_updates, state.sac
+        )
+        state = state.replace(sac=sac, rng=rng)
+        metrics.update(update_metrics)
+        return state, metrics
+
+    def seed_with_actions(
+        self, state: TrainState, action_table: np.ndarray
+    ) -> Callable[[TrainState], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+        """Returns a collect-step fn driven by a per-step action table (the
+        schedule-policy replay bootstrap, SAC_Demo.ipynb cells 34-40)."""
+        table = jnp.asarray(action_table)
+
+        def step_fn(st: TrainState):
+            def policy(obs, key):
+                t = st.env_states.step_idx  # (B,)
+                return table[jnp.clip(t, 0, table.shape[0] - 1)]
+
+            return self.collect_step(st, policy)
+
+        return step_fn
+
+    # ------------------------------------------------------------------
+
+    def evaluate(
+        self, sac: SACState, key: jax.Array, n_steps: int, n_envs: int = 4
+    ) -> jnp.ndarray:
+        """Mean undiscounted return of the greedy policy over n_steps."""
+        keys = jax.random.split(key, n_envs)
+        env_states, obs = self._reset_v(keys)
+
+        def body(carry, _):
+            env_states, obs = carry
+            actions = self.learner.act_greedy(sac, obs)
+            env_states, out = self._step_v(env_states, actions)
+            return (env_states, out.observation), out.reward
+
+        (_, _), rewards = jax.lax.scan(
+            body, (env_states, obs), None, length=n_steps
+        )
+        return jnp.mean(jnp.sum(rewards, axis=0))

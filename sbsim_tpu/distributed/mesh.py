@@ -1,0 +1,109 @@
+"""Multi-chip scaling via jax.sharding: envs data-parallel over the mesh.
+
+The natural scaling axis of this workload is the number of simultaneous
+building instances (SURVEY.md section 5): env state (temperature grids, HVAC
+vectors, occupant arrays) shards over a 1-D device mesh on its batch axis,
+while the SAC learner state and replay buffer stay replicated - the learner
+networks are tiny MLPs (128x128), so replicating their update costs nothing
+while the FDM grids (the actual FLOPs) partition perfectly. XLA GSPMD inserts
+the all-gather of per-shard transitions into the replicated replay ring.
+
+The reference has no distributed layer at all (single Python process +
+a Reverb server, SURVEY.md section 5); this module is the TPU-native
+equivalent of "more buildings, more chips".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sbsim_tpu.agents.train import SACTrainer, TrainState
+
+ENV_AXIS = "env"
+
+
+def make_mesh(devices: Optional[Any] = None) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (ENV_AXIS,))
+
+
+def _batched_leaf_sharding(mesh: Mesh):
+    """NamedSharding that shards the leading (env batch) axis."""
+
+    def shard(leaf):
+        spec = P(ENV_AXIS) if getattr(leaf, "ndim", 0) >= 1 else P()
+        return NamedSharding(mesh, spec)
+
+    return shard
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Places env state on the mesh (batch-sharded); learner/replay replicated."""
+    replicated = NamedSharding(mesh, P())
+    shard_batched = _batched_leaf_sharding(mesh)
+
+    env_states = jax.tree.map(
+        lambda x: jax.device_put(x, shard_batched(x)), state.env_states
+    )
+    last_obs = jax.device_put(state.last_obs, NamedSharding(mesh, P(ENV_AXIS)))
+    rest = jax.tree.map(
+        lambda x: jax.device_put(x, replicated),
+        (state.replay, state.sac, state.rng, state.env_steps),
+    )
+    replay, sac, rng, env_steps = rest
+    return TrainState(
+        env_states=env_states,
+        last_obs=last_obs,
+        replay=replay,
+        sac=sac,
+        rng=rng,
+        env_steps=env_steps,
+    )
+
+
+def make_distributed_train_step(trainer: SACTrainer, mesh: Mesh):
+    """Jits the trainer's full step with env-batch sharding constraints.
+
+    Returns a function TrainState -> (TrainState, metrics) whose env leaves
+    stay sharded over the mesh across calls.
+    """
+
+    def step(state: TrainState):
+        state = _constrain(state, mesh)
+        new_state, metrics = trainer.train_step(state)
+        return _constrain(new_state, mesh), metrics
+
+    return jax.jit(step)
+
+
+def make_distributed_collect_step(trainer: SACTrainer, mesh: Mesh, action_fn):
+    def step(state: TrainState):
+        state = _constrain(state, mesh)
+        new_state, metrics = trainer.collect_step(state, action_fn)
+        return _constrain(new_state, mesh), metrics
+
+    return jax.jit(step)
+
+
+def _constrain(state: TrainState, mesh: Mesh) -> TrainState:
+    """Applies sharding constraints inside jit so GSPMD keeps the env batch
+    partitioned over the mesh."""
+    batched = lambda x: jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(ENV_AXIS, *([None] * (x.ndim - 1))))
+    ) if getattr(x, "ndim", 0) >= 1 else x
+    replicated = lambda x: jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P())
+    )
+    return TrainState(
+        env_states=jax.tree.map(batched, state.env_states),
+        last_obs=batched(state.last_obs),
+        replay=jax.tree.map(replicated, state.replay),
+        sac=jax.tree.map(replicated, state.sac),
+        rng=state.rng,
+        env_steps=replicated(state.env_steps),
+    )

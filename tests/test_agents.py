@@ -1,0 +1,120 @@
+"""SAC agent / replay / trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.agents import replay as replay_lib
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.agents.replay import Transition
+from sbsim_tpu.agents.sac import SACConfig, SACLearner
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+class TestReplay:
+    def test_ring_semantics(self):
+        state = replay_lib.init_replay(4, 2, 1)
+        batch = Transition(
+            obs=jnp.arange(6, dtype=jnp.float32).reshape(3, 2),
+            action=jnp.ones((3, 1)),
+            reward=jnp.asarray([1.0, 2.0, 3.0]),
+            discount=jnp.ones(3),
+            next_obs=jnp.zeros((3, 2)),
+        )
+        state = replay_lib.add_batch(state, batch)
+        assert int(state.size) == 3
+        state = replay_lib.add_batch(state, batch)
+        assert int(state.size) == 4
+        assert int(state.insert_index) == 2
+
+    def test_uniform_sample_shape(self):
+        state = replay_lib.init_replay(16, 3, 2)
+        batch = Transition(
+            obs=jnp.ones((8, 3)),
+            action=jnp.ones((8, 2)),
+            reward=jnp.ones(8),
+            discount=jnp.ones(8),
+            next_obs=jnp.ones((8, 3)),
+        )
+        state = replay_lib.add_batch(state, batch)
+        out = replay_lib.sample(state, jax.random.PRNGKey(0), 5)
+        assert out.obs.shape == (5, 3)
+        assert np.all(np.asarray(out.reward) == 1.0)
+
+
+class TestSACLearner:
+    def test_update_improves_critic_on_fixed_target(self):
+        learner = SACLearner(obs_dim=4, action_dim=2)
+        state = learner.init(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        batch = Transition(
+            obs=jax.random.normal(key, (32, 4)),
+            action=jnp.clip(jax.random.normal(key, (32, 2)), -1, 1),
+            reward=jnp.ones(32),
+            discount=jnp.zeros(32),  # terminal: target = reward
+            next_obs=jax.random.normal(key, (32, 4)),
+        )
+        update = jax.jit(learner.update)
+        losses = []
+        for i in range(60):
+            state, metrics = update(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["critic_loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 60
+
+    def test_action_bounds(self):
+        learner = SACLearner(obs_dim=4, action_dim=3)
+        state = learner.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(2), (16, 4))
+        act = learner.act(state, obs, jax.random.PRNGKey(3))
+        assert act.shape == (16, 3)
+        assert (np.abs(np.asarray(act)) <= 1.0).all()
+        greedy = learner.act_greedy(state, obs)
+        assert (np.abs(np.asarray(greedy)) <= 1.0).all()
+
+
+@pytest.fixture(scope="module")
+def env():
+    return BuildingEnv(presets.two_zone_test_config())
+
+
+class TestTrainer:
+    def test_end_to_end_train_steps(self, env):
+        trainer = SACTrainer(
+            env,
+            TrainConfig(
+                n_envs=4, replay_capacity=512, batch_size=32,
+                updates_per_env_step=1, seed_steps=8,
+            ),
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        train_step = jax.jit(trainer.train_step)
+        for _ in range(5):
+            state, metrics = train_step(state)
+        assert int(state.env_steps) == 20
+        assert int(state.replay.size) == 20
+        # Learning kicked in after seed_steps.
+        assert int(state.sac.step) > 0
+        assert np.isfinite(float(metrics["critic_loss"]))
+
+    def test_schedule_bootstrap(self, env):
+        trainer = SACTrainer(
+            env, TrainConfig(n_envs=2, replay_capacity=128, seed_steps=10**9)
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        table = schedule_policy.build_schedule_actions(env)
+        assert table.shape == (env.steps_per_episode + 1, env.n_actions)
+        step_fn = jax.jit(trainer.seed_with_actions(state, table))
+        for _ in range(3):
+            state, _ = step_fn(state)
+        assert int(state.replay.size) == 6
+
+    def test_evaluate_returns_scalar(self, env):
+        trainer = SACTrainer(env, TrainConfig(n_envs=2))
+        state = trainer.init(jax.random.PRNGKey(0))
+        ret = trainer.evaluate(state.sac, jax.random.PRNGKey(1), n_steps=4,
+                               n_envs=2)
+        assert np.isfinite(float(ret))

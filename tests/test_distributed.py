@@ -1,0 +1,62 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.distributed import mesh as mesh_lib
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+@pytest.fixture(scope="module")
+def env():
+    return BuildingEnv(presets.two_zone_test_config())
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_train_step(env):
+    mesh = mesh_lib.make_mesh()
+    trainer = SACTrainer(
+        env,
+        TrainConfig(n_envs=16, replay_capacity=256, batch_size=32,
+                    seed_steps=16),
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    state = mesh_lib.shard_train_state(state, mesh)
+    # Env batch is actually partitioned over the mesh.
+    shardings = state.last_obs.sharding
+    assert not shardings.is_fully_replicated
+    step = mesh_lib.make_distributed_train_step(trainer, mesh)
+    for _ in range(3):
+        state, metrics = step(state)
+    assert int(state.env_steps) == 48
+    assert int(state.replay.size) == 48
+    assert np.isfinite(float(metrics["reward_mean"]))
+
+
+def test_sharded_matches_single_device_rewards(env):
+    """The sharded program computes the same math as the unsharded one."""
+    cfg = TrainConfig(n_envs=8, replay_capacity=64, batch_size=16,
+                      seed_steps=10**9)
+    trainer = SACTrainer(env, cfg)
+    state0 = trainer.init(jax.random.PRNGKey(3))
+
+    mesh = mesh_lib.make_mesh()
+    sharded = mesh_lib.shard_train_state(state0, mesh)
+    step_sharded = mesh_lib.make_distributed_train_step(trainer, mesh)
+    step_local = jax.jit(trainer.train_step)
+
+    s1, m1 = step_sharded(sharded)
+    s2, m2 = step_local(state0)
+    np.testing.assert_allclose(
+        float(m1["reward_mean"]), float(m2["reward_mean"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.last_obs), np.asarray(s2.last_obs), atol=1e-4
+    )
