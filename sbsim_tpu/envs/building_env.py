@@ -451,8 +451,15 @@ class BuildingEnv:
             params=self.reward_params,
         )
 
-    def _observation(self, state: EnvState, t_obs: jnp.ndarray) -> jnp.ndarray:
-        """Flat normalized observation at table index t_obs."""
+    def device_values(
+        self, state: EnvState, t_obs: jnp.ndarray
+    ) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+        """Native (unnormalized) observable values per device class.
+
+        Returns (ahu_values, boiler_values, vav_values); vav values are (Z,)
+        vectors. These are the raw sensor readings the proto host boundary
+        exposes (simulator_building.py:151-202).
+        """
         params = self.hvac_params
         tables = self.tables
         hvac = state.hvac
@@ -492,6 +499,14 @@ class BuildingEnv:
             "supply_air_flowrate_setpoint": params.vav_max_air_flow_rate,
             "zone_air_temperature_sensor": hvac.zone_air_temp,
         }
+        return ahu_values, boiler_values, vav_values
+
+    def _observation(self, state: EnvState, t_obs: jnp.ndarray) -> jnp.ndarray:
+        """Flat normalized observation at table index t_obs."""
+        tables = self.tables
+        ahu_values, boiler_values, vav_values = self.device_values(
+            state, t_obs
+        )
 
         if self.occupancy_params.kind == "randomized":
             total_occ = jnp.sum(

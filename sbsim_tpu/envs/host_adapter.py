@@ -1,0 +1,355 @@
+"""Proto host boundary: the BaseBuilding contract over the device env.
+
+`SimulatedBuilding` implements the reference's building abstraction
+(models/base_building.py:27-95): `request_observations` / `request_action` /
+`wait_time` / `reset` / `devices` / `zones` / `reward_info`, speaking the
+wire-compatible protos. This is the interop surface through which a policy
+written against a *real* building drives the TPU simulator (and vice versa);
+the device hot path never touches protos.
+
+`RejectionSimulatedBuilding` reproduces the fault-injection decorator that
+refuses the first N action requests
+(rejection_simulator_building.py:34-124) - the environment converts the
+raised RuntimeError into an action-rejection reward.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from sbsim_tpu.envs import observation as obs_lib
+from sbsim_tpu.envs.building_env import BuildingEnv, EnvState
+from sbsim_tpu.proto import building_pb2, reward_pb2
+from sbsim_tpu.scenario import occupancy as occupancy_lib
+
+DeviceInfo = building_pb2.DeviceInfo
+ValueType = building_pb2.DeviceInfo.ValueType
+ActionResponseType = building_pb2.SingleActionResponse.ActionResponseType
+
+
+def _ts(pandas_ts: pd.Timestamp):
+    from google.protobuf import timestamp_pb2
+
+    out = timestamp_pb2.Timestamp()
+    out.FromNanoseconds(int(pandas_ts.tz_convert("UTC").value))
+    return out
+
+
+class SimulatedBuilding:
+    """Single-env, host-driven facade over BuildingEnv."""
+
+    def __init__(self, env: BuildingEnv, seed: int = 0):
+        self._env = env
+        self._key = jax.random.PRNGKey(seed)
+        self._pending_setpoints: Dict[str, float] = {}
+        self._last_breakdown = None
+        self._build_device_infos()
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # Metadata
+    # ------------------------------------------------------------------
+
+    def _build_device_infos(self) -> None:
+        env = self._env
+        cfg = env.config
+        self._device_infos: List[DeviceInfo] = []
+
+        boiler = DeviceInfo(
+            device_id="boiler",
+            device_type=DeviceInfo.DeviceType.BLR,
+        )
+        for m in obs_lib.BOILER_MEASUREMENTS:
+            boiler.observable_fields[m] = ValueType.VALUE_CONTINUOUS
+        boiler.action_fields["supply_water_setpoint"] = (
+            ValueType.VALUE_CONTINUOUS
+        )
+        self._device_infos.append(boiler)
+
+        ahu = DeviceInfo(
+            device_id="air_handler",
+            device_type=DeviceInfo.DeviceType.AHU,
+        )
+        for m in obs_lib.AHU_MEASUREMENTS:
+            if (
+                m == "outside_air_temperature_sensor"
+                and not cfg.hvac.ahu_observes_outside_air
+            ):
+                continue
+            ahu.observable_fields[m] = ValueType.VALUE_CONTINUOUS
+        ahu.action_fields["supply_air_heating_temperature_setpoint"] = (
+            ValueType.VALUE_CONTINUOUS
+        )
+        ahu.action_fields["supply_air_cooling_temperature_setpoint"] = (
+            ValueType.VALUE_CONTINUOUS
+        )
+        self._device_infos.append(ahu)
+
+        self._zone_infos: List[building_pb2.ZoneInfo] = []
+        for z, (name, ext_id) in enumerate(
+            zip(env.geom.zone_names, env.geom.zone_ext_ids)
+        ):
+            vav = DeviceInfo(
+                device_id=f"vav_{name}",
+                zone_id=ext_id,
+                device_type=DeviceInfo.DeviceType.VAV,
+            )
+            for m in obs_lib.VAV_MEASUREMENTS:
+                vav.observable_fields[m] = ValueType.VALUE_CONTINUOUS
+            vav.action_fields["supply_air_damper_percentage_command"] = (
+                ValueType.VALUE_CONTINUOUS
+            )
+            self._device_infos.append(vav)
+            self._zone_infos.append(
+                building_pb2.ZoneInfo(
+                    zone_id=ext_id,
+                    building_id="US-SIM-001",
+                    zone_description="Simulated zone",
+                    devices=[f"vav_{name}"],
+                    zone_type=building_pb2.ZoneInfo.ROOM,
+                    floor=0,
+                )
+            )
+        self._vav_zone_index = {
+            f"vav_{name}": z for z, name in enumerate(env.geom.zone_names)
+        }
+
+    @property
+    def devices(self) -> Sequence[DeviceInfo]:
+        return self._device_infos
+
+    @property
+    def zones(self) -> Sequence[building_pb2.ZoneInfo]:
+        return self._zone_infos
+
+    @property
+    def time_step_sec(self) -> float:
+        return self._env.config.time_step_sec
+
+    @property
+    def current_timestamp(self) -> pd.Timestamp:
+        start = pd.Timestamp(self._env.config.start_timestamp)
+        if start.tz is None:
+            start = start.tz_localize("UTC")
+        return start + int(self._state.step_idx) * pd.Timedelta(
+            self.time_step_sec, unit="s"
+        )
+
+    def is_comfort_mode(self, current_time: pd.Timestamp) -> bool:
+        t = int(self._state.step_idx)
+        return bool(self._env.tables.comfort[t])
+
+    @property
+    def num_occupants(self) -> int:
+        if self._env.occupancy_params.kind == "randomized":
+            total = float(
+                jnp.sum(occupancy_lib.zone_occupancy(self._state.occupants))
+            )
+        else:
+            t = max(int(self._state.step_idx) - 1, 0)
+            total = float(self._env.tables.step_occupancy[t]) * self._env.n_zones
+        return int(total)
+
+    # ------------------------------------------------------------------
+    # Control protocol
+    # ------------------------------------------------------------------
+
+    def reset(self) -> None:
+        self._key, k = jax.random.split(self._key)
+        self._state, self._last_obs_vector = self._env.reset(k)
+        self._pending_setpoints = {}
+        self._last_breakdown = None
+
+    def request_observations(
+        self, observation_request: building_pb2.ObservationRequest
+    ) -> building_pb2.ObservationResponse:
+        """Answers with current native sensor values
+        (simulator_building.py:151-202)."""
+        env = self._env
+        t = self._state.step_idx
+        ahu_values, boiler_values, vav_values = jax.tree.map(
+            np.asarray, env.device_values(self._state, t)
+        )
+        now = _ts(self.current_timestamp)
+        response = building_pb2.ObservationResponse(timestamp=now)
+        response.request.CopyFrom(observation_request)
+        for sreq in observation_request.single_observation_requests:
+            sres = response.single_observation_responses.add()
+            sres.single_observation_request.CopyFrom(sreq)
+            sres.timestamp.CopyFrom(now)
+            sres.observation_valid = True
+            value: Optional[float] = None
+            if sreq.device_id == "air_handler":
+                v = ahu_values.get(sreq.measurement_name)
+                value = None if v is None else float(v)
+            elif sreq.device_id == "boiler":
+                v = boiler_values.get(sreq.measurement_name)
+                value = None if v is None else float(v)
+            elif sreq.device_id in self._vav_zone_index:
+                z = self._vav_zone_index[sreq.device_id]
+                v = vav_values.get(sreq.measurement_name)
+                value = None if v is None else float(np.asarray(v)[z])
+            if value is None:
+                sres.observation_valid = False
+            else:
+                sres.continuous_value = value
+        return response
+
+    def default_observation_request(self) -> building_pb2.ObservationRequest:
+        """All devices/fields, sorted (environment.py:543-553)."""
+        request = building_pb2.ObservationRequest()
+        for device in sorted(self._device_infos, key=lambda d: d.device_id):
+            for m in sorted(device.observable_fields):
+                request.single_observation_requests.add(
+                    device_id=device.device_id, measurement_name=m
+                )
+        return request
+
+    def request_action(
+        self, action_request: building_pb2.ActionRequest
+    ) -> building_pb2.ActionResponse:
+        """Buffers agent setpoints; they apply on the next wait_time().
+
+        Mirrors simulator_building.py:204-263 response semantics (the
+        default-thermostat phase runs inside the device step in the same
+        order as the reference).
+        """
+        valid_fields = {
+            d.device_id: set(d.action_fields) for d in self._device_infos
+        }
+        response = building_pb2.ActionResponse(
+            timestamp=_ts(self.current_timestamp)
+        )
+        response.request.CopyFrom(action_request)
+        for sreq in action_request.single_action_requests:
+            sres = response.single_action_responses.add()
+            sres.request.CopyFrom(sreq)
+            if sreq.device_id not in valid_fields:
+                sres.response_type = ActionResponseType.REJECTED_INVALID_DEVICE
+                continue
+            if sreq.setpoint_name not in valid_fields[sreq.device_id]:
+                sres.response_type = (
+                    ActionResponseType.REJECTED_NOT_ENABLED_OR_AVAILABLE
+                )
+                continue
+            self._pending_setpoints[sreq.setpoint_name] = (
+                sreq.continuous_value
+            )
+            sres.response_type = ActionResponseType.ACCEPTED
+        return response
+
+    def wait_time(self) -> None:
+        """Advances the simulation by one time step."""
+        env = self._env
+        action = np.zeros(env.n_actions, np.float32)
+        defaults = {
+            "supply_water_setpoint": float(
+                self._state.hvac.boiler_setpoint
+            ),
+            "supply_air_heating_temperature_setpoint": float(
+                self._state.hvac.ahu_heating_setpoint
+            ),
+            "supply_air_cooling_temperature_setpoint": float(
+                self._state.hvac.ahu_cooling_setpoint
+            ),
+        }
+        for i, (_, field, n) in enumerate(env.action_entries):
+            native = self._pending_setpoints.get(field, defaults[field])
+            native = min(max(native, n.min_native_value), n.max_native_value)
+            ratio = (native - n.min_native_value) / (
+                n.max_native_value - n.min_native_value
+            )
+            action[i] = ratio * 2.0 - 1.0
+        self._state, out = jax.jit(env.step)(
+            self._state, jnp.asarray(action)
+        )
+        self._last_obs_vector = out.observation
+        self._last_breakdown = jax.tree.map(np.asarray, out.reward_breakdown)
+        self._pending_setpoints = {}
+
+    @property
+    def reward_info(self) -> reward_pb2.RewardInfo:
+        """RewardInfo proto from the current post-step state
+        (simulator_flexible_floor_plan.py:285-313)."""
+        env = self._env
+        t = int(self._state.step_idx)
+        start = self.current_timestamp
+        end = start + pd.Timedelta(self.time_step_sec, unit="s")
+        info = reward_pb2.RewardInfo(
+            start_timestamp=_ts(start), end_timestamp=_ts(end)
+        )
+        temps = np.asarray(self._state.temp)
+        zone_ids = np.asarray(env.geom.zone_ids)
+        heat_sp = float(env.tables.heating_setpoint[t])
+        cool_sp = float(env.tables.cooling_setpoint[t])
+        if env.occupancy_params.kind == "randomized":
+            occ = np.asarray(
+                occupancy_lib.zone_occupancy(self._state.occupants)
+            )
+        else:
+            occ = np.full(
+                env.n_zones, float(env.tables.step_occupancy[t])
+            )
+        flow = float(self._state.hvac.ahu_air_flow_rate)
+        for z, ext_id in enumerate(env.geom.zone_ext_ids):
+            zinfo = info.zone_reward_infos[ext_id]
+            zinfo.heating_setpoint_temperature = heat_sp
+            zinfo.cooling_setpoint_temperature = cool_sp
+            zinfo.zone_air_temperature = float(
+                temps[zone_ids == z].mean()
+            )
+            zinfo.air_flow_rate_setpoint = float(
+                env.hvac_params.vav_max_air_flow_rate[z]
+            )
+            zinfo.air_flow_rate = flow
+            zinfo.average_occupancy = float(occ[z])
+
+        from sbsim_tpu.hvac import devices as hvac_ops
+
+        hvac = self._state.hvac
+        params = env.hvac_params
+        ambient = env.tables.ambient_temp[t]
+        ahu_info = info.air_handler_reward_infos["air_handler"]
+        ahu_info.blower_electrical_energy_rate = float(
+            hvac_ops.ahu_blower_power(hvac, params)
+        )
+        ahu_info.air_conditioning_electrical_energy_rate = float(
+            hvac_ops.ahu_thermal_energy_rate(
+                hvac, jnp.mean(self._state.temp), ambient, params
+            )
+        )
+        boiler_info = info.boiler_reward_infos["boiler"]
+        boiler_info.natural_gas_heating_energy_rate = float(
+            hvac_ops.boiler_thermal_energy_rate(hvac, ambient, params)
+        )
+        boiler_info.pump_electrical_energy_rate = float(
+            hvac_ops.boiler_pump_power(hvac, params)
+        )
+        return info
+
+
+class RejectionSimulatedBuilding:
+    """Raises on the first N action requests (fault injection;
+    rejection_simulator_building.py:34-124). All else delegates."""
+
+    def __init__(self, base: SimulatedBuilding, num_rejections: int):
+        self._base = base
+        self._num_rejections = num_rejections
+        self._request_count = 0
+
+    def request_action(self, action_request):
+        self._request_count += 1
+        if self._request_count <= self._num_rejections:
+            raise RuntimeError(
+                "Action request rejected: building not yet enabled "
+                f"({self._request_count}/{self._num_rejections})"
+            )
+        return self._base.request_action(action_request)
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)

@@ -1,0 +1,244 @@
+"""Length-prefixed proto record IO, shard-compatible with the reference.
+
+File format (controller_writer.py:34-162 / controller_reader.py:39-237):
+hourly shard files named `<prefix>_YYYY.MM.DD.HH` containing a stream of
+[4-byte little-endian length][serialized proto] records; one file prefix per
+message type; a `normalization_info` file of ContinuousVariableInfo records.
+Shards written by either stack are readable by the other byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Type
+
+import pandas as pd
+from google.protobuf import message as message_lib
+
+from sbsim_tpu import constants
+from sbsim_tpu.proto import building_pb2, normalization_pb2, reward_pb2
+
+_PREFIX_TO_MESSAGE: Dict[str, Type[message_lib.Message]] = {
+    constants.OBSERVATION_RESPONSE_FILE_PREFIX: (
+        building_pb2.ObservationResponse
+    ),
+    constants.ACTION_RESPONSE_FILE_PREFIX: building_pb2.ActionResponse,
+    constants.REWARD_INFO_PREFIX: reward_pb2.RewardInfo,
+    constants.REWARD_RESPONSE_PREFIX: reward_pb2.RewardResponse,
+    constants.DEVICE_INFO_PREFIX: building_pb2.DeviceInfo,
+    constants.ZONE_INFO_PREFIX: building_pb2.ZoneInfo,
+}
+
+
+def _serial(timestamp: pd.Timestamp) -> str:
+    return timestamp.strftime("%Y.%m.%d.%H")
+
+
+def append_records(
+    filepath: str, messages: Sequence[message_lib.Message]
+) -> None:
+    """Appends length-prefixed records (controller_writer.py:118-147)."""
+    mode = "ab" if os.path.exists(filepath) else "wb"
+    with open(filepath, mode) as f:
+        for msg in messages:
+            data = msg.SerializeToString()
+            f.write(len(data).to_bytes(4, "little"))
+            f.write(data)
+
+
+def read_records(
+    filepath: str, message_type: Type[message_lib.Message]
+) -> Iterator[message_lib.Message]:
+    """Streams records from one shard (controller_reader.py:186-207)."""
+    with open(filepath, "rb") as f:
+        while True:
+            size_bytes = f.read(4)
+            if len(size_bytes) < 4:
+                return
+            size = int.from_bytes(size_bytes, "little")
+            data = f.read(size)
+            msg = message_type()
+            msg.ParseFromString(data)
+            yield msg
+
+
+class RecordWriter:
+    """Writes hourly proto shards for one episode directory
+    (the ProtoWriter contract, writer_lib.py:39-106)."""
+
+    def __init__(self, output_dir: str):
+        self._output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _path(self, prefix: str, timestamp: pd.Timestamp) -> str:
+        return os.path.join(
+            self._output_dir, f"{prefix}_{_serial(timestamp)}"
+        )
+
+    def write_observation_response(self, msg, timestamp: pd.Timestamp):
+        append_records(
+            self._path(
+                constants.OBSERVATION_RESPONSE_FILE_PREFIX, timestamp
+            ),
+            [msg],
+        )
+
+    def write_action_response(self, msg, timestamp: pd.Timestamp):
+        append_records(
+            self._path(constants.ACTION_RESPONSE_FILE_PREFIX, timestamp),
+            [msg],
+        )
+
+    def write_reward_info(self, msg, timestamp: pd.Timestamp):
+        append_records(
+            self._path(constants.REWARD_INFO_PREFIX, timestamp), [msg]
+        )
+
+    def write_reward_response(self, msg, timestamp: pd.Timestamp):
+        append_records(
+            self._path(constants.REWARD_RESPONSE_PREFIX, timestamp), [msg]
+        )
+
+    def write_device_infos(self, device_infos) -> None:
+        append_records(
+            os.path.join(
+                self._output_dir, constants.DEVICE_INFO_PREFIX + "s"
+            ),
+            list(device_infos),
+        )
+
+    def write_zone_infos(self, zone_infos) -> None:
+        append_records(
+            os.path.join(self._output_dir, constants.ZONE_INFO_PREFIX + "s"),
+            list(zone_infos),
+        )
+
+    def write_normalization_info(self, variable_infos) -> None:
+        append_records(
+            os.path.join(self._output_dir, constants.NORMALIZATION_FILENAME),
+            list(variable_infos),
+        )
+
+
+class RecordWriterFactory:
+    """writer_lib.BaseWriterFactory equivalent (controller_writer.py:173)."""
+
+    def create(self, output_dir: str) -> RecordWriter:
+        return RecordWriter(output_dir)
+
+
+class RecordReader:
+    """Reads proto shards from one episode directory
+    (controller_reader.py:39-237)."""
+
+    def __init__(self, input_dir: str):
+        self._input_dir = input_dir
+
+    def _shards(
+        self,
+        prefix: str,
+        start: Optional[pd.Timestamp] = None,
+        end: Optional[pd.Timestamp] = None,
+    ) -> List[str]:
+        """Shard files for prefix, filtered to [start, end] by their hourly
+        serial (controller_reader.py:160-185)."""
+        out = []
+        for name in sorted(os.listdir(self._input_dir)):
+            if not name.startswith(prefix + "_"):
+                continue
+            serial = name[len(prefix) + 1 :]
+            try:
+                ts = pd.Timestamp(
+                    *(int(p) for p in serial.split(".")), tz="UTC"
+                )
+            except (TypeError, ValueError):
+                continue
+            if start is not None and ts < start.floor("h"):
+                continue
+            if end is not None and ts > end:
+                continue
+            out.append(os.path.join(self._input_dir, name))
+        return out
+
+    def _read_prefixed(
+        self, prefix: str, start=None, end=None
+    ) -> List[message_lib.Message]:
+        message_type = _PREFIX_TO_MESSAGE[prefix]
+        out: List[message_lib.Message] = []
+        for shard in self._shards(prefix, start, end):
+            out.extend(read_records(shard, message_type))
+        return out
+
+    def read_observation_responses(self, start=None, end=None):
+        return self._read_prefixed(
+            constants.OBSERVATION_RESPONSE_FILE_PREFIX, start, end
+        )
+
+    def read_action_responses(self, start=None, end=None):
+        return self._read_prefixed(
+            constants.ACTION_RESPONSE_FILE_PREFIX, start, end
+        )
+
+    def read_reward_infos(self, start=None, end=None):
+        return self._read_prefixed(constants.REWARD_INFO_PREFIX, start, end)
+
+    def read_reward_responses(self, start=None, end=None):
+        return self._read_prefixed(
+            constants.REWARD_RESPONSE_PREFIX, start, end
+        )
+
+    def read_device_infos(self):
+        path = os.path.join(
+            self._input_dir, constants.DEVICE_INFO_PREFIX + "s"
+        )
+        if not os.path.exists(path):
+            return []
+        return list(read_records(path, building_pb2.DeviceInfo))
+
+    def read_zone_infos(self):
+        path = os.path.join(self._input_dir, constants.ZONE_INFO_PREFIX + "s")
+        if not os.path.exists(path):
+            return []
+        return list(read_records(path, building_pb2.ZoneInfo))
+
+    def read_normalization_info(self):
+        path = os.path.join(
+            self._input_dir, constants.NORMALIZATION_FILENAME
+        )
+        if not os.path.exists(path):
+            return {}
+        infos = read_records(
+            path, normalization_pb2.ContinuousVariableInfo
+        )
+        return {info.id: info for info in infos}
+
+
+def get_episode_data(metrics_path: str) -> pd.DataFrame:
+    """Scans episode directories into a summary frame
+    (controller_reader.py:240-316)."""
+    rows = []
+    for episode in sorted(os.listdir(metrics_path)):
+        episode_dir = os.path.join(metrics_path, episode)
+        if not os.path.isdir(episode_dir):
+            continue
+        reader = RecordReader(episode_dir)
+        rewards = reader.read_reward_responses()
+        if not rewards:
+            continue
+        rows.append(
+            {
+                "episode": episode,
+                "n_steps": len(rewards),
+                "cumulative_reward": sum(
+                    r.agent_reward_value for r in rewards
+                ),
+                "electricity_cost": sum(
+                    r.electricity_energy_cost for r in rewards
+                ),
+                "gas_cost": sum(
+                    r.natural_gas_energy_cost for r in rewards
+                ),
+                "carbon_emitted": sum(r.carbon_emitted for r in rewards),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -1,1 +1,17 @@
+"""Wire-format protos, compatible with the reference smart_control protos.
 
+The .proto sources in this directory declare the same package, message names
+and field numbers as the reference (smart_control/proto/*.proto), so recorded
+telemetry shards and real-building endpoints interoperate byte-for-byte.
+Generated _pb2 modules are checked in; regenerate with:
+
+    cd sbsim_tpu/proto && protoc --python_out=. *.proto
+
+Inside the device hot path these messages never appear - state is
+array-native pytrees; proto conversion happens only at the host boundary
+(io/ and envs/host_adapter.py).
+"""
+
+from sbsim_tpu.proto import building_pb2, normalization_pb2, reward_pb2
+
+__all__ = ["building_pb2", "normalization_pb2", "reward_pb2"]

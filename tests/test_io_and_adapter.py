@@ -1,0 +1,194 @@
+"""Proto host-adapter and record IO tests (mirrors
+controller_read_write_test.py and simulator_building_test.py patterns)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.host_adapter import (
+    RejectionSimulatedBuilding,
+    SimulatedBuilding,
+)
+from sbsim_tpu.io import records
+from sbsim_tpu.proto import building_pb2, reward_pb2
+
+
+@pytest.fixture(scope="module")
+def building():
+    env = BuildingEnv(presets.two_zone_test_config())
+    return SimulatedBuilding(env, seed=0)
+
+
+class TestAdapter:
+    def test_device_and_zone_infos(self, building):
+        ids = [d.device_id for d in building.devices]
+        assert ids[:2] == ["boiler", "air_handler"]
+        assert "vav_room_1" in ids and "vav_room_2" in ids
+        assert [z.zone_id for z in building.zones] == [
+            "zone_id_1",
+            "zone_id_2",
+        ]
+
+    def test_observation_round_trip(self, building):
+        request = building.default_observation_request()
+        response = building.request_observations(request)
+        assert len(response.single_observation_responses) == len(
+            request.single_observation_requests
+        )
+        values = {
+            (
+                r.single_observation_request.device_id,
+                r.single_observation_request.measurement_name,
+            ): r.continuous_value
+            for r in response.single_observation_responses
+            if r.observation_valid
+        }
+        assert values[("boiler", "supply_water_setpoint")] == pytest.approx(
+            360.0
+        )
+        assert values[
+            ("vav_room_1", "zone_air_temperature_sensor")
+        ] == pytest.approx(0.0)  # pre-first-step sensor init (vav.py:89)
+
+    def test_invalid_device_flagged(self, building):
+        request = building_pb2.ObservationRequest()
+        request.single_observation_requests.add(
+            device_id="nope", measurement_name="zone_air_temperature_sensor"
+        )
+        response = building.request_observations(request)
+        assert not response.single_observation_responses[0].observation_valid
+
+    def test_action_then_step(self, building):
+        request = building_pb2.ActionRequest()
+        request.single_action_requests.add(
+            device_id="boiler",
+            setpoint_name="supply_water_setpoint",
+            continuous_value=330.0,
+        )
+        response = building.request_action(request)
+        assert (
+            response.single_action_responses[0].response_type
+            == building_pb2.SingleActionResponse.ACCEPTED
+        )
+        t0 = building.current_timestamp
+        building.wait_time()
+        assert building.current_timestamp == t0 + pd.Timedelta(300, unit="s")
+        obs = building.request_observations(
+            building.default_observation_request()
+        )
+        values = {
+            r.single_observation_request.measurement_name: r.continuous_value
+            for r in obs.single_observation_responses
+            if r.single_observation_request.device_id == "boiler"
+        }
+        assert values["supply_water_setpoint"] == pytest.approx(330.0)
+
+    def test_action_rejection_codes(self, building):
+        request = building_pb2.ActionRequest()
+        request.single_action_requests.add(
+            device_id="ghost",
+            setpoint_name="supply_water_setpoint",
+            continuous_value=330.0,
+        )
+        request.single_action_requests.add(
+            device_id="boiler",
+            setpoint_name="not_a_setpoint",
+            continuous_value=1.0,
+        )
+        response = building.request_action(request)
+        assert (
+            response.single_action_responses[0].response_type
+            == building_pb2.SingleActionResponse.REJECTED_INVALID_DEVICE
+        )
+        assert (
+            response.single_action_responses[1].response_type
+            == building_pb2.SingleActionResponse.REJECTED_NOT_ENABLED_OR_AVAILABLE
+        )
+
+    def test_reward_info_contents(self, building):
+        building.wait_time()
+        info = building.reward_info
+        assert set(info.zone_reward_infos) == {"zone_id_1", "zone_id_2"}
+        z = info.zone_reward_infos["zone_id_1"]
+        assert 250.0 < z.zone_air_temperature < 320.0
+        assert z.heating_setpoint_temperature in (289.0, 294.0)
+        assert "air_handler" in info.air_handler_reward_infos
+        assert "boiler" in info.boiler_reward_infos
+
+    def test_rejection_decorator(self):
+        env = BuildingEnv(presets.two_zone_test_config())
+        base = SimulatedBuilding(env, seed=1)
+        rejecting = RejectionSimulatedBuilding(base, num_rejections=2)
+        request = building_pb2.ActionRequest()
+        request.single_action_requests.add(
+            device_id="boiler",
+            setpoint_name="supply_water_setpoint",
+            continuous_value=330.0,
+        )
+        with pytest.raises(RuntimeError):
+            rejecting.request_action(request)
+        with pytest.raises(RuntimeError):
+            rejecting.request_action(request)
+        response = rejecting.request_action(request)
+        assert (
+            response.single_action_responses[0].response_type
+            == building_pb2.SingleActionResponse.ACCEPTED
+        )
+        # Delegation works.
+        assert rejecting.time_step_sec == 300.0
+
+
+class TestRecordIO:
+    def test_round_trip_all_types(self, tmp_path, building):
+        writer = records.RecordWriter(str(tmp_path / "ep1"))
+        ts = pd.Timestamp("2023-07-06 07:00:00+00:00")
+        obs = building.request_observations(
+            building.default_observation_request()
+        )
+        writer.write_observation_response(obs, ts)
+        writer.write_observation_response(obs, ts + pd.Timedelta(hours=2))
+        info = building.reward_info
+        writer.write_reward_info(info, ts)
+        response = reward_pb2.RewardResponse(agent_reward_value=-0.25)
+        writer.write_reward_response(response, ts)
+        writer.write_device_infos(building.devices)
+        writer.write_zone_infos(building.zones)
+
+        reader = records.RecordReader(str(tmp_path / "ep1"))
+        obs_back = reader.read_observation_responses()
+        assert len(obs_back) == 2
+        assert obs_back[0].SerializeToString() == obs.SerializeToString()
+        assert len(reader.read_reward_infos()) == 1
+        assert reader.read_reward_responses()[0].agent_reward_value == (
+            pytest.approx(-0.25)
+        )
+        assert len(reader.read_device_infos()) == len(building.devices)
+        assert len(reader.read_zone_infos()) == 2
+
+    def test_time_window_selection(self, tmp_path, building):
+        writer = records.RecordWriter(str(tmp_path / "ep2"))
+        ts = pd.Timestamp("2023-07-06 07:00:00+00:00")
+        response = reward_pb2.RewardResponse(agent_reward_value=-0.1)
+        for h in range(5):
+            writer.write_reward_response(
+                response, ts + pd.Timedelta(hours=h)
+            )
+        reader = records.RecordReader(str(tmp_path / "ep2"))
+        window = reader.read_reward_responses(
+            start=ts + pd.Timedelta(hours=1), end=ts + pd.Timedelta(hours=3)
+        )
+        assert len(window) == 3
+
+    def test_episode_scan(self, tmp_path):
+        writer = records.RecordWriter(str(tmp_path / "scan" / "epA"))
+        ts = pd.Timestamp("2023-07-06 07:00:00+00:00")
+        for i in range(4):
+            writer.write_reward_response(
+                reward_pb2.RewardResponse(agent_reward_value=-0.5), ts
+            )
+        df = records.get_episode_data(str(tmp_path / "scan"))
+        assert len(df) == 1
+        assert df.iloc[0]["n_steps"] == 4
+        assert df.iloc[0]["cumulative_reward"] == pytest.approx(-2.0)
