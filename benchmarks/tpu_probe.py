@@ -1,0 +1,66 @@
+"""Incremental TPU timing probe for the batched env step (dev tool)."""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--scan", type=int, default=16)
+    p.add_argument("--block", type=int, default=8)
+    args = p.parse_args()
+
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+    print(f"grid={env.geom.shape} zones={env.n_zones}", flush=True)
+    batch = args.batch
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    t0 = time.time()
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    jax.block_until_ready(obs)
+    print(f"reset: {time.time()-t0:.1f}s", flush=True)
+    actions = jnp.zeros((batch, env.n_actions))
+
+    def step(s, a):
+        return env.step_batched(s, a, use_pallas=args.pallas)
+
+    t0 = time.time()
+    step_j = jax.jit(step)
+    s2, out = step_j(states, actions)
+    jax.block_until_ready(out.reward)
+    print(f"single step compile+run: {time.time()-t0:.1f}s", flush=True)
+    print("fdm iters mean:", float(s2.fdm_iterations.mean()), flush=True)
+
+    def scan_fn(s):
+        def body(s, _):
+            s, out = step(s, actions)
+            return s, out.reward
+
+        return jax.lax.scan(body, s, None, length=args.scan)
+
+    r = jax.jit(scan_fn)
+    t0 = time.time()
+    s3, rw = r(s2)
+    jax.block_until_ready(rw)
+    print(f"scan{args.scan} compile+run: {time.time()-t0:.1f}s", flush=True)
+    for _ in range(2):
+        t0 = time.time()
+        s3, rw = r(s3)
+        jax.block_until_ready(rw)
+        dt = time.time() - t0
+        print(
+            f"scan{args.scan} cached: {dt:.3f}s -> "
+            f"{args.scan*batch/dt:.0f} env-steps/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

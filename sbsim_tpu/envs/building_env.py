@@ -37,6 +37,7 @@ from sbsim_tpu.hvac import devices as hvac_ops
 from sbsim_tpu.hvac.params import HvacParams, HvacState, initial_hvac_state, make_hvac_params
 from sbsim_tpu.physics import convection as convection_lib
 from sbsim_tpu.physics import fdm
+from sbsim_tpu.physics import fdm_pallas
 from sbsim_tpu.scenario import occupancy as occupancy_lib
 from sbsim_tpu.scenario import tables as tables_lib
 
@@ -245,13 +246,81 @@ class BuildingEnv:
     def step(
         self, state: EnvState, action: jnp.ndarray
     ) -> Tuple[EnvState, StepOutput]:
-        """One control step; `action` is the normalized [-1, 1] vector."""
+        """One control step (per-env; vmap over the batch).
+
+        Composes the pre-FDM control phase, the FDM solve, and the
+        post-physics observation/reward phase. `step_batched` runs the same
+        phases with the FDM as a single batched (optionally Pallas) call.
+        """
+        pre, conv_key = self._step_pre(state, action)
+        new_temp, converged, n_iter = fdm.fdm_step(
+            state.temp,
+            state.input_q,
+            pre["ambient"],
+            pre["h_conv"],
+            self.coeffs,
+            convergence_threshold=self.config.convergence_threshold,
+            iteration_limit=self.config.iteration_limit,
+        )
+        new_temp = convection_lib.apply_convection(
+            new_temp, self.convection, conv_key
+        )
+        return self._step_post(state, pre, new_temp, converged, n_iter)
+
+    def step_batched(
+        self, states: EnvState, actions: jnp.ndarray, use_pallas: bool = True
+    ) -> Tuple[EnvState, StepOutput]:
+        """One control step for an explicit env batch.
+
+        The control/observation/reward phases vmap over envs; the FDM hot
+        loop runs as one batched call - the Pallas VMEM-resident kernel on
+        TPU (physics/fdm_pallas.py), the XLA while_loop elsewhere.
+        """
+        pre, conv_keys = jax.vmap(self._step_pre)(states, actions)
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if use_pallas and on_tpu:
+            batch = states.temp.shape[0]
+            block = 8 if batch % 8 == 0 else 1
+            new_temp, iters = fdm_pallas.fdm_step_pallas(
+                states.temp,
+                states.input_q,
+                pre["ambient"],
+                pre["h_conv"],
+                self.coeffs,
+                convergence_threshold=self.config.convergence_threshold,
+                iteration_limit=self.config.iteration_limit,
+                block_envs=block,
+            )
+            n_iter = jnp.repeat(iters, block)[:batch]
+            converged = n_iter < self.config.iteration_limit
+        else:
+            new_temp, converged, n_iter = fdm.fdm_step(
+                states.temp,
+                states.input_q,
+                pre["ambient"],
+                pre["h_conv"],
+                self.coeffs,
+                convergence_threshold=self.config.convergence_threshold,
+                iteration_limit=self.config.iteration_limit,
+            )
+        new_temp = jax.vmap(
+            lambda temp, key: convection_lib.apply_convection(
+                temp, self.convection, key
+            )
+        )(new_temp, conv_keys)
+        return jax.vmap(self._step_post)(
+            states, pre, new_temp, converged, n_iter
+        )
+
+    def _step_pre(
+        self, state: EnvState, action: jnp.ndarray
+    ) -> Tuple[Dict[str, Any], jax.Array]:
+        """Control phase: everything before (and independent of) the FDM."""
         cfg = self.config
         geom = self.geom
         params = self.hvac_params
         tables = self.tables
         t = state.step_idx
-        dt = jnp.float32(cfg.time_step_sec)
 
         rng, conv_key, obs_key, reward_key = jax.random.split(state.rng, 4)
 
@@ -304,7 +373,7 @@ class BuildingEnv:
                 ]
             )
 
-        # ---- Phase 2: wait_time / execute_step_sim -----------------------
+        # ---- Phase 2 (pre-FDM): demand accumulation ----------------------
         ambient = tables.ambient_temp[t]
         h_conv = tables.convection_coeff[t]
         recirculation_temp = jnp.mean(state.temp)
@@ -316,21 +385,9 @@ class BuildingEnv:
             params,
         )
 
-        new_temp, converged, n_iter = fdm.fdm_step(
-            state.temp,
-            state.input_q,
-            ambient,
-            h_conv,
-            self.coeffs,
-            convergence_threshold=cfg.convergence_threshold,
-            iteration_limit=cfg.iteration_limit,
-        )
-        new_temp = convection_lib.apply_convection(
-            new_temp, self.convection, conv_key
-        )
-
         # VAV outputs use the *pre-step* zone temps (one-step delay,
-        # simulator_flexible_floor_plan.py:134, 165-179).
+        # simulator_flexible_floor_plan.py:134, 165-179), so they are
+        # independent of the FDM result.
         q_zone, zone_supply_temps = hvac_ops.vav_output(
             zone_temps,
             supply_air_temp,
@@ -361,14 +418,40 @@ class BuildingEnv:
         zone_q = jnp.concatenate([q_zone, jnp.zeros((1,), jnp.float32)])
         new_input_q = geom.diffusers * zone_q[geom.zone_ids]
 
+        pre = {
+            "hvac": hvac,
+            "new_input_q": new_input_q,
+            "ambient": ambient,
+            "h_conv": h_conv,
+            "rng": rng,
+            "obs_key": obs_key,
+            "reward_key": reward_key,
+        }
+        return pre, conv_key
+
+    def _step_post(
+        self,
+        state: EnvState,
+        pre: Dict[str, Any],
+        new_temp: jnp.ndarray,
+        converged: jnp.ndarray,
+        n_iter: jnp.ndarray,
+    ) -> Tuple[EnvState, StepOutput]:
+        """Observation + reward at t+1, after the physics solve."""
+        cfg = self.config
+        tables = self.tables
+        params = self.hvac_params
+        t = state.step_idx
         t_next = t + 1
+        dt = jnp.float32(cfg.time_step_sec)
+        hvac = pre["hvac"]
 
         # ---- Phase 3: observation at t+1 ---------------------------------
         # Occupancy peek for the observation probes [t, t+1]
         # (simulator_building.py:305-315).
         occupants = self._occupancy_peek_randomized(
             state.occupants,
-            obs_key,
+            pre["obs_key"],
             tables.local_hour[t],
             tables.workday_local[t],
         )
@@ -376,11 +459,11 @@ class BuildingEnv:
 
         mid_state = EnvState(
             temp=new_temp,
-            input_q=new_input_q,
+            input_q=pre["new_input_q"],
             hvac=hvac,
             occupants=occupants,
             step_idx=t_next,
-            rng=rng,
+            rng=pre["rng"],
             fdm_converged=converged,
             fdm_iterations=n_iter,
         )
@@ -391,12 +474,12 @@ class BuildingEnv:
         # (randomized draws advance again, simulator.py:471-475).
         occupants = self._occupancy_peek_randomized(
             occupants,
-            reward_key,
+            pre["reward_key"],
             tables.local_hour[t_next],
             tables.workday_local[t_next],
         )
         zone_occ = self._zone_occupancy_at(occupants, t_next)
-        post_zone_temps = _zone_means(new_temp, geom)
+        post_zone_temps = _zone_means(new_temp, self.geom)
         breakdown = self._reward(
             mid_state, post_zone_temps, zone_occ, t_next
         )

@@ -183,23 +183,25 @@ def fdm_step(
     thr = jnp.float32(convergence_threshold)
 
     def cond_fn(carry):
-        _, done, it = carry
+        _, done, _, it = carry
         return jnp.logical_and(it < iteration_limit, ~jnp.all(done))
 
     def body_fn(carry):
-        x, done, it = carry
+        x, done, iters, it = carry
         x_new = jacobi_iteration(x, const, denom, coeffs, t_inf)
         delta = jnp.max(jnp.abs(x_new - x), axis=(-2, -1))
         # Envs already converged are frozen so batched results are identical
         # to solo runs; envs converging *this* iteration keep this update,
         # matching the post-update check in simulator.py:348-364.
         x_out = jnp.where(done[..., None, None], x, x_new)
+        iters_out = jnp.where(done, iters, it + 1)
         done_out = jnp.logical_or(done, delta <= thr)
-        return x_out, done_out, it + 1
+        return x_out, done_out, iters_out, it + 1
 
     x0 = temp.astype(jnp.float32)
     done0 = jnp.zeros(batch_shape, dtype=bool)
-    x_final, converged, n_iter = jax.lax.while_loop(
-        cond_fn, body_fn, (x0, done0, jnp.int32(0))
+    iters0 = jnp.zeros(batch_shape, dtype=jnp.int32)
+    x_final, converged, n_iter, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (x0, done0, iters0, jnp.int32(0))
     )
     return x_final, converged, n_iter

@@ -88,7 +88,7 @@ class TestJacobiParity:
             iteration_limit=100,
         )
         assert bool(converged[0]) == conv
-        assert int(n) == n_iter
+        assert int(n[0]) == n_iter
         np.testing.assert_allclose(np.asarray(got[0]), expected, atol=1e-3)
 
     def test_batched_identical_to_solo(self, geom, coeffs):

@@ -1,0 +1,59 @@
+"""Pallas FDM kernel parity vs the XLA while_loop solver (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.core import geometry
+from sbsim_tpu.physics import fdm, fdm_pallas
+
+AIR = geometry.MaterialProperties(50.0, 700.0, 1.0)
+WALL = geometry.MaterialProperties(2.0, 500.0, 1800.0)
+EXTERIOR = geometry.MaterialProperties(0.05, 700.0, 1.0)
+
+
+@pytest.fixture(scope="module")
+def geom():
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    return geometry.geometry_from_floor_plan(
+        plan,
+        cv_size_cm=10.0,
+        floor_height_cm=300.0,
+        initial_temp=294.0,
+        inside_air=AIR,
+        inside_wall=WALL,
+        exterior_wall=EXTERIOR,
+        buffer_from_walls=0,
+    )
+
+
+def test_pallas_matches_xla_solver(geom):
+    coeffs = fdm.stencil_coefficients(geom, 300.0)
+    rng = np.random.default_rng(0)
+    batch = 8
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+    t_inf = jnp.asarray(
+        rng.uniform(270.0, 300.0, (batch,)), jnp.float32
+    )
+    h = jnp.full((batch,), 12.0, jnp.float32)
+
+    expected, _, _ = fdm.fdm_step(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+    )
+    got, iters = fdm_pallas.fdm_step_pallas(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+        block_envs=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=1e-5
+    )
+    assert (np.asarray(iters) > 0).all()

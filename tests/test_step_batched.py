@@ -1,0 +1,37 @@
+"""step_batched must match vmapped step (shared phase functions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+@pytest.fixture(scope="module")
+def env():
+    return BuildingEnv(presets.two_zone_test_config())
+
+
+def test_step_batched_matches_vmap_step(env):
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    states, _ = jax.vmap(env.reset)(keys)
+    actions = jnp.asarray(
+        [[0.0, 0.0], [1.0, -1.0], [-1.0, 1.0], [0.5, 0.5]], jnp.float32
+    )
+    step_v = jax.jit(jax.vmap(env.step))
+    step_b = jax.jit(lambda s, a: env.step_batched(s, a, use_pallas=False))
+
+    sv, ov = states, None
+    sb, ob = states, None
+    for _ in range(3):
+        sv, ov = step_v(sv, actions)
+        sb, ob = step_b(sb, actions)
+    np.testing.assert_array_equal(np.asarray(sv.temp), np.asarray(sb.temp))
+    np.testing.assert_array_equal(
+        np.asarray(ov.observation), np.asarray(ob.observation)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ov.reward), np.asarray(ob.reward)
+    )
