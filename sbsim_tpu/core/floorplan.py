@@ -149,6 +149,9 @@ class ProcessedFloorPlan:
     exterior_space: np.ndarray  # bool (H, W): outside air
     exterior_walls: np.ndarray  # bool (H, W): expanded exterior walls
     interior_walls: np.ndarray  # bool (H, W): remaining interior walls
+    # Pre-expansion interior walls (wall CVs minus the 1-CV exterior shell);
+    # the diffuser filter uses these (building.py:751-757).
+    interior_walls_initial: np.ndarray  # bool (H, W)
     room_labels: np.ndarray  # int (H, W): -1 outside, 0 wall, 1..n rooms
     room_dict: RoomDict  # room_k -> list of (i, j)
 
@@ -195,6 +198,7 @@ def process_floor_plan(
         exterior_space=exterior_space,
         exterior_walls=exterior_walls,
         interior_walls=interior_walls,
+        interior_walls_initial=interior_walls_initial,
         room_labels=room_labels,
         room_dict=room_dict,
     )

@@ -243,10 +243,9 @@ def geometry_from_floor_plan(
     diffusers = floorplan_lib.assign_thermal_diffusers(
         processed.floor_plan.shape,
         processed.room_dict,
-        # The reference passes the *pre-expansion* interior walls here
-        # (building.py:751-757 uses `interior_walls` from
-        # construct_building_data_types, not the shrunk version).
-        interior_walls=None,
+        # The reference filters diffuser positions against the
+        # *pre-expansion* interior walls (building.py:751-757).
+        interior_walls=processed.interior_walls_initial,
         buffer_from_walls=buffer_from_walls,
     )
 

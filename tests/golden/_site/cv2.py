@@ -1,0 +1,38 @@
+"""OpenCV shim over scipy.ndimage for the reference preprocessing calls.
+
+Covers exactly the three calls the reference floor-plan pipeline makes:
+connectedComponentsWithStats (4-connectivity labeling), distanceTransform
+(distance to the nearest zero pixel; exact Euclidean here vs OpenCV's 3x3
+chamfer - identical selections for the small expansion distances used), and
+dilate with iterations=0 (identity).
+"""
+
+import numpy as np
+from scipy import ndimage
+
+DIST_L2 = 2
+
+
+def connectedComponentsWithStats(image, connectivity=4):
+    structure = ndimage.generate_binary_structure(2, 1 if connectivity == 4 else 2)
+    labels, n = ndimage.label(np.asarray(image) != 0, structure=structure)
+    labels = labels.astype(np.int32)
+    stats = np.zeros((n + 1, 5), np.int32)
+    centroids = np.zeros((n + 1, 2), np.float64)
+    return n + 1, labels, stats, centroids
+
+
+def distanceTransform(src, distanceType, maskSize):
+    src = np.asarray(src)
+    return ndimage.distance_transform_edt(src != 0).astype(np.float32)
+
+
+def dilate(src, kernel, iterations=1):
+    src = np.asarray(src)
+    if iterations <= 0:
+        return src
+    out = src
+    structure = np.asarray(kernel) != 0
+    for _ in range(iterations):
+        out = ndimage.grey_dilation(out, footprint=structure)
+    return out

@@ -1,0 +1,19 @@
+"""Minimal gin-config shim so the reference modules import without gin.
+
+Only @gin.configurable (bare and with parens) is used by the simulator
+modules; configuration is done directly in the tests, so the decorator is a
+passthrough.
+"""
+
+
+def configurable(fn_or_name=None, *args, **kwargs):
+    if callable(fn_or_name):
+        return fn_or_name
+
+    def wrap(fn):
+        return fn
+
+    return wrap
+
+
+REQUIRED = object()

@@ -1,0 +1,1 @@
+# google3 namespace shim: forwards google3.google.protobuf to google.protobuf.

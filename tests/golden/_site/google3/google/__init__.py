@@ -1,0 +1,2 @@
+import google as _g
+__path__ = _g.__path__

@@ -1,0 +1,11 @@
+"""holidays-package shim: `date in holidays.US()` via sbsim_tpu's calendar."""
+
+from sbsim_tpu.scenario import uscalendar
+
+
+class US:
+    def __contains__(self, d):
+        return uscalendar.is_us_holiday(d)
+
+    def get(self, d, default=None):
+        return "holiday" if d in self else default

@@ -1,0 +1,5 @@
+"""mediapy shim (video writing unused in golden tests)."""
+
+
+def write_video(path, images, fps=12, **kwargs):
+    raise NotImplementedError("video output disabled in golden tests")

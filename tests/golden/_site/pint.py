@@ -1,0 +1,61 @@
+"""Minimal pint shim: units are dimensionless markers; quantities wrap
+numpy values and expose .magnitude. Covers the reference's usage in
+electricity_energy_cost.py:29-34, 146-224."""
+
+import numpy as np
+
+
+class Quantity:
+    def __init__(self, magnitude):
+        self.magnitude = magnitude
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(self.magnitude, dtype=dtype)
+
+    def _mag(self, other):
+        return other.magnitude if isinstance(other, (Quantity, Unit)) else other
+
+    def __mul__(self, other):
+        return Quantity(self.magnitude * self._mag(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return Quantity(self.magnitude / self._mag(other))
+
+    def __rtruediv__(self, other):
+        return Quantity(self._mag(other) / self.magnitude)
+
+    def __add__(self, other):
+        return Quantity(self.magnitude + self._mag(other))
+
+    __radd__ = __add__
+
+    def __getitem__(self, idx):
+        return Quantity(np.asarray(self.magnitude)[idx])
+
+    def __len__(self):
+        return len(self.magnitude)
+
+    def __float__(self):
+        return float(self.magnitude)
+
+
+class Unit:
+    magnitude = 1.0
+
+    def __rmul__(self, other):
+        if isinstance(other, Quantity):
+            return Quantity(other.magnitude)
+        return Quantity(np.asarray(other))
+
+    def __mul__(self, other):
+        return self.__rmul__(other)
+
+
+class UnitRegistry:
+    def define(self, definition: str) -> None:
+        pass
+
+    def __getattr__(self, name: str) -> Unit:
+        return Unit()

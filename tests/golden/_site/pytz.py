@@ -1,0 +1,25 @@
+"""pytz shim over zoneinfo (only UTC and timezone() are used)."""
+
+from datetime import timezone as _tz
+from zoneinfo import ZoneInfo
+
+__version__ = "2024.1"  # pandas probes optional-dependency versions
+
+UTC = _tz.utc
+
+
+class _BaseTzInfo:
+    """pandas probes isinstance(tz, pytz.tzinfo.BaseTzInfo); nothing here
+    subclasses it, so the check simply returns False and pandas falls back
+    to the zoneinfo path."""
+
+
+import types as _types  # noqa: E402
+
+tzinfo = _types.SimpleNamespace(BaseTzInfo=_BaseTzInfo)
+
+
+def timezone(name):
+    if name == "UTC":
+        return UTC
+    return ZoneInfo(name)

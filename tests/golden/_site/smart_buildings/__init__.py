@@ -1,0 +1,5 @@
+# Golden-test harness: resolve smart_buildings.* submodules from both this
+# directory (generated protos) and the read-only reference mount.
+import os
+
+__path__ = [os.path.dirname(__file__), "/root/reference"]

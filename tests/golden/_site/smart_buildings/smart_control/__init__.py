@@ -1,0 +1,3 @@
+import os
+
+__path__ = [os.path.dirname(__file__), "/root/reference/smart_control"]

@@ -1,0 +1,15 @@
+"""Golden parity tests: run the *actual reference implementation* (mounted
+read-only at /root/reference) as a test oracle against sbsim_tpu.
+
+The harness provides: generated reference protos, and shims for gin / cv2 /
+pytz / holidays / mediapy (the only reference deps absent from this image).
+Reference modules import as `smart_buildings.smart_control.*` via the
+namespace bridge in _site/smart_buildings/__init__.py.
+"""
+
+import os
+import sys
+
+_SITE = os.path.join(os.path.dirname(__file__), "_site")
+if _SITE not in sys.path:
+    sys.path.insert(0, _SITE)

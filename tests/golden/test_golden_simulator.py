@@ -1,0 +1,392 @@
+"""Golden parity: sbsim_tpu vs the actual reference implementation.
+
+These tests construct the same small floor-plan building in both stacks and
+step both simulators with identical inputs, comparing temperature fields,
+zone temps, device states and energy rates. The reference runs through the
+shim harness (tests/golden/_site) and is the oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from sbsim_tpu.core import geometry  # noqa: E402
+from sbsim_tpu.envs import presets  # noqa: E402
+from sbsim_tpu.envs.building_env import BuildingEnv  # noqa: E402
+from sbsim_tpu.physics import fdm  # noqa: E402
+
+CV_SIZE_CM = 20.0
+FLOOR_HEIGHT_CM = 250.0
+AIR = (50.0, 700.0, 1.0)
+WALL = (2.0, 500.0, 1800.0)
+EXTERIOR = (0.05, 700.0, 1.0)
+START = "2023-07-06 07:00:00+00:00"
+
+
+def small_plan():
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    return plan
+
+
+def build_reference():
+    import pytz
+    from smart_buildings.smart_control.simulator import air_handler as ref_ahu
+    from smart_buildings.smart_control.simulator import boiler as ref_boiler
+    from smart_buildings.smart_control.simulator import building as ref_building
+    from smart_buildings.smart_control.simulator import (
+        hvac_floorplan_based as ref_hvac,
+    )
+    from smart_buildings.smart_control.simulator import (
+        setpoint_schedule as ref_schedule,
+    )
+    from smart_buildings.smart_control.simulator import (
+        tf_simulator as ref_tf_simulator,
+    )
+    from smart_buildings.smart_control.simulator import (
+        weather_controller as ref_weather,
+    )
+
+    mp = ref_building.MaterialProperties
+    bldg = ref_building.FloorPlanBasedBuilding(
+        cv_size_cm=CV_SIZE_CM,
+        floor_height_cm=FLOOR_HEIGHT_CM,
+        initial_temp=294.0,
+        inside_air_properties=mp(*AIR),
+        inside_wall_properties=mp(*WALL),
+        building_exterior_properties=mp(*EXTERIOR),
+        floor_plan=small_plan(),
+        zone_map=small_plan().copy(),
+        buffer_from_walls=0,
+        convection_simulator=None,
+    )
+    weather = ref_weather.WeatherController(
+        default_low_temp=278.0,
+        default_high_temp=288.0,
+        convection_coefficient=12.0,
+    )
+    schedule = ref_schedule.SetpointSchedule(
+        morning_start_hour=6,
+        evening_start_hour=19,
+        comfort_temp_window=(294.0, 297.0),
+        eco_temp_window=(289.0, 298.0),
+        time_zone=pytz.timezone("US/Pacific"),
+    )
+    ahu = ref_ahu.AirHandler(
+        recirculation=0.3,
+        heating_air_temp_setpoint=285.0,
+        cooling_air_temp_setpoint=298.0,
+        fan_differential_pressure=10000.0,
+        fan_efficiency=0.9,
+        max_air_flow_rate=8.67,
+        device_id="air_handler",
+        sim_weather_controller=weather,
+    )
+    boiler = ref_boiler.Boiler(
+        reheat_water_setpoint=360.0,
+        water_pump_differential_head=6.0,
+        water_pump_efficiency=0.98,
+        device_id="boiler",
+        heating_rate=0.5,
+        cooling_rate=0.1,
+    )
+    hvac = ref_hvac.FloorPlanBasedHvac(
+        air_handler=ahu,
+        boiler=boiler,
+        schedule=schedule,
+        vav_max_air_flow_rate=0.035,
+        vav_reheat_max_water_flow_rate=0.03,
+    )
+    sim = ref_tf_simulator.TFSimulator(
+        building=bldg,
+        hvac=hvac,
+        weather_controller=weather,
+        time_step_sec=300.0,
+        convergence_threshold=0.1,
+        iteration_limit=100,
+        iteration_warning=30,
+        # The reference sinusoid WeatherController requires tz-naive
+        # timestamps (weather_controller.py:118-120 subtracts a naive
+        # date); naive here is treated as UTC, matching our config.
+        start_timestamp=pd.Timestamp(START).tz_localize(None),
+    )
+    return sim
+
+
+def build_ours():
+    import dataclasses
+
+    cfg = presets.two_zone_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        weather=dataclasses.replace(
+            cfg.weather, low_temp=278.0, high_temp=288.0,
+            convection_coefficient=12.0,
+        ),
+        # The reference side runs on tz-naive timestamps, which its schedule
+        # localizes to UTC (setpoint_schedule.py:100-106); match that here.
+        schedule=dataclasses.replace(cfg.schedule, time_zone="UTC"),
+        occupancy=dataclasses.replace(cfg.occupancy, time_zone="UTC"),
+    )
+    return BuildingEnv(cfg)
+
+
+class TestGeometryParity:
+    def test_static_arrays_match_reference(self):
+        ref = build_reference()
+        env = build_ours()
+        bldg = ref._building
+        np.testing.assert_allclose(
+            np.asarray(env.geom.conductivity), bldg.conductivity, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.heat_capacity), bldg.heat_capacity, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.density), bldg.density, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.diffusers), bldg.diffusers, rtol=1e-6
+        )
+        # Neighbor-count classification: exterior mask vs reference
+        # len_neighbors <= 1.
+        np.testing.assert_array_equal(
+            np.asarray(env.geom.exterior_mask), bldg.len_neighbors <= 1
+        )
+
+    def test_stencil_tensors_match_tf_simulator(self):
+        ref = build_reference()
+        env = build_ours()
+        np.testing.assert_allclose(
+            np.asarray(env.geom.u),
+            ref._t_u.numpy(),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.v),
+            ref._t_v.numpy(),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.k_left),
+            ref._t_conductivity_left_edge.numpy(),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.k_right),
+            ref._t_conductivity_right_edge.numpy(),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.k_top),
+            ref._t_conductivity_top_edge.numpy(),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(env.geom.k_bottom),
+            ref._t_conductivity_bottom_edge.numpy(),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(env.geom.exterior_mask),
+            ref._t_exerior_temps_mask.numpy(),
+        )
+
+
+class TestFdmParity:
+    def test_single_jacobi_update_matches_reference(self):
+        """One update_temperature_estimates call vs one jacobi_iteration."""
+        ref = build_reference()
+        env = build_ours()
+        coeffs = env.coeffs
+        rng = np.random.default_rng(3)
+        temp = (294.0 + rng.normal(0, 2.0, env.geom.shape)).astype(np.float32)
+        q = np.zeros(env.geom.shape, np.float32)
+        diff = np.asarray(env.geom.diffusers)
+        q[diff > 0] = 500.0 * diff[diff > 0]
+        ambient, h = 281.0, 12.0
+
+        ref._building.temp = temp.copy()
+        ref._building.input_q = q.copy()
+        ref_new, ref_delta = ref.update_temperature_estimates(
+            temp.copy(), ambient, h
+        )
+
+        hT = jnp.float32(h)
+        denom = coeffs.cond_sum + hT * coeffs.conv_area + coeffs.absorb
+        const = (
+            coeffs.absorb * temp + q + hT * jnp.float32(ambient) * coeffs.conv_area
+        )
+        got = fdm.jacobi_iteration(
+            jnp.asarray(temp), const, denom, coeffs, jnp.float32(ambient)
+        )
+        np.testing.assert_allclose(np.asarray(got), ref_new, atol=2e-4)
+
+    def test_full_timestep_matches_reference(self):
+        """finite_differences_timestep vs fdm_step, same iteration count."""
+        ref = build_reference()
+        env = build_ours()
+        rng = np.random.default_rng(5)
+        temp = (294.0 + rng.normal(0, 1.0, env.geom.shape)).astype(np.float32)
+        q = np.zeros(env.geom.shape, np.float32)
+        ambient, h = 275.0, 12.0
+
+        ref._building.temp = temp.copy()
+        ref._building.input_q = q.copy()
+        ref.finite_differences_timestep(
+            ambient_temperature=ambient, convection_coefficient=h
+        )
+        got, converged, n_iter = fdm.fdm_step(
+            jnp.asarray(temp)[None],
+            jnp.asarray(q)[None],
+            jnp.full((1,), ambient, jnp.float32),
+            jnp.full((1,), h, jnp.float32),
+            env.coeffs,
+            convergence_threshold=0.1,
+            iteration_limit=100,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(ref._building.temp), atol=1e-3
+        )
+
+
+class TestTrajectoryParity:
+    def test_multi_step_trajectory(self):
+        """20 control steps with identical setpoints: temperature fields and
+        device states must track the reference closely."""
+        ref = build_reference()
+        env = build_ours()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        # Constant agent setpoints (both stacks): water 340 K, AHU heat 285 K.
+        action = jnp.asarray(
+            env.default_action(
+                {
+                    "supply_water_setpoint": 340.0,
+                    "supply_air_heating_temperature_setpoint": 285.0,
+                }
+            )
+        )
+
+        max_temp_err = 0.0
+        for i in range(20):
+            ts = ref.current_timestamp
+            ref.setup_step_sim()
+            ref._hvac.boiler.set_action(
+                "supply_water_setpoint", 340.0, ts
+            )
+            ref._hvac.air_handler.set_action(
+                "supply_air_heating_temperature_setpoint", 285.0, ts
+            )
+            ref.execute_step_sim()
+            state, out = step(state, action)
+
+            ref_temps = np.asarray(ref._building.temp, np.float64)
+            our_temps = np.asarray(state.temp, np.float64)
+            max_temp_err = max(
+                max_temp_err, float(np.abs(ref_temps - our_temps).max())
+            )
+
+        assert max_temp_err < 0.05, f"temperature drift {max_temp_err}"
+
+        # Zone averages agree.
+        ref_zones = ref._building.get_zone_average_temps()
+        our_zones = {
+            name: float(t)
+            for name, t in zip(
+                env.geom.zone_names,
+                np.asarray(
+                    jax.ops.segment_sum(
+                        state.temp.ravel(),
+                        env.geom.zone_ids.ravel(),
+                        num_segments=env.n_zones + 1,
+                    )[: env.n_zones]
+                    / env.geom.zone_sizes
+                ),
+            )
+        }
+        for name, ref_t in ref_zones.items():
+            assert abs(our_zones[name] - ref_t) < 0.05
+
+        # HVAC device state agrees.
+        hvac = state.hvac
+        for z, name in enumerate(env.geom.zone_names):
+            vav = ref._hvac.vavs[name]
+            assert float(hvac.damper[z]) == pytest.approx(
+                vav.damper_setting
+            )
+            assert float(hvac.reheat_valve[z]) == pytest.approx(
+                vav.reheat_valve_setting
+            )
+        assert float(hvac.ahu_air_flow_rate) == pytest.approx(
+            ref._hvac.air_handler.air_flow_rate, rel=1e-5
+        )
+        assert float(hvac.boiler_total_flow_rate) == pytest.approx(
+            ref._hvac.boiler._total_flow_rate, rel=1e-5
+        )
+        assert float(hvac.boiler_return_water_temp) == pytest.approx(
+            ref._hvac.boiler.return_water_temperature_sensor, rel=1e-4
+        )
+
+    def test_energy_rates_match_reference(self):
+        """Post-step energy rates fed to the reward agree with the oracle."""
+        from sbsim_tpu.hvac import devices as hvac_ops
+
+        ref = build_reference()
+        env = build_ours()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        action = jnp.asarray(
+            env.default_action(
+                {
+                    "supply_water_setpoint": 340.0,
+                    "supply_air_heating_temperature_setpoint": 285.0,
+                }
+            )
+        )
+        for _ in range(5):
+            ts = ref.current_timestamp
+            ref.setup_step_sim()
+            ref._hvac.boiler.set_action("supply_water_setpoint", 340.0, ts)
+            ref._hvac.air_handler.set_action(
+                "supply_air_heating_temperature_setpoint", 285.0, ts
+            )
+            ref.execute_step_sim()
+            state, out = step(state, action)
+
+        t = int(state.step_idx)
+        ambient = float(env.tables.ambient_temp[t])
+        blower = float(
+            hvac_ops.ahu_blower_power(state.hvac, env.hvac_params)
+        )
+        ref_blower = (
+            ref._hvac.air_handler.compute_intake_fan_energy_rate()
+            + ref._hvac.air_handler.compute_exhaust_fan_energy_rate()
+        )
+        assert blower == pytest.approx(ref_blower, rel=1e-5)
+
+        ac = float(
+            hvac_ops.ahu_thermal_energy_rate(
+                state.hvac,
+                jnp.mean(state.temp),
+                jnp.float32(ambient),
+                env.hvac_params,
+            )
+        )
+        ref_ac = ref._hvac.air_handler.compute_thermal_energy_rate(
+            ref._building.temp.mean(),
+            ref._weather_controller.get_current_temp(ref.current_timestamp),
+        )
+        assert ac == pytest.approx(ref_ac, rel=1e-3, abs=2.0)
+
+        pump = float(
+            hvac_ops.boiler_pump_power(state.hvac, env.hvac_params)
+        )
+        assert pump == pytest.approx(
+            ref._hvac.boiler.compute_pump_power(), rel=1e-5
+        )
