@@ -1,0 +1,119 @@
+"""Building visualization: temperature heatmaps and episode animations.
+
+Equivalent of the reference's PIL renderer + visual logger
+(building_renderer.py:34-297, visual_logger.py:25-99): paint the temperature
+field as a color map with walls masked, accumulate frames over an episode,
+export an animation. Video export uses PIL's GIF writer (mediapy is not
+available in this image); single frames are PNG.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def _colormap(values01: np.ndarray) -> np.ndarray:
+    """Simple blue->cyan->yellow->red map, uint8 (H, W, 3)."""
+    v = np.clip(values01, 0.0, 1.0)
+    r = np.clip(1.5 - np.abs(4.0 * v - 3.0), 0, 1)
+    g = np.clip(1.5 - np.abs(4.0 * v - 2.0), 0, 1)
+    b = np.clip(1.5 - np.abs(4.0 * v - 1.0), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+class BuildingRenderer:
+    """Renders temperature arrays over a wall mask."""
+
+    def __init__(
+        self,
+        wall_mask: np.ndarray,
+        cv_px: int = 4,
+        vmin: float = 280.0,
+        vmax: float = 300.0,
+    ):
+        """Args:
+        wall_mask: bool/int (H, W), nonzero marks wall CVs drawn black.
+        cv_px: pixels per control volume.
+        vmin/vmax: color scale bounds in K.
+        """
+        self._wall_mask = np.asarray(wall_mask) != 0
+        self._cv_px = cv_px
+        self._vmin = vmin
+        self._vmax = vmax
+
+    def render_array(
+        self,
+        temps: np.ndarray,
+        diffusers: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Returns an RGB uint8 image of the temperature field."""
+        t = (np.asarray(temps, float) - self._vmin) / (
+            self._vmax - self._vmin
+        )
+        rgb = _colormap(t)
+        rgb[self._wall_mask] = 0
+        if diffusers is not None:
+            rgb[np.asarray(diffusers) > 0] = (255, 255, 255)
+        if self._cv_px > 1:
+            rgb = np.repeat(
+                np.repeat(rgb, self._cv_px, axis=0), self._cv_px, axis=1
+            )
+        return rgb
+
+    def render(self, temps: np.ndarray, **kwargs):
+        """Returns a PIL Image (requires Pillow)."""
+        if Image is None:
+            raise RuntimeError("Pillow is not available")
+        return Image.fromarray(self.render_array(temps, **kwargs))
+
+    def get_building_dimensions(self) -> Tuple[int, int]:
+        h, w = self._wall_mask.shape
+        return h * self._cv_px, w * self._cv_px
+
+
+class VisualLogger:
+    """Accumulates per-step temperature frames; exports a GIF animation
+    (visual_logger.py:25-99 equivalent)."""
+
+    def __init__(self, renderer: BuildingRenderer, max_frames: int = 5000):
+        self._renderer = renderer
+        self._frames: List[np.ndarray] = []
+        self._max_frames = max_frames
+
+    def log(self, temps: np.ndarray) -> None:
+        if len(self._frames) < self._max_frames:
+            self._frames.append(np.array(temps, copy=True))
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def get_video(
+        self, file_path: str, fps: int = 12, stride: int = 1
+    ) -> None:
+        """Writes an animated GIF of the logged frames."""
+        if Image is None:
+            raise RuntimeError("Pillow is not available")
+        if not self._frames:
+            raise ValueError("No frames logged")
+        images = [
+            Image.fromarray(self._renderer.render_array(f))
+            for f in self._frames[::stride]
+        ]
+        images[0].save(
+            file_path,
+            save_all=True,
+            append_images=images[1:],
+            duration=int(1000 / fps),
+            loop=0,
+        )
+
+    def clear(self) -> None:
+        self._frames = []

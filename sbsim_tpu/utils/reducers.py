@@ -1,0 +1,196 @@
+"""Observation-sequence reducers for offline feature pipelines.
+
+DataFrame-level equivalents of the reference reducer toolkit
+(reducer.py:64-191, histogram_reducer.py:204-471): reduce a wide observation
+DataFrame whose columns are (device, measurement) tuples into compressed
+features, and expand back to approximate per-device values.
+
+The device-side histogram features used inside the RL observation vector live
+in envs/observation.py; this module serves host-side analysis and
+real-building dataset preparation.
+"""
+
+from __future__ import annotations
+
+import abc
+import collections
+from typing import Dict, List, Mapping, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+HistogramParameters = Mapping[str, Sequence[float]]
+
+
+class BaseReducedSequence(abc.ABC):
+    reduced_sequence: pd.DataFrame
+
+    @abc.abstractmethod
+    def expand(self) -> pd.DataFrame:
+        """Approximately reconstructs the original wide sequence."""
+
+
+class BaseReducer(abc.ABC):
+    @abc.abstractmethod
+    def reduce(self, observation_sequence: pd.DataFrame) -> BaseReducedSequence:
+        """Compresses a wide observation DataFrame."""
+
+
+class IdentityReducer(BaseReducer):
+    """Passthrough (reducer.py:80-95)."""
+
+    class _Reduced(BaseReducedSequence):
+        def __init__(self, df: pd.DataFrame):
+            self.reduced_sequence = df
+
+        def expand(self) -> pd.DataFrame:
+            return self.reduced_sequence
+
+    def reduce(self, observation_sequence: pd.DataFrame):
+        return self._Reduced(observation_sequence)
+
+
+class StatsReducer(BaseReducer):
+    """Per-measurement summary stats across devices (reducer.py:96-191)."""
+
+    def __init__(self, stats: Sequence[str] = ("mean", "std", "median")):
+        self._stats = tuple(stats)
+
+    class _Reduced(BaseReducedSequence):
+        def __init__(self, df: pd.DataFrame, columns):
+            self.reduced_sequence = df
+            self._columns = columns
+
+        def expand(self) -> pd.DataFrame:
+            # Lossy: every device gets its measurement's mean back.
+            out = {}
+            for col in self._columns:
+                _, measurement = col
+                out[col] = self.reduced_sequence[(measurement, "mean")]
+            return pd.DataFrame(out, index=self.reduced_sequence.index)
+
+    def reduce(self, observation_sequence: pd.DataFrame):
+        groups: Dict[str, List] = collections.defaultdict(list)
+        for col in observation_sequence.columns:
+            measurement = col[-1] if isinstance(col, tuple) else col
+            groups[measurement].append(col)
+        data = {}
+        for measurement, cols in groups.items():
+            block = observation_sequence[cols]
+            for stat in self._stats:
+                data[(measurement, stat)] = getattr(block, stat)(axis=1)
+        return self._Reduced(
+            pd.DataFrame(data, index=observation_sequence.index),
+            list(observation_sequence.columns),
+        )
+
+
+def clipped_histogram(
+    measurements: np.ndarray, bins: Sequence[float], clip: bool = True
+) -> np.ndarray:
+    """Counts per bin edge with min/max clipping; values equal to the top
+    edge land in the final bin (histogram_reducer.py:136-148)."""
+    edges = np.asarray(bins, float)
+    v = np.asarray(measurements, float)
+    if clip:
+        v = np.clip(v, edges.min(), edges.max())
+    idx = (v[:, None] >= edges[None, 1:]).sum(axis=1)
+    return np.bincount(idx, minlength=len(edges)).astype(np.float32)
+
+
+def assign_devices_to_bins(
+    values: Mapping[str, float], bins: Sequence[float]
+) -> Dict[int, List[str]]:
+    """bin index -> device ids (histogram_reducer.py:84-110)."""
+    edges = np.asarray(bins, float)
+    assignment: Dict[int, List[str]] = collections.defaultdict(list)
+    for device, v in values.items():
+        idx = int((np.clip(v, edges.min(), edges.max()) >= edges[1:]).sum())
+        assignment[idx].append(device)
+    return assignment
+
+
+class HistogramReducer(BaseReducer):
+    """Compresses per-device measurements into per-bin counts
+    (histogram_reducer.py:204-471).
+
+    Columns whose measurement appears in histogram_parameters collapse into
+    len(bins) count features named (measurement, 'h_<edge>'); all other
+    columns pass through.
+    """
+
+    def __init__(
+        self,
+        histogram_parameters: HistogramParameters,
+        normalize_reduce: bool = False,
+    ):
+        self._histogram_parameters = dict(histogram_parameters)
+        self._normalize_reduce = normalize_reduce
+
+    @property
+    def histogram_parameters(self) -> HistogramParameters:
+        return self._histogram_parameters
+
+    class _Reduced(BaseReducedSequence):
+        def __init__(self, reduced, passthrough, assignments, params):
+            self.reduced_sequence = reduced
+            self._passthrough = passthrough
+            self._assignments = assignments
+            self._params = params
+
+        def expand(self) -> pd.DataFrame:
+            """Lossy reconstruction: each device takes its assigned bin's
+            edge value (histogram_reducer.py:112-134)."""
+            out = self._passthrough.copy()
+            for measurement, assignment in self._assignments.items():
+                edges = np.asarray(self._params[measurement], float)
+                for bin_idx, devices in assignment.items():
+                    for device in devices:
+                        out[(device, measurement)] = edges[
+                            min(bin_idx, len(edges) - 1)
+                        ]
+            return out
+
+    def reduce(self, observation_sequence: pd.DataFrame):
+        hist_cols: Dict[str, List] = collections.defaultdict(list)
+        passthrough_cols = []
+        for col in observation_sequence.columns:
+            measurement = col[-1] if isinstance(col, tuple) else col
+            if measurement in self._histogram_parameters:
+                hist_cols[measurement].append(col)
+            else:
+                passthrough_cols.append(col)
+        passthrough = observation_sequence[passthrough_cols]
+
+        pieces = [passthrough]
+        assignments: Dict[str, Dict[int, List[str]]] = {}
+        for measurement, cols in hist_cols.items():
+            edges = self._histogram_parameters[measurement]
+            counts = np.stack(
+                [
+                    clipped_histogram(row.values, edges)
+                    for _, row in observation_sequence[cols].iterrows()
+                ]
+            )
+            if self._normalize_reduce:
+                counts = counts / counts.sum(axis=1, keepdims=True)
+            columns = [(measurement, "h_%.2f" % e) for e in edges]
+            pieces.append(
+                pd.DataFrame(
+                    counts,
+                    index=observation_sequence.index,
+                    columns=columns,
+                )
+            )
+            last_row = observation_sequence[cols].iloc[-1]
+            assignments[measurement] = assign_devices_to_bins(
+                {
+                    (c[0] if isinstance(c, tuple) else c): v
+                    for c, v in last_row.items()
+                },
+                edges,
+            )
+        reduced = pd.concat(pieces, axis=1)
+        return self._Reduced(
+            reduced, passthrough, assignments, self._histogram_parameters
+        )

@@ -1,0 +1,214 @@
+"""Utils tests: conversions, energy models, reducers, rendering, predictor."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.io import render
+from sbsim_tpu.proto import building_pb2, reward_pb2
+from sbsim_tpu.utils import conversions, energy, reducers
+from sbsim_tpu.utils.run_command_predictor import (
+    RandomForestRunCommandPredictor,
+    get_action_timeseries,
+)
+
+
+class TestConversions:
+    def test_proto_timestamp_round_trip(self):
+        ts = pd.Timestamp("2023-07-06 07:05:00+00:00")
+        proto = conversions.pandas_to_proto_timestamp(ts)
+        back = conversions.proto_to_pandas_timestamp(proto)
+        assert back == ts
+
+    def test_work_day(self):
+        assert conversions.is_work_day(pd.Timestamp("2023-07-06"))  # Thursday
+        assert not conversions.is_work_day(pd.Timestamp("2023-07-08"))  # Sat
+        assert not conversions.is_work_day(pd.Timestamp("2023-07-04"))  # 4th
+
+    def test_zone_ids(self):
+        assert conversions.zone_coordinates_to_id((1, 2)) == "zone_id_(1, 2)"
+        assert conversions.zone_id_to_coordinates("zone_id_(1, 2)") == (1, 2)
+        assert (
+            conversions.floor_plan_based_zone_identifier_to_id("room_7")
+            == "zone_id_7"
+        )
+
+    def test_temperatures(self):
+        assert conversions.fahrenheit_to_kelvin(32.0) == pytest.approx(273.15)
+        assert conversions.kelvin_to_fahrenheit(373.15) == pytest.approx(212.0)
+
+    def test_radian_time(self):
+        noon = pd.Timestamp("2023-07-06 12:00:00")
+        rad = conversions.get_radian_time(
+            noon, conversions.TimeIntervalEnum.HOUR_OF_DAY
+        )
+        assert rad == pytest.approx(np.pi)
+
+    def test_reward_info_energy_use(self):
+        info = reward_pb2.RewardInfo()
+        info.start_timestamp.CopyFrom(
+            conversions.pandas_to_proto_timestamp(
+                pd.Timestamp("2023-07-06 07:00:00+00:00")
+            )
+        )
+        info.end_timestamp.CopyFrom(
+            conversions.pandas_to_proto_timestamp(
+                pd.Timestamp("2023-07-06 08:00:00+00:00")
+            )
+        )
+        info.air_handler_reward_infos["a"].blower_electrical_energy_rate = 1000.0
+        info.boiler_reward_infos["b"].natural_gas_heating_energy_rate = 2000.0
+        use = conversions.reward_info_energy_use(info)
+        assert use["air_handler_blower_electricity"] == pytest.approx(1.0)
+        assert use["boiler_natural_gas_heating_energy"] == pytest.approx(2.0)
+
+
+class TestEnergy:
+    def test_saturation_pressure_interpolates(self):
+        p = energy.water_vapor_partial_pressure([293.0])
+        # 20 C: 23.385 mbar from the table.
+        assert p[0] == pytest.approx(23.385)
+
+    def test_humidity_ratio_reasonable(self):
+        x = energy.humidity_ratio([293.0], [0.5], [1.0])
+        # ~7.3 g water per kg air at 20C / 50% RH.
+        assert 0.005 < x[0] < 0.010
+
+    def test_ac_energy_sign(self):
+        q = energy.air_conditioning_energy_rate(
+            air_flow_rates=[1.0],
+            outside_temps=[280.0],
+            outside_relative_humidities=[0.5],
+            supply_temps=[290.0],
+            ambient_pressures=[1.0],
+        )
+        assert q[0] > 0  # heating outside air requires positive power
+
+    def test_fan_power_affinity_law(self):
+        full = energy.fan_power(design_hp=10.0, fan_speed_percentage=100.0)
+        half = energy.fan_power(design_hp=10.0, fan_speed_percentage=50.0)
+        assert half / full == pytest.approx(0.5**2.5)
+        assert full == pytest.approx(10.0 * 0.85 * 0.746)
+
+    def test_fan_off_when_no_static_pressure(self):
+        assert (
+            energy.fan_power(design_hp=10.0, supply_static_pressure=0.1)
+            == 0.0
+        )
+
+    def test_compressor_thermal(self):
+        kw = energy.compressor_power_thermal(
+            mixed_air_temp=75.0,
+            supply_air_temp=55.0,
+            volumetric_flow_rate=10000.0,
+            eer=12.0,
+        )
+        assert kw == pytest.approx(1.08 * 10000 * 20 / 12000.0)
+
+    def test_water_heating_rate(self):
+        btu_hr = energy.water_heating_energy_rate(
+            volumetric_flow_rate=100.0,
+            supply_water_temperature=180.0,
+            return_water_temperature=160.0,
+        )
+        assert btu_hr == pytest.approx(500.0 * 100.0 * 20.0)
+        assert (
+            energy.water_heating_energy_rate(
+                volumetric_flow_rate=100.0,
+                supply_water_temperature=150.0,
+                return_water_temperature=160.0,
+            )
+            == 0.0
+        )
+
+
+class TestReducers:
+    def frame(self):
+        return pd.DataFrame(
+            {
+                ("vav1", "zone_air_temperature_sensor"): [290.0, 295.0],
+                ("vav2", "zone_air_temperature_sensor"): [296.0, 303.0],
+                ("ahu", "supply_air_flowrate_sensor"): [1.0, 2.0],
+            }
+        )
+
+    def test_identity(self):
+        df = self.frame()
+        out = reducers.IdentityReducer().reduce(df)
+        pd.testing.assert_frame_equal(out.reduced_sequence, df)
+        pd.testing.assert_frame_equal(out.expand(), df)
+
+    def test_stats_reducer(self):
+        out = reducers.StatsReducer(("mean",)).reduce(self.frame())
+        assert out.reduced_sequence[
+            ("zone_air_temperature_sensor", "mean")
+        ].iloc[0] == pytest.approx(293.0)
+
+    def test_clipped_histogram_last_bin_inclusive(self):
+        counts = reducers.clipped_histogram(
+            [285.0, 290.0, 305.0], [285.0, 290.0, 295.0]
+        )
+        # 285 -> bin 0; 290 -> bin 1; 305 clips to 295 -> last bin.
+        np.testing.assert_array_equal(counts, [1, 1, 1])
+
+    def test_histogram_reducer_reduce_and_expand(self):
+        params = {"zone_air_temperature_sensor": (285.0, 295.0, 305.0)}
+        reducer = reducers.HistogramReducer(params)
+        out = reducer.reduce(self.frame())
+        cols = out.reduced_sequence.columns
+        assert ("zone_air_temperature_sensor", "h_285.00") in cols
+        assert ("ahu", "supply_air_flowrate_sensor") in cols
+        expanded = out.expand()
+        # Devices reconstructed from their bin edges.
+        assert ("vav1", "zone_air_temperature_sensor") in expanded.columns
+
+
+class TestRenderer:
+    def test_render_shapes_and_walls(self):
+        walls = np.zeros((4, 5), bool)
+        walls[0, :] = True
+        renderer = render.BuildingRenderer(walls, cv_px=2)
+        img = renderer.render_array(np.full((4, 5), 290.0))
+        assert img.shape == (8, 10, 3)
+        assert (img[0] == 0).all()  # wall row is black
+
+    def test_visual_logger_gif(self, tmp_path):
+        walls = np.zeros((4, 5), bool)
+        renderer = render.BuildingRenderer(walls, cv_px=1)
+        logger = render.VisualLogger(renderer)
+        for i in range(3):
+            logger.log(np.full((4, 5), 285.0 + i * 5))
+        path = tmp_path / "episode.gif"
+        logger.get_video(str(path))
+        assert path.exists() and path.stat().st_size > 0
+
+
+class TestRunCommandPredictor:
+    def test_fit_and_predict(self):
+        responses = []
+        for i in range(40):
+            resp = building_pb2.ActionResponse()
+            resp.timestamp.FromSeconds(1688601600 + i * 300)
+            single = resp.single_action_responses.add()
+            single.request.device_id = "boiler"
+            single.request.setpoint_name = "supply_water_setpoint"
+            single.request.continuous_value = 320.0 if i % 2 else 350.0
+            responses.append(resp)
+        ts = get_action_timeseries(responses)
+        predictor = RandomForestRunCommandPredictor("boiler")
+        # On when the setpoint is high.
+        acc = predictor.fit(ts, [i % 2 == 0 for i in range(40)])
+        assert acc > 0.9
+        request = building_pb2.ActionRequest()
+        request.single_action_requests.add(
+            device_id="boiler",
+            setpoint_name="supply_water_setpoint",
+            continuous_value=350.0,
+        )
+        out = predictor.predict(request)
+        run = [
+            r
+            for r in out.single_action_requests
+            if r.setpoint_name == "run_command"
+        ]
+        assert len(run) == 1 and run[0].integer_value == 1
