@@ -1,0 +1,246 @@
+"""HVAC device unit tests (mirrors vav_test / air_handler_test / boiler_test
+/ thermostat_test patterns from the reference)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.hvac import devices
+from sbsim_tpu.hvac.params import (
+    MODE_COOL,
+    MODE_HEAT,
+    MODE_OFF,
+    MODE_PASSIVE_COOL,
+    initial_hvac_state,
+    make_hvac_params,
+)
+
+
+@pytest.fixture()
+def params():
+    return make_hvac_params(
+        n_zones=3,
+        vav_max_air_flow_rate=0.2,
+        vav_reheat_max_water_flow_rate=0.001,
+        ahu_recirculation=0.3,
+        ahu_heating_setpoint=285.0,
+        ahu_cooling_setpoint=298.0,
+        ahu_fan_differential_pressure=20000.0,
+        ahu_fan_efficiency=0.8,
+        ahu_max_air_flow_rate=8.67,
+        boiler_setpoint=350.0,
+        boiler_pump_differential_head=5.0,
+        boiler_pump_efficiency=0.9,
+        boiler_heating_rate=0.5,
+        boiler_cooling_rate=0.1,
+    )
+
+
+class TestThermostat:
+    def run(self, mode, temp, heat=294.0, cool=297.0, comfort=True,
+            prev_comfort=True):
+        out = devices.thermostat_update(
+            jnp.asarray([mode], jnp.int32),
+            jnp.asarray([temp], jnp.float32),
+            jnp.float32(heat),
+            jnp.float32(cool),
+            jnp.asarray(comfort),
+            jnp.asarray(prev_comfort),
+        )
+        return int(out[0])
+
+    def test_heat_below_heating_setpoint(self):
+        assert self.run(MODE_OFF, 292.0) == MODE_HEAT
+
+    def test_cool_above_cooling_setpoint(self):
+        assert self.run(MODE_OFF, 298.0) == MODE_COOL
+
+    def test_deadband_hysteresis_to_midpoint(self):
+        # Midpoint is 295.5: heating continues below it...
+        assert self.run(MODE_HEAT, 295.0) == MODE_HEAT
+        # ...and stops above it.
+        assert self.run(MODE_HEAT, 296.0) == MODE_OFF
+        assert self.run(MODE_COOL, 296.0) == MODE_COOL
+        assert self.run(MODE_COOL, 295.0) == MODE_OFF
+
+    def test_entering_eco_passive_cools(self):
+        assert (
+            self.run(MODE_OFF, 296.0, comfort=False, prev_comfort=True)
+            == MODE_PASSIVE_COOL
+        )
+
+    def test_passive_cool_until_heating_setpoint(self):
+        assert (
+            self.run(
+                MODE_PASSIVE_COOL, 292.0, heat=289.0, cool=298.0,
+                comfort=False, prev_comfort=False,
+            )
+            == MODE_PASSIVE_COOL
+        )
+        # Once below the eco heating setpoint, default control resumes.
+        assert (
+            self.run(
+                MODE_PASSIVE_COOL, 288.0, heat=289.0, cool=298.0,
+                comfort=False, prev_comfort=False,
+            )
+            == MODE_HEAT
+        )
+
+
+class TestVav:
+    def test_mode_settings_map(self):
+        modes = jnp.asarray(
+            [MODE_HEAT, MODE_COOL, MODE_OFF, MODE_PASSIVE_COOL], jnp.int32
+        )
+        damper, valve = devices.vav_settings_for_mode(
+            modes, jnp.full((4,), 0.7), jnp.full((4,), 0.7)
+        )
+        np.testing.assert_allclose(np.asarray(damper), [1.0, 1.0, 0.1, 0.1])
+        np.testing.assert_allclose(np.asarray(valve), [1.0, 0.0, 0.0, 0.0])
+
+    def test_zone_supply_temp_heat_balance(self, params):
+        """With no reheat the supply temp passes through; with reheat it
+        rises (vav.py:168-195)."""
+        t_no = devices.vav_zone_supply_temp(
+            jnp.float32(290.0),
+            jnp.float32(350.0),
+            jnp.full((3,), 1.0),
+            jnp.zeros(3),
+            params,
+        )
+        np.testing.assert_allclose(np.asarray(t_no), 290.0, rtol=1e-6)
+        t_heat = devices.vav_zone_supply_temp(
+            jnp.float32(290.0),
+            jnp.float32(350.0),
+            jnp.full((3,), 1.0),
+            jnp.full((3,), 1.0),
+            params,
+        )
+        assert (np.asarray(t_heat) > 290.0).all()
+
+    def test_output_cools_when_above_setpoint(self, params):
+        """Cold supply air to a hot zone extracts energy (vav.py:197-217)."""
+        q, _ = devices.vav_output(
+            jnp.full((3,), 300.0),
+            jnp.float32(285.0),
+            jnp.float32(350.0),
+            jnp.full((3,), 1.0),
+            jnp.zeros(3),
+            params,
+        )
+        assert (np.asarray(q) < 0).all()
+
+    def test_reheat_raises_supply_and_energy(self, params):
+        q_cold, t_cold = devices.vav_output(
+            jnp.full((3,), 290.0),
+            jnp.float32(285.0),
+            jnp.float32(350.0),
+            jnp.full((3,), 1.0),
+            jnp.zeros(3),
+            params,
+        )
+        q_heat, t_heat = devices.vav_output(
+            jnp.full((3,), 290.0),
+            jnp.float32(285.0),
+            jnp.float32(350.0),
+            jnp.full((3,), 1.0),
+            jnp.full((3,), 1.0),
+            params,
+        )
+        assert (np.asarray(t_heat) > np.asarray(t_cold)).all()
+        assert (np.asarray(q_heat) > np.asarray(q_cold)).all()
+
+
+
+class TestAirHandler:
+    def test_mixed_air_recirculation(self, params):
+        mixed = devices.ahu_mixed_air_temp(
+            jnp.float32(295.0), jnp.float32(275.0), params
+        )
+        assert float(mixed) == pytest.approx(0.3 * 295.0 + 0.7 * 275.0)
+
+    def test_supply_air_clamped(self, params):
+        cold = devices.ahu_supply_air_temp(
+            jnp.float32(275.0), jnp.float32(270.0),
+            jnp.float32(285.0), jnp.float32(298.0), params,
+        )
+        assert float(cold) == pytest.approx(285.0)
+        hot = devices.ahu_supply_air_temp(
+            jnp.float32(305.0), jnp.float32(310.0),
+            jnp.float32(285.0), jnp.float32(298.0), params,
+        )
+        assert float(hot) == pytest.approx(298.0)
+
+    def test_demand_clamped_at_max(self, params):
+        flow, count = devices.ahu_accumulate_demand(
+            jnp.full((3,), 5.0), params
+        )
+        assert float(flow) == pytest.approx(8.67)
+        assert int(count) == 3
+
+    def test_negative_demands_ignored(self, params):
+        flow, count = devices.ahu_accumulate_demand(
+            jnp.asarray([0.5, 0.0, -1.0]), params
+        )
+        assert float(flow) == pytest.approx(0.5)
+        assert int(count) == 1
+
+    def test_blower_power(self, params):
+        state = initial_hvac_state(params).replace(
+            ahu_air_flow_rate=jnp.float32(2.0)
+        )
+        power = float(devices.ahu_blower_power(state, params))
+        expected = 2.0 * 20000.0 / 0.8 + 2.0 * 0.7 * 20000.0 / 0.8
+        assert power == pytest.approx(expected)
+
+
+class TestBoiler:
+    def test_ramp_toward_setpoint(self, params):
+        state = initial_hvac_state(params)
+        state = devices.boiler_observe_supply_temp(
+            state, params, jnp.float32(0.0)
+        )  # reset observation initializes the action timestamp
+        state = state.replace(boiler_setpoint=jnp.float32(360.0))
+        state = devices.boiler_observe_supply_temp(
+            state, params, jnp.float32(300.0)
+        )
+        # Heating rate 0.5 K/min * 5 min = 2.5 K from 350.
+        assert float(state.boiler_current_temp) == pytest.approx(352.5)
+        assert float(state.boiler_tank_temp_change) == pytest.approx(2.5)
+
+    def test_ramp_clamps_at_setpoint(self, params):
+        state = initial_hvac_state(params)
+        state = devices.boiler_observe_supply_temp(
+            state, params, jnp.float32(0.0)
+        )
+        state = state.replace(boiler_setpoint=jnp.float32(350.5))
+        state = devices.boiler_observe_supply_temp(
+            state, params, jnp.float32(300.0)
+        )
+        assert float(state.boiler_current_temp) == pytest.approx(350.5)
+
+    def test_thermal_dissipation_closed_form(self, params):
+        loss = float(
+            devices.boiler_thermal_dissipation_rate(
+                jnp.float32(350.0), jnp.float32(280.0), params
+            )
+        )
+        r1, r2 = 0.5, 0.56
+        expected = (2.0 * np.pi * 2.0 * 70.0) / (
+            np.log(r2 / r1) / 0.067 + 1.0 / (5.6 * r2)
+        )
+        assert loss == pytest.approx(expected, rel=1e-4)
+
+    def test_pump_power(self, params):
+        state = initial_hvac_state(params).replace(
+            boiler_total_flow_rate=jnp.float32(0.002)
+        )
+        power = float(devices.boiler_pump_power(state, params))
+        assert power == pytest.approx(0.002 * 1000.0 * 9.8 * 5.0 / 0.9)
+
+    def test_return_water_weighting(self):
+        t = devices.return_water_temperature(
+            jnp.asarray([1.0, 0.0, 1.0]),
+            jnp.asarray([300.0, 400.0, 310.0]),
+        )
+        assert float(t) == pytest.approx(305.0, abs=0.01)

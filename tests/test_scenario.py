@@ -1,0 +1,183 @@
+"""Scenario tests: calendar, weather, tables, occupancy (mirrors
+setpoint_schedule_test / weather_controller_test / occupancy tests)."""
+
+import dataclasses
+import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs.config import EnvConfig, OccupancyConfig, ScheduleConfig, WeatherConfig
+from sbsim_tpu.scenario import occupancy as occupancy_lib
+from sbsim_tpu.scenario import tables as tables_lib
+from sbsim_tpu.scenario import uscalendar
+from sbsim_tpu.scenario import weather as weather_lib
+
+
+class TestUSCalendar:
+    def test_fixed_holidays(self):
+        assert uscalendar.is_us_holiday(datetime.date(2023, 7, 4))
+        assert uscalendar.is_us_holiday(datetime.date(2023, 12, 25))
+        assert uscalendar.is_us_holiday(datetime.date(2023, 6, 19))
+
+    def test_floating_holidays(self):
+        assert uscalendar.is_us_holiday(datetime.date(2023, 11, 23))  # Thanksgiving
+        assert uscalendar.is_us_holiday(datetime.date(2023, 9, 4))  # Labor Day
+        assert uscalendar.is_us_holiday(datetime.date(2023, 5, 29))  # Memorial
+
+    def test_observed_shift(self):
+        # July 4 2021 was a Sunday; observed Monday July 5.
+        assert uscalendar.is_us_holiday(datetime.date(2021, 7, 5))
+        # Christmas 2021 was a Saturday; observed Friday Dec 24.
+        assert uscalendar.is_us_holiday(datetime.date(2021, 12, 24))
+
+    def test_workday(self):
+        assert uscalendar.is_work_day(datetime.date(2023, 7, 6))
+        assert not uscalendar.is_work_day(datetime.date(2023, 7, 8))
+        assert not uscalendar.is_work_day(datetime.date(2023, 7, 4))
+
+
+class TestSinusoidWeather:
+    def test_extremes(self):
+        midnight = pd.Timestamp("2023-07-06 00:00:00")
+        noon = pd.Timestamp("2023-07-06 12:00:00")
+        low = weather_lib.sinusoid_temperature(midnight, 270.0, 290.0)
+        high = weather_lib.sinusoid_temperature(noon, 270.0, 290.0)
+        assert low == pytest.approx(270.0)
+        assert high == pytest.approx(290.0)
+
+    def test_special_days_override(self):
+        noon = pd.Timestamp("2023-07-06 12:00:00")  # day of year 187
+        t = weather_lib.sinusoid_temperature(
+            noon, 270.0, 290.0, special_days={187: (250.0, 260.0)}
+        )
+        assert t == pytest.approx(260.0)
+
+    def test_afternoon_blends_to_tomorrow_low(self):
+        evening = pd.Timestamp("2023-07-06 18:00:00")
+        t = weather_lib.sinusoid_temperature(
+            evening, 270.0, 290.0, special_days={188: (240.0, 290.0)}
+        )
+        # With tomorrow's low 240, evening temps sit between 240 and 290.
+        assert 240.0 < t < 290.0
+
+
+@pytest.fixture(scope="module")
+def config():
+    return EnvConfig(
+        start_timestamp="2023-07-06 07:00:00+00:00",
+        num_days_in_episode=1,
+        schedule=ScheduleConfig(time_zone="US/Pacific"),
+        occupancy=OccupancyConfig(kind="step_function", time_zone="US/Pacific"),
+        weather=WeatherConfig(low_temp=270.0, high_temp=290.0),
+    )
+
+
+class TestEpisodeTables:
+    def test_lengths_and_dtypes(self, config):
+        t = tables_lib.build_episode_tables(config)
+        assert t.n_steps == 288
+        assert t.ambient_temp.shape[0] == 288 + 16
+        assert t.comfort.dtype == bool
+
+    def test_comfort_follows_pacific_schedule(self, config):
+        t = tables_lib.build_episode_tables(config)
+        # Start is 07:00 UTC = 00:00 PDT -> eco mode; comfort begins at
+        # 06:00 PDT = 13:00 UTC = step 72.
+        assert not bool(t.comfort[0])
+        assert bool(t.comfort[72])
+        assert not bool(t.comfort[71])
+        np.testing.assert_allclose(float(t.heating_setpoint[0]), 289.0)
+        np.testing.assert_allclose(float(t.heating_setpoint[72]), 294.0)
+
+    def test_comfort_soon_leads_by_one_hour(self, config):
+        t = tables_lib.build_episode_tables(config)
+        assert bool(t.comfort_soon[60])  # 60 steps = 5h -> 05:00 PDT + 1h
+        assert not bool(t.comfort_soon[47])
+
+    def test_tou_prices_by_utc_hour(self, config):
+        t = tables_lib.build_episode_tables(config)
+        # Step 0 is 07:00 UTC on a workday: 18 c/kWh bracket.
+        assert float(t.elec_price[0]) == pytest.approx(
+            18.0 / 100 / 1000 / 3600
+        )
+        # Step at 00:00 UTC (17 h later): 16 c/kWh bracket.
+        assert float(t.elec_price[204]) == pytest.approx(
+            16.0 / 100 / 1000 / 3600
+        )
+
+    def test_step_occupancy_day_profile(self, config):
+        t = tables_lib.build_episode_tables(config)
+        # 09:00-17:00 PDT work hours -> 16:00 UTC = step 108 onward at work
+        # occupancy; midnight PDT at nonwork level.
+        assert float(t.step_occupancy[0]) == pytest.approx(0.1)
+        assert float(t.step_occupancy[120]) == pytest.approx(1.0)
+
+
+class TestRandomizedOccupancy:
+    def test_geometric_probability(self):
+        params = occupancy_lib.make_occupancy_params(
+            OccupancyConfig(kind="randomized"), 300.0
+        )
+        # Arrival window 7-12 h = 60 steps; halfway 30 -> p = 1/30.
+        assert float(params.p_arrival) == pytest.approx(1.0 / 30.0)
+        assert float(params.p_departure) == pytest.approx(1.0 / 30.0)
+
+    def test_away_on_nonworkdays(self):
+        params = occupancy_lib.make_occupancy_params(
+            OccupancyConfig(kind="randomized", zone_assignment=4), 300.0
+        )
+        working = jnp.ones((3, 4), bool)
+        out = occupancy_lib.occupancy_peek(
+            working,
+            jax.random.PRNGKey(0),
+            jnp.int32(10),
+            jnp.asarray(False),
+            params,
+        )
+        assert not np.asarray(out).any()
+
+    def test_arrivals_only_in_window(self):
+        params = occupancy_lib.make_occupancy_params(
+            OccupancyConfig(kind="randomized", zone_assignment=8), 300.0
+        )
+        away = jnp.zeros((4, 8), bool)
+        # Hour 3: before the arrival window -> nobody arrives.
+        out = occupancy_lib.occupancy_peek(
+            away, jax.random.PRNGKey(1), jnp.int32(3), jnp.asarray(True), params
+        )
+        assert not np.asarray(out).any()
+        # Hour 9 with many draws: some arrive eventually.
+        working = away
+        for i in range(50):
+            working = occupancy_lib.occupancy_peek(
+                working,
+                jax.random.PRNGKey(i),
+                jnp.int32(9),
+                jnp.asarray(True),
+                params,
+            )
+        assert np.asarray(working).any()
+
+    def test_departures_after_earliest_hour(self):
+        params = occupancy_lib.make_occupancy_params(
+            OccupancyConfig(kind="randomized", zone_assignment=8), 300.0
+        )
+        working = jnp.ones((4, 8), bool)
+        # Noon: departures haven't started.
+        out = occupancy_lib.occupancy_peek(
+            working, jax.random.PRNGKey(2), jnp.int32(12), jnp.asarray(True),
+            params,
+        )
+        assert np.asarray(out).all()
+        # Evening: everyone eventually leaves (p=1/30 per draw; 300 draws
+        # leave ~4e-5 residual probability per occupant).
+        for i in range(300):
+            working = occupancy_lib.occupancy_peek(
+                working, jax.random.PRNGKey(100 + i), jnp.int32(20),
+                jnp.asarray(True), params,
+            )
+        assert not np.asarray(working).any()
