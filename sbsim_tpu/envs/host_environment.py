@@ -1,0 +1,193 @@
+"""Single-env, host-driven RL environment with metrics recording.
+
+The gym-style counterpart of the reference's TF-Agents `Environment`
+(environment.py:352-1403) for host loops: drives any BaseBuilding-contract
+building (the TPU SimulatedBuilding, its rejection decorator, or a real
+building endpoint) through the proto protocol, records proto shards +
+metrics per episode, and converts action rejections into the -inf rejection
+reward (environment.py:52, 1266-1309).
+
+Batched on-device training uses envs/building_env.py directly; this wrapper
+exists for the interop/fault-injection/metrics surface and for stepping a
+real building with a trained policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.host_adapter import SimulatedBuilding
+from sbsim_tpu.io import records as records_lib
+from sbsim_tpu.proto import building_pb2
+
+ACTION_REJECTION_REWARD: float = -np.inf
+
+StepType = int
+FIRST, MID, LAST = 0, 1, 2
+
+
+@dataclasses.dataclass
+class TimeStep:
+    step_type: StepType
+    reward: float
+    discount: float
+    observation: np.ndarray
+
+    def is_last(self) -> bool:
+        return self.step_type == LAST
+
+
+class HostEnvironment:
+    """reset()/step() host loop over a building implementing the proto
+    protocol."""
+
+    def __init__(
+        self,
+        building,  # SimulatedBuilding or decorator with the same surface
+        env: BuildingEnv,
+        metrics_path: Optional[str] = None,
+        label: str = "episode_metrics",
+    ):
+        self._building = building
+        self._env = env
+        self._metrics_path = metrics_path
+        self._label = label
+        self._writer: Optional[records_lib.RecordWriter] = None
+        self._episode_count = 0
+        self._step_count = 0
+        self._episode_ended = False
+
+    @property
+    def action_names(self):
+        return self._env.action_names
+
+    @property
+    def observation_dim(self) -> int:
+        return self._env.obs_dim
+
+    @property
+    def steps_per_episode(self) -> int:
+        return self._env.steps_per_episode
+
+    def _start_metrics_writer(self) -> None:
+        self._writer = None
+        if self._metrics_path:
+            episode_id = (
+                f"{self._label}_{pd.Timestamp.now("UTC"):%y%m%d_%H%M%S}"
+            )
+            out_dir = os.path.join(self._metrics_path, episode_id)
+            self._writer = records_lib.RecordWriter(out_dir)
+            self._writer.write_device_infos(self._building.devices)
+            self._writer.write_zone_infos(self._building.zones)
+
+    def reset(self) -> TimeStep:
+        self._building.reset()
+        self._episode_count += 1
+        self._step_count = 0
+        self._episode_ended = False
+        self._start_metrics_writer()
+        obs = np.asarray(self._building._last_obs_vector)
+        return TimeStep(FIRST, 0.0, 1.0, obs)
+
+    def step(self, action: np.ndarray) -> TimeStep:
+        """Applies a normalized [-1, 1] action vector for one control step."""
+        if self._episode_ended:
+            return self.reset()
+
+        request = building_pb2.ActionRequest()
+        for i, (device, field, normalizer) in enumerate(
+            self._env.action_entries
+        ):
+            native = (
+                (float(np.clip(action[i], -1.0, 1.0)) + 1.0)
+                / 2.0
+                * (normalizer.max_native_value - normalizer.min_native_value)
+                + normalizer.min_native_value
+            )
+            request.single_action_requests.add(
+                device_id=device,
+                setpoint_name=field,
+                continuous_value=native,
+            )
+
+        action_accepted = True
+        try:
+            response = self._building.request_action(request)
+            action_accepted = all(
+                r.response_type
+                == building_pb2.SingleActionResponse.ACCEPTED
+                for r in response.single_action_responses
+            )
+        except RuntimeError:
+            # Building refused control (e.g. RejectionSimulatedBuilding):
+            # synthesize the rejection response + -inf reward
+            # (environment.py:1270-1309).
+            response = None
+            action_accepted = False
+
+        if self._writer is not None and response is not None:
+            self._writer.write_action_response(
+                response, self._building.current_timestamp
+            )
+
+        self._building.wait_time()
+
+        obs_response = self._building.request_observations(
+            self._building.default_observation_request()
+        )
+        if self._writer is not None:
+            self._writer.write_observation_response(
+                obs_response, self._building.current_timestamp
+            )
+
+        obs = np.asarray(self._building._last_obs_vector)
+        breakdown = self._building._last_breakdown
+        reward = float(breakdown.agent_reward_value)
+        if not action_accepted:
+            reward = ACTION_REJECTION_REWARD
+
+        if self._writer is not None:
+            self._writer.write_reward_info(
+                self._building.reward_info, self._building.current_timestamp
+            )
+            from sbsim_tpu.proto import reward_pb2
+
+            rr = reward_pb2.RewardResponse(
+                agent_reward_value=float(breakdown.agent_reward_value),
+                productivity_reward=float(breakdown.productivity_reward),
+                electricity_energy_cost=float(
+                    breakdown.electricity_energy_cost
+                ),
+                natural_gas_energy_cost=float(
+                    breakdown.natural_gas_energy_cost
+                ),
+                carbon_emitted=float(breakdown.carbon_emitted),
+                total_occupancy=float(breakdown.total_occupancy),
+                productivity_regret=float(breakdown.productivity_regret),
+                normalized_productivity_regret=float(
+                    breakdown.normalized_productivity_regret
+                ),
+                normalized_energy_cost=float(
+                    breakdown.normalized_energy_cost
+                ),
+                normalized_carbon_emission=float(
+                    breakdown.normalized_carbon_emission
+                ),
+            )
+            self._writer.write_reward_response(
+                rr, self._building.current_timestamp
+            )
+
+        self._step_count += 1
+        self._episode_ended = self._step_count >= self.steps_per_episode
+        if self._episode_ended:
+            return TimeStep(LAST, reward, 0.0, obs)
+        return TimeStep(
+            MID, reward, self._env.config.discount_factor, obs
+        )

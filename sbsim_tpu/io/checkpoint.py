@@ -1,0 +1,56 @@
+"""Checkpoint / resume for the full training state via orbax.
+
+The reference can only checkpoint policies (TF-Agents SavedModel) and the
+Reverb server's own state; the environment itself is not checkpointable
+(SURVEY.md section 5). Here everything - env states, replay ring, SAC
+learner, RNG - is one pytree, so a single orbax save captures the entire
+training run and restore resumes it exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sbsim_tpu.agents.train import TrainState
+
+
+class TrainCheckpointer:
+    """Saves/restores TrainState snapshots under a directory."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._directory = os.path.abspath(directory)
+        os.makedirs(self._directory, exist_ok=True)
+        self._manager = ocp.CheckpointManager(
+            self._directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._manager.save(
+            step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state))
+        )
+        self._manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._manager.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restores into the structure of `template` (an initialized
+        TrainState, used for shapes/dtypes)."""
+        if step is None:
+            step = self._manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints in {self._directory}")
+        abstract = jax.tree.map(np.asarray, template)
+        restored = self._manager.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        return jax.tree.map(lambda x: x, restored)
+
+    def close(self) -> None:
+        self._manager.close()

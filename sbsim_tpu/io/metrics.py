@@ -1,0 +1,96 @@
+"""Training/episode metrics: JSONL streams plus an accumulator.
+
+Plays the role of the reference's TensorBoard summary accumulator
+(environment.py:503, 1099-1159) and plot_utils metrics dicts
+(plot_utils.py:441-489), with a dependency-free JSONL backend (one JSON
+object per line, trivially loadable into pandas) and optional TensorBoard
+export when TensorFlow is importable.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import time
+from typing import Any, Dict, List, Mapping, Optional
+
+import numpy as np
+
+
+class MetricsAccumulator:
+    """Accumulates per-step scalars; flushes means every N steps."""
+
+    def __init__(
+        self,
+        output_path: Optional[str] = None,
+        reporting_interval: int = 10,
+        tensorboard_dir: Optional[str] = None,
+    ):
+        self._accumulator: Dict[str, List[float]] = collections.defaultdict(list)
+        self._reporting_interval = reporting_interval
+        self._step = 0
+        self._file = None
+        if output_path:
+            os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+            self._file = open(output_path, "a")
+        self._tb_writer = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf
+
+                self._tb_writer = tf.summary.create_file_writer(
+                    tensorboard_dir
+                )
+            except ImportError:
+                pass
+
+    def record(self, metrics: Mapping[str, Any]) -> None:
+        for key, value in metrics.items():
+            self._accumulator[key].append(float(np.asarray(value)))
+        self._step += 1
+        if self._step % self._reporting_interval == 0:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._accumulator:
+            return
+        means = {
+            key: float(np.mean(vals))
+            for key, vals in self._accumulator.items()
+        }
+        if self._file:
+            self._file.write(
+                json.dumps(
+                    {"step": self._step, "time": time.time(), **means}
+                )
+                + "\n"
+            )
+            self._file.flush()
+        if self._tb_writer is not None:
+            import tensorflow as tf
+
+            with self._tb_writer.as_default():
+                for key, value in means.items():
+                    tf.summary.scalar(key, value, step=self._step)
+            self._tb_writer.flush()
+        self._accumulator = collections.defaultdict(list)
+
+    def close(self) -> None:
+        self.flush()
+        if self._file:
+            self._file.close()
+            self._file = None
+
+
+def load_metrics(path: str):
+    """Loads a JSONL metrics stream into a pandas DataFrame."""
+    import pandas as pd
+
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return pd.DataFrame(rows)

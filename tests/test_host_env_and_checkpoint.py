@@ -1,0 +1,120 @@
+"""Host environment loop, rejection reward, metrics recording, checkpoints."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.host_adapter import (
+    RejectionSimulatedBuilding,
+    SimulatedBuilding,
+)
+from sbsim_tpu.envs.host_environment import (
+    ACTION_REJECTION_REWARD,
+    HostEnvironment,
+    LAST,
+)
+from sbsim_tpu.io import metrics as metrics_lib
+from sbsim_tpu.io.checkpoint import TrainCheckpointer
+
+
+@pytest.fixture(scope="module")
+def env():
+    return BuildingEnv(presets.two_zone_test_config())
+
+
+class TestHostEnvironment:
+    def test_episode_loop_with_metrics(self, env, tmp_path):
+        building = SimulatedBuilding(env, seed=0)
+        host = HostEnvironment(
+            building, env, metrics_path=str(tmp_path), label="test_ep"
+        )
+        ts = host.reset()
+        assert ts.observation.shape == (env.obs_dim,)
+        action = np.zeros(len(host.action_names), np.float32)
+        for _ in range(3):
+            ts = host.step(action)
+        assert -1.0 <= ts.reward <= 0.0
+        episode_dirs = glob.glob(str(tmp_path / "test_ep_*"))
+        assert len(episode_dirs) == 1
+        files = os.listdir(episode_dirs[0])
+        assert any(f.startswith("observation_response") for f in files)
+        assert any(f.startswith("reward_info") for f in files)
+        assert any(f.startswith("action_response") for f in files)
+        assert "device_infos" in files
+
+    def test_rejection_gives_minus_inf(self, env):
+        building = RejectionSimulatedBuilding(
+            SimulatedBuilding(env, seed=1), num_rejections=2
+        )
+        host = HostEnvironment(building, env)
+        host.reset()
+        action = np.zeros(len(host.action_names), np.float32)
+        ts = host.step(action)
+        assert ts.reward == ACTION_REJECTION_REWARD
+        ts = host.step(action)
+        assert ts.reward == ACTION_REJECTION_REWARD
+        ts = host.step(action)
+        assert np.isfinite(ts.reward)
+
+    def test_episode_termination(self, env):
+        building = SimulatedBuilding(env, seed=2)
+        host = HostEnvironment(building, env)
+        host.reset()
+        host._step_count = host.steps_per_episode - 1
+        ts = host.step(np.zeros(len(host.action_names)))
+        assert ts.step_type == LAST
+        assert ts.discount == 0.0
+
+
+class TestMetricsAccumulator:
+    def test_jsonl_round_trip(self, tmp_path):
+        path = str(tmp_path / "metrics.jsonl")
+        acc = metrics_lib.MetricsAccumulator(path, reporting_interval=2)
+        acc.record({"reward": -0.5, "loss": 1.0})
+        acc.record({"reward": -0.3, "loss": 0.6})
+        acc.record({"reward": -0.1, "loss": 0.2})
+        acc.close()
+        df = metrics_lib.load_metrics(path)
+        assert len(df) == 2
+        assert df.iloc[0]["reward"] == pytest.approx(-0.4)
+        assert df.iloc[1]["loss"] == pytest.approx(0.2)
+
+
+class TestCheckpoint:
+    def test_save_restore_round_trip(self, env, tmp_path):
+        trainer = SACTrainer(
+            env, TrainConfig(n_envs=2, replay_capacity=64, batch_size=8,
+                             seed_steps=0)
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        step = jax.jit(trainer.train_step)
+        for _ in range(3):
+            state, _ = step(state)
+
+        ckpt = TrainCheckpointer(str(tmp_path / "ckpt"))
+        ckpt.save(3, state)
+        assert ckpt.latest_step() == 3
+
+        template = trainer.init(jax.random.PRNGKey(1))
+        restored = ckpt.restore(template)
+        np.testing.assert_array_equal(
+            np.asarray(restored.last_obs), np.asarray(state.last_obs)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(restored.replay.size), np.asarray(state.replay.size)
+        )
+        # Learner params restored exactly.
+        flat_a = jax.tree.leaves(restored.sac.actor_params)
+        flat_b = jax.tree.leaves(state.sac.actor_params)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Training continues from the restored state.
+        cont, _ = step(restored)
+        assert int(cont.env_steps) == int(state.env_steps) + 2
+        ckpt.close()
