@@ -79,7 +79,7 @@ class HostEnvironment:
         self._writer = None
         if self._metrics_path:
             episode_id = (
-                f"{self._label}_{pd.Timestamp.now("UTC"):%y%m%d_%H%M%S}"
+                f"{self._label}_{pd.Timestamp.now('UTC'):%y%m%d_%H%M%S}"
             )
             out_dir = os.path.join(self._metrics_path, episode_id)
             self._writer = records_lib.RecordWriter(out_dir)

@@ -22,8 +22,10 @@ from sbsim_tpu.hvac.params import (
     MODE_PASSIVE_COOL,
 )
 
-CP_AIR = jnp.float32(constants.AIR_HEAT_CAPACITY)
-CP_WATER = jnp.float32(constants.WATER_HEAT_CAPACITY)
+# Plain Python floats: module-level jnp constants would initialize the JAX
+# backend at import time.
+CP_AIR = float(constants.AIR_HEAT_CAPACITY)
+CP_WATER = float(constants.WATER_HEAT_CAPACITY)
 
 
 def thermostat_update(
