@@ -79,11 +79,13 @@ def label_connected_rooms(zone_map: np.ndarray) -> np.ndarray:
        1..n mark rooms, numbered in raster-scan order of first encounter.
 
     Parity: building_utils.process_and_run_connected_components (:417-434);
-    scipy.ndimage.label with 4-connectivity reproduces
-    cv2.connectedComponentsWithStats(connectivity=4) labeling.
+    union-find labeling with 4-connectivity reproduces
+    cv2.connectedComponentsWithStats(connectivity=4) numbering.
     """
+    from sbsim_tpu import native
+
     is_space = zone_map == constants.INTERIOR_SPACE_VALUE
-    labels, _ = ndimage.label(is_space, structure=_FOUR_CONNECTED)
+    labels = native.connected_components_4(is_space)
     out = labels.astype(np.int64)
     out[zone_map == constants.EXTERIOR_SPACE_VALUE] = -1
     return out
@@ -94,7 +96,9 @@ def label_exterior_wall_shell(exterior_space: np.ndarray) -> np.ndarray:
 
     Parity: building_utils._label_exterior_wall_shell (:322-356).
     """
-    near = ndimage.binary_dilation(exterior_space, structure=_FOUR_CONNECTED)
+    from sbsim_tpu import native
+
+    near = native.binary_dilation_cross(exterior_space, iterations=1)
     return near & ~exterior_space
 
 
@@ -106,8 +110,10 @@ def enlarge_component(mask: np.ndarray, distance: float) -> np.ndarray:
     for the small distances used here (EXPAND_EXTERIOR_WALLS_BY_CV_AMOUNT=2)
     the exact Euclidean transform selects the same set of CVs.
     """
+    from sbsim_tpu import native
+
     distances = np.round(
-        ndimage.distance_transform_edt(~mask.astype(bool)), decimals=2
+        native.distance_transform_edt(~mask.astype(bool)), decimals=2
     )
     return distances <= distance
 

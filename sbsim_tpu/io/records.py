@@ -49,7 +49,20 @@ def append_records(
 def read_records(
     filepath: str, message_type: Type[message_lib.Message]
 ) -> Iterator[message_lib.Message]:
-    """Streams records from one shard (controller_reader.py:186-207)."""
+    """Streams records from one shard (controller_reader.py:186-207).
+
+    Uses the native bulk scanner (native/record_io.cc) when available,
+    falling back to Python framing.
+    """
+    from sbsim_tpu import native
+
+    payloads = native.read_record_payloads(filepath)
+    if payloads is not None:
+        for data in payloads:
+            msg = message_type()
+            msg.ParseFromString(data)
+            yield msg
+        return
     with open(filepath, "rb") as f:
         while True:
             size_bytes = f.read(4)

@@ -1,1 +1,180 @@
+"""Native (C++) kernels with lazy compilation and ctypes bindings.
 
+Where the reference relies on native libraries for the heavy host-side work
+(OpenCV floor-plan ops, Reverb's C++ record plane - SURVEY.md section 2.9),
+this package carries the equivalent C++ sources and builds them on first use
+with the system toolchain. Every binding has a pure-Python fallback, so the
+framework never hard-requires the compiled artifacts.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIBS = {}
+
+
+def _build(name: str) -> Optional[str]:
+    src = os.path.join(_DIR, f"{name}.cc")
+    out = os.path.join(_DIR, f"lib{name}.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", out],
+            check=True,
+            capture_output=True,
+        )
+        return out
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def load(name: str) -> Optional[ctypes.CDLL]:
+    """Loads (building if needed) lib<name>.so; None if unavailable."""
+    if name in _LIBS:
+        return _LIBS[name]
+    path = _build(name)
+    lib = ctypes.CDLL(path) if path else None
+    _LIBS[name] = lib
+    return lib
+
+
+# ---------------------------------------------------------------------------
+# floorplan_ops bindings
+# ---------------------------------------------------------------------------
+
+
+def connected_components_4(image: np.ndarray) -> np.ndarray:
+    """4-connected labels of nonzero pixels (0 background, 1..n raster
+    order). Falls back to scipy.ndimage.label."""
+    lib = load("floorplan_ops")
+    img = np.ascontiguousarray(image != 0, dtype=np.uint8)
+    if lib is not None:
+        h, w = img.shape
+        labels = np.zeros((h, w), dtype=np.int32)
+        lib.connected_components_4(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(h),
+            ctypes.c_int32(w),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return labels
+    from scipy import ndimage
+
+    structure = ndimage.generate_binary_structure(2, 1)
+    labels, _ = ndimage.label(img, structure=structure)
+    return labels.astype(np.int32)
+
+
+def distance_transform_edt(image: np.ndarray) -> np.ndarray:
+    """Exact Euclidean distance to the nearest zero pixel. Falls back to
+    scipy.ndimage.distance_transform_edt."""
+    lib = load("floorplan_ops")
+    img = np.ascontiguousarray(image != 0, dtype=np.uint8)
+    if lib is not None:
+        h, w = img.shape
+        out = np.zeros((h, w), dtype=np.float32)
+        lib.distance_transform_edt(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(h),
+            ctypes.c_int32(w),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+    from scipy import ndimage
+
+    return ndimage.distance_transform_edt(img).astype(np.float32)
+
+
+def binary_dilation_cross(
+    image: np.ndarray, iterations: int = 1
+) -> np.ndarray:
+    """Binary dilation with the 4-connected cross element."""
+    lib = load("floorplan_ops")
+    img = np.ascontiguousarray(image != 0, dtype=np.uint8)
+    if lib is not None:
+        h, w = img.shape
+        out = np.zeros((h, w), dtype=np.uint8)
+        lib.binary_dilation_cross(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(h),
+            ctypes.c_int32(w),
+            ctypes.c_int32(iterations),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out.astype(bool)
+    from scipy import ndimage
+
+    structure = ndimage.generate_binary_structure(2, 1)
+    out = img.astype(bool)
+    for _ in range(iterations):
+        out = ndimage.binary_dilation(out, structure=structure)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# record_io bindings
+# ---------------------------------------------------------------------------
+
+
+def read_record_payloads(path: str) -> Optional[list]:
+    """Bulk-reads all length-prefixed record payloads from a shard file
+    using the native scanner; None if the native lib is unavailable."""
+    lib = load("record_io")
+    if lib is None:
+        return None
+    lib.scan_records.restype = ctypes.c_int64
+    lib.read_all_records.restype = ctypes.c_int64
+    encoded = path.encode()
+    n = lib.scan_records(encoded, None, ctypes.c_int64(0))
+    if n < 0:
+        raise IOError(f"corrupt or unreadable shard: {path}")
+    lengths = np.zeros(int(n), dtype=np.int64)
+    lib.scan_records(
+        encoded,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(int(n)),
+    )
+    total = int(lengths.sum())
+    buffer = np.zeros(total, dtype=np.uint8)
+    got = lib.read_all_records(
+        encoded,
+        buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(total),
+    )
+    if got != total:
+        raise IOError(f"short read on shard: {path}")
+    payloads = []
+    offset = 0
+    raw = buffer.tobytes()
+    for length in lengths:
+        payloads.append(raw[offset : offset + int(length)])
+        offset += int(length)
+    return payloads
+
+
+def append_record_payloads(path: str, payloads: list) -> bool:
+    """Appends a batch of payloads with one buffered native write; False if
+    the native lib is unavailable."""
+    lib = load("record_io")
+    if lib is None:
+        return False
+    data = b"".join(payloads)
+    arr = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(0, np.uint8)
+    lengths = np.asarray([len(p) for p in payloads], dtype=np.int64)
+    rc = lib.append_records(
+        path.encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(payloads)),
+    )
+    if rc != 0:
+        raise IOError(f"failed to append records to {path}")
+    return True

@@ -1,0 +1,83 @@
+"""Native C++ kernel tests: build, correctness vs scipy, record IO."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from sbsim_tpu import native
+
+
+@pytest.fixture(scope="module")
+def built():
+    lib = native.load("floorplan_ops")
+    if lib is None:
+        pytest.skip("g++ unavailable; pure-Python fallbacks cover this")
+    return lib
+
+
+class TestFloorplanOps:
+    def test_connected_components_matches_scipy(self, built):
+        rng = np.random.default_rng(0)
+        img = rng.random((40, 50)) > 0.6
+        ours = native.connected_components_4(img)
+        structure = ndimage.generate_binary_structure(2, 1)
+        ref, n = ndimage.label(img, structure=structure)
+        assert ours.max() == n
+        # Label numbering matches raster-order scipy labeling exactly.
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_distance_transform_matches_scipy(self, built):
+        rng = np.random.default_rng(1)
+        img = rng.random((30, 40)) > 0.2
+        ours = native.distance_transform_edt(img)
+        ref = ndimage.distance_transform_edt(img)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_dilation_matches_scipy(self, built):
+        rng = np.random.default_rng(2)
+        img = rng.random((25, 30)) > 0.8
+        structure = ndimage.generate_binary_structure(2, 1)
+        for iterations in (1, 3):
+            ours = native.binary_dilation_cross(img, iterations)
+            ref = img
+            for _ in range(iterations):
+                ref = ndimage.binary_dilation(ref, structure=structure)
+            np.testing.assert_array_equal(ours, ref)
+
+
+class TestRecordIO:
+    def test_native_read_matches_python_write(self, tmp_path):
+        from sbsim_tpu.io import records
+        from sbsim_tpu.proto import reward_pb2
+
+        path = str(tmp_path / "shard")
+        msgs = [
+            reward_pb2.RewardResponse(agent_reward_value=-0.1 * i)
+            for i in range(10)
+        ]
+        records.append_records(path, msgs)
+        payloads = native.read_record_payloads(path)
+        if payloads is None:
+            pytest.skip("native record_io unavailable")
+        assert len(payloads) == 10
+        for i, data in enumerate(payloads):
+            msg = reward_pb2.RewardResponse()
+            msg.ParseFromString(data)
+            assert msg.agent_reward_value == pytest.approx(-0.1 * i)
+
+    def test_native_append_readable_by_python(self, tmp_path):
+        from sbsim_tpu.io import records
+        from sbsim_tpu.proto import reward_pb2
+
+        path = str(tmp_path / "shard2")
+        payloads = [
+            reward_pb2.RewardResponse(
+                agent_reward_value=float(i)
+            ).SerializeToString()
+            for i in range(5)
+        ]
+        if not native.append_record_payloads(path, payloads):
+            pytest.skip("native record_io unavailable")
+        back = list(records.read_records(path, reward_pb2.RewardResponse))
+        assert len(back) == 5
+        assert back[3].agent_reward_value == pytest.approx(3.0)
