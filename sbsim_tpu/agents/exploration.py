@@ -1,0 +1,36 @@
+"""Exploration policies for replay seeding.
+
+`random_walk_actions` mirrors the reference's scripted bounded random-walk
+collection policy (agent_utils.py:32-117): each action dimension takes a
+small random step per env step, reflected at the [-1, 1] bounds. Returned as
+a pure function usable inside jitted collect loops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def random_walk_policy(
+    n_actions: int, step_size: float = 0.1
+) -> Callable[[jnp.ndarray, jax.Array], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns walk(prev_actions, key) -> (actions, next_prev).
+
+    prev_actions carries the walk state (shape (..., n_actions)).
+    """
+
+    def walk(prev_actions: jnp.ndarray, key: jax.Array):
+        delta = jax.random.uniform(
+            key, prev_actions.shape, minval=-step_size, maxval=step_size
+        )
+        raw = prev_actions + delta
+        # Reflect at the bounds.
+        reflected = jnp.where(raw > 1.0, 2.0 - raw, raw)
+        reflected = jnp.where(reflected < -1.0, -2.0 - reflected, reflected)
+        out = jnp.clip(reflected, -1.0, 1.0)
+        return out, out
+
+    return walk

@@ -1,0 +1,91 @@
+"""Telemetry helpers tests (imputation / framing / time features)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.proto import building_pb2
+from sbsim_tpu.utils import telemetry
+
+
+def make_response(values, valid=None, ts_seconds=1688601600):
+    response = building_pb2.ObservationResponse()
+    response.timestamp.FromSeconds(ts_seconds)
+    for i, ((device, measurement), value) in enumerate(values.items()):
+        single = response.single_observation_responses.add()
+        single.single_observation_request.device_id = device
+        single.single_observation_request.measurement_name = measurement
+        single.continuous_value = value
+        single.observation_valid = True if valid is None else valid[i]
+    return response
+
+
+class TestImputation:
+    def test_invalid_filled_from_previous(self):
+        prev = make_response({("d1", "m1"): 5.0, ("d1", "m2"): 7.0})
+        cur = make_response(
+            {("d1", "m1"): 0.0, ("d1", "m2"): 8.0}, valid=[False, True]
+        )
+        out = telemetry.impute_missing_observations(cur, prev)
+        values = {
+            (
+                r.single_observation_request.device_id,
+                r.single_observation_request.measurement_name,
+            ): r.continuous_value
+            for r in out.single_observation_responses
+        }
+        assert values[("d1", "m1")] == pytest.approx(5.0)
+        assert values[("d1", "m2")] == pytest.approx(8.0)
+
+    def test_missing_fields_restored(self):
+        prev = make_response({("d1", "m1"): 5.0, ("d2", "m1"): 3.0})
+        cur = make_response({("d1", "m1"): 6.0})
+        out = telemetry.impute_missing_observations(cur, prev)
+        assert len(out.single_observation_responses) == 2
+
+    def test_no_previous_passthrough(self):
+        cur = make_response({("d1", "m1"): 6.0})
+        out = telemetry.impute_missing_observations(cur, None)
+        assert out is cur
+
+
+def test_frame_conversion():
+    responses = [
+        make_response({("d1", "m1"): 1.0}, ts_seconds=1688601600),
+        make_response({("d1", "m1"): 2.0}, ts_seconds=1688601900),
+    ]
+    df = telemetry.observation_responses_to_frame(responses)
+    assert df.shape == (2, 1)
+    assert df[("d1", "m1")].iloc[1] == pytest.approx(2.0)
+
+
+def test_time_features():
+    feats = telemetry.expand_time_features(2, 0.0, "hod")
+    assert feats["hod_cos_000"] == pytest.approx(1.0)
+    assert feats["hod_sin_000"] == pytest.approx(0.0)
+    # Second component is phase-shifted by pi.
+    assert feats["hod_cos_001"] == pytest.approx(-1.0)
+
+
+def test_paint_zone_temperatures():
+    grid = np.asarray([[0, 0, 2], [1, 1, 2]])
+    out = telemetry.paint_zone_temperatures(
+        {"zone_id_1": 290.0, "zone_id_2": 295.0},
+        grid,
+        ["zone_id_1", "zone_id_2"],
+    )
+    assert out[0, 0] == pytest.approx(290.0)
+    assert out[1, 0] == pytest.approx(295.0)
+    assert np.isnan(out[0, 2])
+
+
+def test_random_walk_policy_bounds():
+    import jax
+
+    from sbsim_tpu.agents.exploration import random_walk_policy
+
+    walk = jax.jit(random_walk_policy(3, step_size=0.5))
+    state = np.zeros((4, 3), np.float32)
+    for i in range(50):
+        actions, state = walk(state, jax.random.PRNGKey(i))
+        assert (np.abs(np.asarray(actions)) <= 1.0).all()
