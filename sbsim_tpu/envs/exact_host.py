@@ -1,0 +1,492 @@
+"""Bit-faithful host mode: the reference control loop with its exact RNG.
+
+The device path (envs/building_env.py) uses counter-based jax.random streams;
+this module provides the slow host-mode simulator whose *stochastic draws are
+bit-identical to the reference implementation*: the stochastic convection
+shuffle consumes a Python Mersenne-Twister stream exactly as
+stochastic_convection_simulator.py:62-145 does (uniform per CV, choice per
+swap, shuffle of the swap list, shared candidate cache), and the occupancy
+model consumes a shared numpy RandomState exactly as
+randomized_arrival_departure_occupancy.py:104-218 does (lazy per-zone
+occupant creation in zone-call order, one draw per peek, two peeks per step).
+
+Deterministic physics run through the float32 numpy oracle
+(physics/reference_impl.py), and all device math is float64 Python
+arithmetic, matching the reference's scalar path. Use this mode for
+trajectory-exact validation runs and as the oracle for the fast device path.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from zoneinfo import ZoneInfo
+
+from sbsim_tpu import constants
+from sbsim_tpu.core.geometry import BuildingGeometry
+from sbsim_tpu.envs.config import EnvConfig
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.physics import reference_impl
+from sbsim_tpu.scenario import uscalendar
+
+CP_AIR = constants.AIR_HEAT_CAPACITY
+CP_WATER = constants.WATER_HEAT_CAPACITY
+
+MODE_OFF, MODE_HEAT, MODE_COOL, MODE_PASSIVE_COOL = 0, 1, 2, 3
+
+
+class _ExactOccupant:
+    """One occupant's AWAY/WORK machine drawing from the shared stream
+    (randomized_arrival_departure_occupancy.py:41-146)."""
+
+    def __init__(self, cfg, time_step_sec: float, rs: np.random.RandomState):
+        self._cfg = cfg
+        self._rs = rs
+        self.working = False
+
+        def probability(start, end):
+            window_steps = (end - start) * 3600.0 / time_step_sec
+            return 1.0 / (window_steps / 2.0)
+
+        self._p_arrival = probability(
+            cfg.earliest_expected_arrival_hour,
+            cfg.latest_expected_arrival_hour,
+        )
+        self._p_departure = probability(
+            cfg.earliest_expected_departure_hour,
+            cfg.latest_expected_departure_hour,
+        )
+
+    def peek(self, local_ts: pd.Timestamp) -> bool:
+        cfg = self._cfg
+        if not uscalendar.is_work_day(local_ts.date()):
+            self.working = False
+        elif not self.working:
+            in_window = (
+                cfg.earliest_expected_arrival_hour
+                <= local_ts.hour
+                <= cfg.latest_expected_arrival_hour
+            )
+            # The reference draws only inside the arrival window
+            # (randomized_...occupancy.py:107-115).
+            if in_window and self._rs.rand() < self._p_arrival:
+                self.working = True
+        else:
+            if (
+                local_ts.hour >= cfg.earliest_expected_departure_hour
+                and self._rs.rand() < self._p_departure
+            ):
+                self.working = False
+        return self.working
+
+
+class ExactConvection:
+    """Stochastic in-room shuffle with the reference's exact Python-random
+    stream (stochastic_convection_simulator.py:35-145)."""
+
+    def __init__(self, p: float, distance: int, seed: Optional[int],
+                 room_lists: Sequence[List[Tuple[int, int]]]):
+        self._p = p
+        self._distance = distance
+        self._rand = random.Random(seed) if seed is not None else random.Random()
+        self._rooms = room_lists
+        self._cache: Dict[int, Dict[Tuple[int, int], list]] = {}
+
+    def apply(self, temp: np.ndarray) -> None:
+        p, distance = self._p, self._distance
+        if p == 0 or distance == 0:
+            return
+        for coords in self._rooms:
+            if distance == -1 and p == 1:
+                self._shuffle_whole_room(coords, temp)
+            else:
+                self._shuffle_max_dist(coords, temp)
+
+    def _shuffle_whole_room(self, coords, temp) -> None:
+        values = {cv: temp[cv] for cv in coords}
+        order = list(coords)
+        self._rand.shuffle(order)
+        for src, dst in zip(coords, order):
+            temp[dst] = values[src]
+
+    def _shuffle_max_dist(self, coords, temp) -> None:
+        max_dist = 1000 if self._distance == -1 else self._distance
+        in_room = set(coords)
+        cache = self._cache.setdefault(max_dist, {})
+        swaps = []
+        for cv in coords:
+            if self._rand.uniform(0, 1) > self._p:
+                continue
+            candidates = cache.get(cv)
+            if candidates is None:
+                candidates = []
+                # Asymmetric window and *squared*-distance bound, exactly as
+                # the reference computes them (:125-134).
+                for a in range(cv[0] - max_dist, cv[0] + max_dist):
+                    for b in range(cv[1] - max_dist, cv[1] + max_dist):
+                        other = (a, b)
+                        if other not in in_room:
+                            continue
+                        if (cv[0] - a) ** 2 + (cv[1] - b) ** 2 <= max_dist:
+                            candidates.append(other)
+                cache[cv] = candidates
+            swaps.append((cv, self._rand.choice(candidates)))
+        self._rand.shuffle(swaps)
+        for a, b in swaps:
+            temp[a], temp[b] = temp[b], temp[a]
+
+
+class ExactHostSimulator:
+    """Single-building host simulator, reference-faithful step by step."""
+
+    def __init__(self, env: BuildingEnv, naive_timestamps: bool = False):
+        """Args:
+        env: the configured BuildingEnv (for geometry/config/tables).
+        naive_timestamps: treat simulation time as tz-naive, matching a
+          reference configured with naive timestamps (its occupancy then
+          skips timezone conversion, randomized_...occupancy.py:84-89).
+        """
+        self.env = env
+        self.cfg = env.config
+        self.geom = env.geom
+        self._naive = naive_timestamps
+
+        start = pd.Timestamp(self.cfg.start_timestamp)
+        if naive_timestamps:
+            start = start.tz_localize(None) if start.tz is not None else start
+        elif start.tz is None:
+            start = start.tz_localize("UTC")
+        self.start_timestamp = start
+        self.time = start
+        self.dt = pd.Timedelta(self.cfg.time_step_sec, unit="s")
+
+        zone_ids = np.asarray(self.geom.zone_ids)
+        self.zone_masks = [
+            np.argwhere(zone_ids == z) for z in range(self.geom.n_zones)
+        ]
+        room_lists = [
+            [tuple(c) for c in coords] for coords in self.zone_masks
+        ]
+        conv = self.cfg.convection
+        self.convection = ExactConvection(
+            conv.p, conv.distance, conv.seed, room_lists
+        )
+        self._occupancy_rs = np.random.RandomState(17321)
+        self._zone_occupants: Dict[str, List[_ExactOccupant]] = {}
+        self._occ_tz = ZoneInfo(self.cfg.occupancy.time_zone)
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+
+    def reset(self) -> None:
+        self.temp = np.array(self.geom.reset_temps, np.float64)
+        self.input_q = np.zeros(self.geom.shape, np.float64)
+        self.time = self.start_timestamp
+        n = self.geom.n_zones
+        self.damper = np.full(n, 0.1)
+        self.reheat_valve = np.zeros(n)
+        self.mode = np.full(n, MODE_OFF, np.int64)
+        self.zone_air_temp = np.zeros(n)
+        self.prev_comfort: Optional[bool] = None
+        hv = self.cfg.hvac
+        self.ahu_heating_setpoint = float(hv.ahu_heating_setpoint)
+        self.ahu_cooling_setpoint = float(hv.ahu_cooling_setpoint)
+        self.ahu_flow = 0.0
+        self.cooling_request_count = 0
+        self.boiler_setpoint = float(hv.boiler_setpoint)
+        self.boiler_current_temp = float(hv.boiler_setpoint)
+        self.boiler_return_water = 0.0
+        self.boiler_flow = 0.0
+        self.heating_request_count = 0
+        self.boiler_tank_change = 0.0
+        self.boiler_last_duration = 0.0
+        self.boiler_has_action = False
+        self._zone_occupants = {}
+        # Reset observation (environment.py:1174): boiler sensor ramp init +
+        # occupancy probe at start - 5 min.
+        self._boiler_observe(0.0)
+        self.num_occupants_obs = self._peek_all(
+            self.time - pd.Timedelta(5, unit="m")
+        )
+
+    # ------------------------------------------------------------------
+
+    def _local(self, ts: pd.Timestamp) -> pd.Timestamp:
+        if ts.tz is None:
+            return ts  # reference skips conversion for naive timestamps
+        return ts.tz_convert(self._occ_tz)
+
+    def _peek_all(self, ts: pd.Timestamp) -> float:
+        """One peek of every occupant of every zone, zone order = raster
+        (simulator_building.py:305-315 / simulator reward path)."""
+        if self.cfg.occupancy.kind != "randomized":
+            return 0.0
+        local = self._local(ts)
+        total = 0.0
+        self._last_zone_occupancy = np.zeros(self.geom.n_zones)
+        for z, ext_id in enumerate(self.geom.zone_ext_ids):
+            occupants = self._zone_occupants.get(ext_id)
+            if occupants is None:
+                occupants = [
+                    _ExactOccupant(
+                        self.cfg.occupancy,
+                        self.cfg.time_step_sec,
+                        self._occupancy_rs,
+                    )
+                    for _ in range(self.cfg.occupancy.zone_assignment)
+                ]
+                self._zone_occupants[ext_id] = occupants
+            count = sum(1.0 for occ in occupants if occ.peek(local))
+            self._last_zone_occupancy[z] = count
+            total += count
+        return total
+
+    def _schedule_window(self, ts: pd.Timestamp) -> Tuple[bool, float, float]:
+        sched = self.cfg.schedule
+        if ts.tz is not None:
+            local = ts.tz_convert(ZoneInfo(sched.time_zone))
+        else:
+            local = ts.tz_localize("UTC")  # setpoint_schedule.py:100-106
+        comfort = (
+            sched.morning_start_hour <= local.hour < sched.evening_start_hour
+            and local.dayofyear not in set(sched.holidays)
+            and local.weekday() < 5
+        )
+        window = (
+            sched.comfort_temp_window if comfort else sched.eco_temp_window
+        )
+        return comfort, float(window[0]), float(window[1])
+
+    def _weather(self, ts: pd.Timestamp) -> float:
+        from sbsim_tpu.scenario import weather as weather_lib
+
+        w = self.cfg.weather
+        if w.kind == "sinusoid":
+            return weather_lib.sinusoid_temperature(
+                ts, w.low_temp, w.high_temp, w.special_days
+            )
+        return float(
+            weather_lib.ReplayWeather(w.replay_csv_path).temperatures([ts])[0]
+        )
+
+    def _zone_average_temps(self) -> np.ndarray:
+        return np.array(
+            [
+                np.mean([self.temp[tuple(c)] for c in coords])
+                for coords in self.zone_masks
+            ]
+        )
+
+    def _boiler_observe(self, duration_sec: float) -> None:
+        """Lazy supply-temp ramp on observation (boiler.py:158-217)."""
+        if self.boiler_has_action:
+            dur = duration_sec
+        else:
+            dur = self.boiler_last_duration
+            self.boiler_has_action = True
+        hv = self.cfg.hvac
+        if hv.boiler_heating_rate > 0.0 and hv.boiler_cooling_rate > 0.0:
+            begin = self.boiler_current_temp
+            target = self.boiler_setpoint
+            if target > begin:
+                new = min(begin + hv.boiler_heating_rate * dur / 60.0, target)
+            elif target < begin:
+                new = max(begin - hv.boiler_cooling_rate * dur / 60.0, target)
+            else:
+                new = target
+            self.boiler_current_temp = new
+            self.boiler_tank_change = new - begin
+        else:
+            self.boiler_current_temp = self.boiler_setpoint
+        self.boiler_last_duration = dur
+
+    # ------------------------------------------------------------------
+
+    def step(self, setpoints: Dict[str, float]) -> Dict[str, float]:
+        """One control step with native-unit agent setpoints.
+
+        Mirrors environment.py:1228-1360: request_action (thermostat default
+        control, then agent setpoints), wait_time (physics), observation and
+        reward at the new timestamp. Returns reward components.
+        """
+        cfg = self.cfg
+        hv = cfg.hvac
+
+        # ---- request_action: setup_step_sim (simulator.py:383-396) -------
+        zone_temps = self._zone_average_temps()
+        comfort, heat_sp, cool_sp = self._schedule_window(self.time)
+        mid = 0.5 * (cool_sp - heat_sp) + heat_sp
+        for z in range(self.geom.n_zones):
+            t = zone_temps[z]
+            mode = self.mode[z]
+            # thermostat.py:76-148
+            if t < heat_sp:
+                default = MODE_HEAT
+            elif t > cool_sp:
+                default = MODE_COOL
+            elif t < mid and mode == MODE_HEAT:
+                default = MODE_HEAT
+            elif t > mid and mode == MODE_COOL:
+                default = MODE_COOL
+            else:
+                default = MODE_OFF
+            if comfort:
+                new_mode = default
+            elif self.prev_comfort is not None and self.prev_comfort:
+                new_mode = MODE_PASSIVE_COOL
+            elif mode == MODE_PASSIVE_COOL and t > heat_sp:
+                new_mode = MODE_PASSIVE_COOL
+            else:
+                new_mode = default
+            self.mode[z] = new_mode
+            if new_mode in (MODE_HEAT, MODE_COOL):
+                self.damper[z] = 1.0
+                self.reheat_valve[z] = 1.0 if new_mode == MODE_HEAT else 0.0
+            else:
+                self.damper[z] = 0.1
+                self.reheat_valve[z] = 0.0
+            self.zone_air_temp[z] = t
+        self.prev_comfort = comfort
+
+        # Agent setpoints (simulator_building.py:204-263).
+        if "supply_water_setpoint" in setpoints:
+            self.boiler_setpoint = float(setpoints["supply_water_setpoint"])
+            self.boiler_has_action = True
+        if "supply_air_heating_temperature_setpoint" in setpoints:
+            self.ahu_heating_setpoint = float(
+                setpoints["supply_air_heating_temperature_setpoint"]
+            )
+        if "supply_air_cooling_temperature_setpoint" in setpoints:
+            self.ahu_cooling_setpoint = float(
+                setpoints["supply_air_cooling_temperature_setpoint"]
+            )
+
+        # ---- wait_time: execute_step_sim (simulator_flexible_floor_plan
+        # .py:124-190) --------------------------------------------------
+        ambient = self._weather(self.time)
+        h_conv = cfg.weather.convection_coefficient
+        recirculation = float(self.temp.mean())
+        mixed = (
+            hv.ahu_recirculation * recirculation
+            + (1.0 - hv.ahu_recirculation) * ambient
+        )
+        supply_air = min(
+            max(mixed, self.ahu_heating_setpoint), self.ahu_cooling_setpoint
+        )
+
+        new_temp, _, _ = reference_impl.tf_finite_differences_timestep(
+            self.geom,
+            self.temp,
+            self.input_q,
+            ambient,
+            h_conv,
+            cfg.time_step_sec,
+            cfg.convergence_threshold,
+            cfg.iteration_limit,
+        )
+        self.temp = new_temp.astype(np.float64)
+        self.convection.apply(self.temp)
+
+        self.ahu_flow = 0.0
+        self.cooling_request_count = 0
+        self.boiler_flow = 0.0
+        self.heating_request_count = 0
+        numerator = 0.0
+        denominator = 0.0
+        for z in range(self.geom.n_zones):
+            damper, valve = self.damper[z], self.reheat_valve[z]
+            air_flow = damper * hv.vav_max_air_flow_rate
+            reheat_flow = valve * hv.vav_reheat_max_water_flow_rate
+            heat_diff = CP_AIR * air_flow - CP_WATER * reheat_flow
+            zone_supply = (
+                supply_air * heat_diff
+                + self.boiler_setpoint * CP_WATER * reheat_flow
+            ) / air_flow / CP_AIR
+            q_zone = (
+                air_flow * CP_AIR * (zone_supply - zone_temps[z])
+                if air_flow > 0
+                else 0.0
+            )
+            if air_flow > 0:
+                self.ahu_flow = min(
+                    self.ahu_flow + air_flow, hv.ahu_max_air_flow_rate
+                )
+                self.cooling_request_count += 1
+            if reheat_flow > 0:
+                self.boiler_flow += reheat_flow
+                self.heating_request_count += 1
+            numerator += valve * zone_supply
+            denominator += valve
+            for c in self.zone_masks[z]:
+                cv = tuple(c)
+                if self.geom.diffusers[cv] > 0.0:
+                    self.input_q[cv] = q_zone * float(
+                        np.asarray(self.geom.diffusers)[cv]
+                    )
+        self.boiler_return_water = numerator / (denominator + 1e-6)
+        self.time = self.time + self.dt
+
+        # ---- observation at t+1 ------------------------------------------
+        self.num_occupants_obs = self._peek_all(
+            self.time - pd.Timedelta(5, unit="m")
+        )
+        self._boiler_observe(cfg.time_step_sec)
+
+        # ---- reward at t+1 -----------------------------------------------
+        reward_occ_total = self._peek_all(self.time)
+        zone_occupancy = (
+            self._last_zone_occupancy
+            if cfg.occupancy.kind == "randomized"
+            else np.zeros(self.geom.n_zones)
+        )
+        post_zone_temps = self._zone_average_temps()
+        ambient_next = self._weather(self.time)
+        recirculation_next = float(self.temp.mean())
+        mixed_next = (
+            hv.ahu_recirculation * recirculation_next
+            + (1.0 - hv.ahu_recirculation) * ambient_next
+        )
+        supply_next = min(
+            max(mixed_next, self.ahu_heating_setpoint),
+            self.ahu_cooling_setpoint,
+        )
+        blower = (
+            self.ahu_flow
+            * hv.ahu_fan_differential_pressure
+            / hv.ahu_fan_efficiency
+            * (1.0 + (1.0 - hv.ahu_recirculation))
+        )
+        ac = self.ahu_flow * CP_AIR * (supply_next - mixed_next)
+        pump = (
+            self.boiler_flow
+            * constants.WATER_DENSITY
+            * constants.GRAVITY
+            * hv.boiler_pump_differential_head
+            / hv.boiler_pump_efficiency
+        )
+        supply_water = max(self.boiler_setpoint, self.boiler_return_water)
+        flow_heating = CP_WATER * self.boiler_flow * (
+            supply_water - self.boiler_return_water
+        )
+        r1 = 0.5
+        r2 = r1 + 0.06
+        dissipation = (2.0 * np.pi * 2.0 * (supply_water - ambient_next)) / (
+            np.log(r2 / r1) / 0.067 + 1.0 / (5.6 * r2)
+        )
+        tank = (
+            CP_WATER * 1.5 * self.boiler_tank_change / self.boiler_last_duration
+            if self.boiler_last_duration > 0
+            else 0.0
+        )
+        return {
+            "zone_temps": post_zone_temps,
+            "zone_occupancy": zone_occupancy,
+            "num_occupants_obs": self.num_occupants_obs,
+            "electricity_rate": blower + abs(ac) + pump,
+            "gas_rate": flow_heating + dissipation + tank,
+            "supply_water_temperature": self.boiler_current_temp,
+        }

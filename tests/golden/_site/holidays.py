@@ -1,11 +1,18 @@
-"""holidays-package shim: `date in holidays.US()` via sbsim_tpu's calendar."""
+"""holidays-package shim backed by sbsim_tpu's US federal calendar.
+
+The reference wraps holidays.US() in a MappingProxyType
+(conversion_utils.py:60-64), so this returns a real dict prepopulated over a
+wide year range.
+"""
+
+import datetime
 
 from sbsim_tpu.scenario import uscalendar
 
 
-class US:
-    def __contains__(self, d):
-        return uscalendar.is_us_holiday(d)
-
-    def get(self, d, default=None):
-        return "holiday" if d in self else default
+def US():
+    out = {}
+    for year in range(2000, 2051):
+        for d in uscalendar.us_holidays(year):
+            out[d] = "holiday"
+    return out

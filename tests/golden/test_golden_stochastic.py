@@ -1,0 +1,244 @@
+"""Golden parity for the stochastic paths: exact RNG-stream replication.
+
+Runs the reference with stochastic convection (Python `random`) and
+randomized occupancy (shared numpy RandomState) against
+sbsim_tpu.envs.exact_host.ExactHostSimulator, which replicates those streams
+bit-for-bit. Occupancy counts must match exactly; temperature fields track
+within float32 tolerance (the FDM arithmetic differs only in op order).
+"""
+
+import dataclasses
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.exact_host import ExactHostSimulator
+
+CONV_P = 1.0
+CONV_DISTANCE = 5
+CONV_SEED = 5
+START = pd.Timestamp("2023-07-06 07:00:00")  # naive = UTC semantics
+
+
+def small_plan():
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    return plan
+
+
+def build_reference():
+    import pytz
+    from smart_buildings.smart_control.simulator import air_handler as ref_ahu
+    from smart_buildings.smart_control.simulator import boiler as ref_boiler
+    from smart_buildings.smart_control.simulator import building as ref_building
+    from smart_buildings.smart_control.simulator import (
+        hvac_floorplan_based as ref_hvac,
+    )
+    from smart_buildings.smart_control.simulator import (
+        randomized_arrival_departure_occupancy as ref_occupancy,
+    )
+    from smart_buildings.smart_control.simulator import (
+        setpoint_schedule as ref_schedule,
+    )
+    from smart_buildings.smart_control.simulator import (
+        simulator_building as ref_simulator_building,
+    )
+    from smart_buildings.smart_control.simulator import (
+        stochastic_convection_simulator as ref_convection,
+    )
+    from smart_buildings.smart_control.simulator import (
+        tf_simulator as ref_tf_simulator,
+    )
+    from smart_buildings.smart_control.simulator import (
+        weather_controller as ref_weather,
+    )
+
+    mp = ref_building.MaterialProperties
+    convection = ref_convection.StochasticConvectionSimulator(
+        p=CONV_P, distance=CONV_DISTANCE, seed=CONV_SEED
+    )
+    bldg = ref_building.FloorPlanBasedBuilding(
+        cv_size_cm=20.0,
+        floor_height_cm=250.0,
+        initial_temp=294.0,
+        inside_air_properties=mp(50.0, 700.0, 1.0),
+        inside_wall_properties=mp(2.0, 500.0, 1800.0),
+        building_exterior_properties=mp(0.05, 700.0, 1.0),
+        floor_plan=small_plan(),
+        zone_map=small_plan().copy(),
+        buffer_from_walls=0,
+        convection_simulator=convection,
+    )
+    weather = ref_weather.WeatherController(
+        default_low_temp=278.0,
+        default_high_temp=288.0,
+        convection_coefficient=12.0,
+    )
+    schedule = ref_schedule.SetpointSchedule(
+        morning_start_hour=6,
+        evening_start_hour=19,
+        comfort_temp_window=(294.0, 297.0),
+        eco_temp_window=(289.0, 298.0),
+        time_zone=pytz.timezone("US/Pacific"),
+    )
+    ahu = ref_ahu.AirHandler(
+        recirculation=0.3,
+        heating_air_temp_setpoint=285.0,
+        cooling_air_temp_setpoint=298.0,
+        fan_differential_pressure=10000.0,
+        fan_efficiency=0.9,
+        max_air_flow_rate=8.67,
+        device_id="air_handler",
+        sim_weather_controller=weather,
+    )
+    boiler = ref_boiler.Boiler(
+        reheat_water_setpoint=360.0,
+        water_pump_differential_head=6.0,
+        water_pump_efficiency=0.98,
+        device_id="boiler",
+        heating_rate=0.5,
+        cooling_rate=0.1,
+    )
+    hvac = ref_hvac.FloorPlanBasedHvac(
+        air_handler=ahu,
+        boiler=boiler,
+        schedule=schedule,
+        vav_max_air_flow_rate=0.035,
+        vav_reheat_max_water_flow_rate=0.03,
+    )
+    sim = ref_tf_simulator.TFSimulator(
+        building=bldg,
+        hvac=hvac,
+        weather_controller=weather,
+        time_step_sec=300.0,
+        convergence_threshold=0.1,
+        iteration_limit=100,
+        iteration_warning=30,
+        start_timestamp=START,
+    )
+    occupancy = ref_occupancy.RandomizedArrivalDepartureOccupancy(
+        zone_assignment=1,
+        earliest_expected_arrival_hour=7,
+        latest_expected_arrival_hour=12,
+        earliest_expected_departure_hour=13,
+        latest_expected_departure_hour=18,
+        time_step_sec=300,
+        seed=17321,
+        time_zone="UTC",
+    )
+    return ref_simulator_building.SimulatorBuilding(
+        simulator=sim, occupancy=occupancy
+    )
+
+
+def build_exact_host():
+    cfg = presets.two_zone_test_config(occupancy_kind="randomized")
+    cfg = dataclasses.replace(
+        cfg,
+        weather=dataclasses.replace(
+            cfg.weather, low_temp=278.0, high_temp=288.0,
+            convection_coefficient=12.0,
+        ),
+        schedule=dataclasses.replace(cfg.schedule, time_zone="UTC"),
+        occupancy=dataclasses.replace(cfg.occupancy, time_zone="UTC"),
+        convection=dataclasses.replace(
+            cfg.convection, p=CONV_P, distance=CONV_DISTANCE, seed=CONV_SEED
+        ),
+    )
+    env = BuildingEnv(cfg)
+    return ExactHostSimulator(env, naive_timestamps=True)
+
+
+def test_stochastic_trajectory_matches_reference():
+    building = build_reference()
+    host = build_exact_host()
+    # The reference seeds the *global* random module at construction
+    # (stochastic_convection_simulator.py:59-60); re-seed here in case other
+    # tests consumed the stream between construction and stepping.
+    random.seed(CONV_SEED)
+    host.convection._rand = random.Random(CONV_SEED)
+
+    # Mirror the env loop: num_occupants obs probe + reward_info occupancy
+    # probe per step (environment.py:873-985, 1073-1097).
+    ref_sim = building._simulator
+
+    from smart_buildings.smart_control.proto import (
+        smart_control_building_pb2 as ref_pb2,
+    )
+
+    obs_request = ref_pb2.ObservationRequest()
+    for device in sorted(building.devices, key=lambda d: d.device_id):
+        for m in sorted(device.observable_fields):
+            obs_request.single_observation_requests.add(
+                device_id=device.device_id, measurement_name=m
+            )
+
+    def ref_observe():
+        response = building.request_observations(obs_request)
+        values = {}
+        for r in response.single_observation_responses:
+            key = (
+                r.single_observation_request.device_id,
+                r.single_observation_request.measurement_name,
+            )
+            values[key] = r.continuous_value
+        return values
+
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+
+    # Reset observation (environment.py:1174): sensor reads + occupancy probe.
+    ref_observe()
+    ref_occ_reset = building.num_occupants
+    assert ref_occ_reset == int(host.num_occupants_obs)
+
+    max_temp_err = 0.0
+    for i in range(16):
+        ts = ref_sim.current_timestamp
+        ref_sim.setup_step_sim()
+        ref_sim._hvac.boiler.set_action("supply_water_setpoint", 340.0, ts)
+        ref_sim._hvac.air_handler.set_action(
+            "supply_air_heating_temperature_setpoint", 285.0, ts
+        )
+        ref_sim.execute_step_sim()
+        # Observation phase: sensor reads (the boiler ramp fires inside
+        # get_observation) + num_occupants probe.
+        ref_values = ref_observe()
+        ref_supply_temp = ref_values[
+            ("boiler", "supply_water_temperature_sensor")
+        ]
+        ref_num_occ = building.num_occupants
+        # Reward phase: reward_info makes the second occupancy probe.
+        info = building.reward_info
+
+        out = host.step(setpoints)
+
+        assert ref_num_occ == int(out["num_occupants_obs"]), f"step {i}"
+        assert ref_supply_temp == pytest.approx(
+            out["supply_water_temperature"], abs=1e-9
+        )
+        ref_zone_occ = {
+            zid: z.average_occupancy
+            for zid, z in info.zone_reward_infos.items()
+        }
+        for z, ext_id in enumerate(host.geom.zone_ext_ids):
+            assert ref_zone_occ[ext_id] == pytest.approx(
+                out["zone_occupancy"][z]
+            ), f"step {i} zone {ext_id}"
+
+        err = float(
+            np.abs(
+                np.asarray(ref_sim._building.temp, np.float64) - host.temp
+            ).max()
+        )
+        max_temp_err = max(max_temp_err, err)
+
+    assert max_temp_err < 0.05, f"temperature drift {max_temp_err}"
