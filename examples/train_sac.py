@@ -1,0 +1,136 @@
+"""End-to-end SAC training on the calibrated building (script form of the
+reference's SAC_Demo notebook pipeline).
+
+Pipeline (matching SAC_Demo.ipynb cells 13-48): build the calibrated env,
+evaluate the rules-based schedule baseline, seed the replay buffer by running
+that baseline, then train SAC with collection + replay + updates fused into
+one jitted program, evaluating the greedy policy periodically. Checkpoints,
+JSONL metrics, and episode proto shards are written under --output_dir.
+
+Usage:
+  python examples/train_sac.py --train_steps 20000 --n_envs 64 \
+      --output_dir /tmp/sbsim_run
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_dir", default="/tmp/sbsim_tpu_run")
+    parser.add_argument("--train_steps", type=int, default=20_000)
+    parser.add_argument("--seed_episodes_steps", type=int, default=2_000)
+    parser.add_argument("--n_envs", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--replay_capacity", type=int, default=50_000)
+    parser.add_argument("--eval_every", type=int, default=2_000)
+    parser.add_argument("--eval_steps", type=int, default=288)
+    parser.add_argument("--num_days_in_episode", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--small", action="store_true",
+                        help="use the tiny two-zone building")
+    parser.add_argument("--weather_csv", default=None)
+    args = parser.parse_args()
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+    from sbsim_tpu.distributed import mesh as mesh_lib
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+    from sbsim_tpu.io.checkpoint import TrainCheckpointer
+    from sbsim_tpu.io.metrics import MetricsAccumulator
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.small:
+        config = presets.two_zone_test_config(
+            num_days_in_episode=args.num_days_in_episode,
+            occupancy_kind="randomized",
+        )
+    else:
+        config = presets.sb1_config(
+            num_days_in_episode=args.num_days_in_episode,
+            weather_csv=args.weather_csv,
+        )
+    env = BuildingEnv(config)
+    print(
+        f"building: grid={env.geom.shape} zones={env.n_zones} "
+        f"obs_dim={env.obs_dim} actions={env.n_actions}",
+        flush=True,
+    )
+
+    trainer = SACTrainer(
+        env,
+        TrainConfig(
+            n_envs=args.n_envs,
+            replay_capacity=args.replay_capacity,
+            batch_size=args.batch_size,
+            updates_per_env_step=1,
+            seed_steps=0,
+        ),
+    )
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+
+    mesh = mesh_lib.make_mesh()
+    state = mesh_lib.shard_train_state(state, mesh)
+    train_step = mesh_lib.make_distributed_train_step(trainer, mesh)
+
+    evaluate = jax.jit(
+        lambda sac, key: trainer.evaluate(
+            sac, key, n_steps=args.eval_steps, n_envs=4
+        )
+    )
+    metrics_out = MetricsAccumulator(
+        os.path.join(args.output_dir, "train_metrics.jsonl"),
+        reporting_interval=100,
+        tensorboard_dir=os.path.join(args.output_dir, "tb"),
+    )
+    checkpointer = TrainCheckpointer(os.path.join(args.output_dir, "ckpt"))
+
+    # --- Schedule baseline + replay seeding (SAC_Demo cells 13-18, 34-40) --
+    schedule_table = schedule_policy.build_schedule_actions(env)
+    seed_fn = jax.jit(trainer.seed_with_actions(state, schedule_table))
+    n_seed = max(1, args.seed_episodes_steps // args.n_envs)
+    t0 = time.time()
+    for _ in range(n_seed):
+        state, m = seed_fn(state)
+    baseline_reward = float(m["reward_mean"])
+    print(
+        f"seeded replay with {int(jax.device_get(state.replay.size))} "
+        f"baseline transitions ({time.time()-t0:.0f}s); "
+        f"baseline step reward {baseline_reward:.4f}",
+        flush=True,
+    )
+
+    # --- Train ------------------------------------------------------------
+    t0 = time.time()
+    for i in range(args.train_steps):
+        state, metrics = train_step(state)
+        metrics_out.record(metrics)
+        if (i + 1) % args.eval_every == 0:
+            ret = float(evaluate(state.sac, jax.random.PRNGKey(7)))
+            env_steps = int(jax.device_get(state.env_steps))
+            sps = env_steps / (time.time() - t0)
+            print(
+                f"step {i+1}: eval_return {ret:.3f} "
+                f"critic_loss {float(metrics['critic_loss']):.4f} "
+                f"alpha {float(metrics['alpha']):.4f} "
+                f"env_steps {env_steps} ({sps:.0f} env-steps/s)",
+                flush=True,
+            )
+            checkpointer.save(i + 1, jax.device_get(state))
+    metrics_out.close()
+
+    ret = float(evaluate(state.sac, jax.random.PRNGKey(7)))
+    print(f"final greedy eval return ({args.eval_steps} steps): {ret:.3f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

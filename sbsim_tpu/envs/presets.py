@@ -149,6 +149,42 @@ def sb1_config(
     )
 
 
+def building_suite(
+    num_days_in_episode: int = 14,
+    weather_csv: Optional[str] = None,
+) -> list:
+    """Three calibrated-scale office buildings with distinct geometries and
+    weather profiles (the released multi-building suite shape - BASELINE.md
+    config #3). Each entry is an independent EnvConfig; batch them with
+    envs.suite.BuildingSuite."""
+    import dataclasses
+
+    plans = [
+        make_synthetic_office_plan(3, 4, room_cvs=14),
+        make_synthetic_office_plan(4, 3, room_cvs=12),
+        make_synthetic_office_plan(2, 6, room_cvs=16),
+    ]
+    weathers = [
+        WeatherConfig(kind="sinusoid", low_temp=273.0, high_temp=283.0,
+                      convection_coefficient=100.0),
+        WeatherConfig(kind="sinusoid", low_temp=278.0, high_temp=292.0,
+                      convection_coefficient=100.0),
+        WeatherConfig(kind="sinusoid", low_temp=268.0, high_temp=279.0,
+                      convection_coefficient=100.0),
+    ]
+    configs = []
+    for plan, weather in zip(plans, weathers):
+        cfg = sb1_config(
+            floor_plan=plan,
+            weather_csv=weather_csv,
+            num_days_in_episode=num_days_in_episode,
+        )
+        if weather_csv is None:
+            cfg = dataclasses.replace(cfg, weather=weather)
+        configs.append(cfg)
+    return configs
+
+
 def two_zone_test_config(
     num_days_in_episode: int = 1,
     occupancy_kind: str = "step_function",

@@ -1,0 +1,88 @@
+"""Multi-building suites: heterogeneous buildings stepped together.
+
+Different buildings have different grid shapes, so each gets its own
+compiled step program; a suite fans the global env batch across buildings
+and steps them all inside one jitted call (XLA schedules the per-building
+programs back to back; on a mesh each building's batch is sharded over
+devices like any single-building batch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sbsim_tpu.envs.building_env import BuildingEnv, EnvState, StepOutput
+from sbsim_tpu.envs.config import EnvConfig
+
+
+class BuildingSuite:
+    """A set of BuildingEnvs with a common action space."""
+
+    def __init__(self, configs: Sequence[EnvConfig]):
+        self.envs: List[BuildingEnv] = [BuildingEnv(c) for c in configs]
+        dims = {e.n_actions for e in self.envs}
+        if len(dims) != 1:
+            raise ValueError("suite buildings must share the action space")
+        obs_dims = {e.obs_dim for e in self.envs}
+        if len(obs_dims) != 1:
+            raise ValueError(
+                "suite buildings must share the observation layout"
+            )
+
+    @property
+    def n_buildings(self) -> int:
+        return len(self.envs)
+
+    @property
+    def n_actions(self) -> int:
+        return self.envs[0].n_actions
+
+    @property
+    def obs_dim(self) -> int:
+        return self.envs[0].obs_dim
+
+    def reset(
+        self, key: jax.Array, envs_per_building: int
+    ) -> Tuple[List[EnvState], jnp.ndarray]:
+        """Returns per-building batched states + stacked observations
+        (n_buildings * envs_per_building, obs_dim)."""
+        states, all_obs = [], []
+        for i, env in enumerate(self.envs):
+            keys = jax.random.split(
+                jax.random.fold_in(key, i), envs_per_building
+            )
+            s, obs = jax.vmap(env.reset)(keys)
+            states.append(s)
+            all_obs.append(obs)
+        return states, jnp.concatenate(all_obs, axis=0)
+
+    def step(
+        self,
+        states: List[EnvState],
+        actions: jnp.ndarray,
+        use_pallas: bool = True,
+    ) -> Tuple[List[EnvState], StepOutput]:
+        """Steps every building; actions shaped (total_envs, n_actions)
+        split evenly across buildings."""
+        per = actions.shape[0] // self.n_buildings
+        new_states, outs = [], []
+        for i, env in enumerate(self.envs):
+            s, out = env.step_batched(
+                states[i], actions[i * per : (i + 1) * per],
+                use_pallas=use_pallas,
+            )
+            new_states.append(s)
+            outs.append(out)
+        merged = StepOutput(
+            observation=jnp.concatenate([o.observation for o in outs]),
+            reward=jnp.concatenate([o.reward for o in outs]),
+            done=jnp.concatenate([o.done for o in outs]),
+            reward_breakdown=jax.tree.map(
+                lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
+                *[o.reward_breakdown for o in outs],
+            ),
+        )
+        return new_states, merged

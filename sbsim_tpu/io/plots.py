@@ -1,0 +1,106 @@
+"""Matplotlib plotting helpers for episodes and training runs.
+
+The analytical-plot layer (reference plot_utils.py:1-537): building heatmap,
+zone-temperature timelines against the comfort schedule, reward/energy
+timelines, learning curves from JSONL metrics.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_building_heatmap(
+    temps: np.ndarray,
+    wall_mask: Optional[np.ndarray] = None,
+    vmin: float = 280.0,
+    vmax: float = 300.0,
+    ax=None,
+):
+    """Temperature field heatmap with walls overlaid in black."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 6))
+    im = ax.imshow(np.asarray(temps), cmap="rainbow", vmin=vmin, vmax=vmax)
+    if wall_mask is not None:
+        overlay = np.zeros(np.asarray(wall_mask).shape + (4,))
+        overlay[np.asarray(wall_mask) != 0] = (0, 0, 0, 1)
+        ax.imshow(overlay)
+    ax.figure.colorbar(im, ax=ax, label="K")
+    ax.set_xticks([])
+    ax.set_yticks([])
+    return ax
+
+
+def plot_zone_timeline(
+    zone_temps: np.ndarray,  # (T, Z)
+    heating_setpoints: Optional[np.ndarray] = None,  # (T,)
+    cooling_setpoints: Optional[np.ndarray] = None,
+    zone_names: Optional[Sequence[str]] = None,
+    step_minutes: float = 5.0,
+    ax=None,
+):
+    """Zone temperature trajectories against the setpoint band."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(12, 4))
+    t = np.arange(zone_temps.shape[0]) * step_minutes / 60.0
+    for z in range(zone_temps.shape[1]):
+        label = zone_names[z] if zone_names else f"zone {z}"
+        ax.plot(t, zone_temps[:, z], lw=0.8, label=label)
+    if heating_setpoints is not None and cooling_setpoints is not None:
+        ax.fill_between(
+            t,
+            heating_setpoints,
+            cooling_setpoints,
+            color="green",
+            alpha=0.12,
+            label="setpoint band",
+        )
+    ax.set_xlabel("hours")
+    ax.set_ylabel("K")
+    if zone_temps.shape[1] <= 8:
+        ax.legend(fontsize=8)
+    return ax
+
+
+def plot_reward_components(
+    breakdowns: Mapping[str, np.ndarray],  # name -> (T,)
+    step_minutes: float = 5.0,
+    ax=None,
+):
+    """Per-step reward/energy component timelines."""
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(12, 4))
+    for name, series in breakdowns.items():
+        t = np.arange(len(series)) * step_minutes / 60.0
+        ax.plot(t, series, lw=0.8, label=name)
+    ax.set_xlabel("hours")
+    ax.legend(fontsize=8)
+    return ax
+
+
+def plot_learning_curve(metrics_jsonl_path: str, key: str = "reward_mean", ax=None):
+    """Learning curve from a JSONL metrics stream (io/metrics.py)."""
+    from sbsim_tpu.io.metrics import load_metrics
+
+    plt = _plt()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 4))
+    df = load_metrics(metrics_jsonl_path)
+    ax.plot(df["step"], df[key])
+    ax.set_xlabel("train step")
+    ax.set_ylabel(key)
+    return ax

@@ -117,3 +117,67 @@ class VisualLogger:
 
     def clear(self) -> None:
         self._frames = []
+
+
+class BuildingImageGenerator:
+    """ObservationResponse -> base64 PNG of zone temperatures painted onto
+    the floor plan (building_image_generator.py:51-125 and
+    real_building_temperature_array_generator.py:29-82 equivalents).
+
+    Requires a device->zone layout: device_id -> zone index grid id.
+    """
+
+    def __init__(
+        self,
+        zone_ids_grid: np.ndarray,
+        zone_ext_ids: Sequence[str],
+        wall_mask: Optional[np.ndarray] = None,
+        device_to_zone_id: Optional[dict] = None,
+        cv_px: int = 4,
+        vmin: float = 285.0,
+        vmax: float = 303.0,
+    ):
+        self._zone_ids_grid = np.asarray(zone_ids_grid)
+        self._zone_ext_ids = list(zone_ext_ids)
+        self._device_to_zone_id = device_to_zone_id or {}
+        walls = (
+            wall_mask
+            if wall_mask is not None
+            else np.zeros(self._zone_ids_grid.shape, bool)
+        )
+        self._renderer = BuildingRenderer(walls, cv_px, vmin, vmax)
+
+    def temperature_array(self, observation_response) -> np.ndarray:
+        """Paints each VAV's zone_air_temperature_sensor into its zone."""
+        from sbsim_tpu.utils import telemetry
+
+        zone_values = {}
+        for single in observation_response.single_observation_responses:
+            request = single.single_observation_request
+            if (
+                request.measurement_name != "zone_air_temperature_sensor"
+                or not single.observation_valid
+            ):
+                continue
+            zone_id = self._device_to_zone_id.get(request.device_id)
+            if zone_id is None and request.device_id.startswith("vav_room_"):
+                zone_id = "zone_id_" + request.device_id[len("vav_room_"):]
+            if zone_id is not None:
+                zone_values[zone_id] = single.continuous_value
+        return telemetry.paint_zone_temperatures(
+            zone_values, self._zone_ids_grid, self._zone_ext_ids,
+            fill_value=self._renderer._vmin,
+        )
+
+    def generate_building_image(self, observation_response) -> bytes:
+        """Returns the rendered frame as base64-encoded PNG bytes."""
+        import base64
+        import io as io_lib
+
+        if Image is None:
+            raise RuntimeError("Pillow is not available")
+        array = self.temperature_array(observation_response)
+        img = self._renderer.render(array)
+        buf = io_lib.BytesIO()
+        img.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue())

@@ -1,0 +1,152 @@
+"""Canned protos and fakes for tests (the reference's test_utils.py:1-524
+equivalent): quick builders for observation/action/reward messages and an
+in-memory reader."""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from sbsim_tpu.proto import building_pb2, normalization_pb2, reward_pb2
+from sbsim_tpu.utils import conversions
+
+
+def single_observation_response(
+    device_id: str,
+    measurement_name: str,
+    value: float,
+    timestamp: Optional[pd.Timestamp] = None,
+    valid: bool = True,
+) -> building_pb2.SingleObservationResponse:
+    out = building_pb2.SingleObservationResponse()
+    out.single_observation_request.device_id = device_id
+    out.single_observation_request.measurement_name = measurement_name
+    out.continuous_value = value
+    out.observation_valid = valid
+    if timestamp is not None:
+        out.timestamp.CopyFrom(conversions.pandas_to_proto_timestamp(timestamp))
+    return out
+
+
+def observation_response(
+    values: Mapping[Tuple[str, str], float],
+    timestamp: Optional[pd.Timestamp] = None,
+) -> building_pb2.ObservationResponse:
+    out = building_pb2.ObservationResponse()
+    if timestamp is not None:
+        out.timestamp.CopyFrom(conversions.pandas_to_proto_timestamp(timestamp))
+    for (device, measurement), value in values.items():
+        out.single_observation_responses.append(
+            single_observation_response(device, measurement, value, timestamp)
+        )
+    return out
+
+
+def action_request(
+    setpoints: Mapping[Tuple[str, str], float],
+    timestamp: Optional[pd.Timestamp] = None,
+) -> building_pb2.ActionRequest:
+    out = building_pb2.ActionRequest()
+    if timestamp is not None:
+        out.timestamp.CopyFrom(conversions.pandas_to_proto_timestamp(timestamp))
+    for (device, setpoint), value in setpoints.items():
+        out.single_action_requests.add(
+            device_id=device, setpoint_name=setpoint, continuous_value=value
+        )
+    return out
+
+
+def device_info(
+    device_id: str,
+    device_type=building_pb2.DeviceInfo.VAV,
+    zone_id: str = "",
+    observable_fields: Sequence[str] = (),
+    action_fields: Sequence[str] = (),
+) -> building_pb2.DeviceInfo:
+    out = building_pb2.DeviceInfo(
+        device_id=device_id, device_type=device_type, zone_id=zone_id
+    )
+    for f in observable_fields:
+        out.observable_fields[f] = building_pb2.DeviceInfo.VALUE_CONTINUOUS
+    for f in action_fields:
+        out.action_fields[f] = building_pb2.DeviceInfo.VALUE_CONTINUOUS
+    return out
+
+
+def reward_info(
+    zone_temps: Mapping[str, float],
+    heating_setpoint: float = 294.0,
+    cooling_setpoint: float = 297.0,
+    occupancy: float = 1.0,
+    blower_rate: float = 0.0,
+    ac_rate: float = 0.0,
+    gas_rate: float = 0.0,
+    pump_rate: float = 0.0,
+    start: Optional[pd.Timestamp] = None,
+    step_sec: float = 300.0,
+) -> reward_pb2.RewardInfo:
+    out = reward_pb2.RewardInfo()
+    start = start or pd.Timestamp("2023-07-06 07:00:00+00:00")
+    out.start_timestamp.CopyFrom(conversions.pandas_to_proto_timestamp(start))
+    out.end_timestamp.CopyFrom(
+        conversions.pandas_to_proto_timestamp(
+            start + pd.Timedelta(step_sec, unit="s")
+        )
+    )
+    for zone_id, temp in zone_temps.items():
+        z = out.zone_reward_infos[zone_id]
+        z.heating_setpoint_temperature = heating_setpoint
+        z.cooling_setpoint_temperature = cooling_setpoint
+        z.zone_air_temperature = temp
+        z.average_occupancy = occupancy
+    ahu = out.air_handler_reward_infos["air_handler"]
+    ahu.blower_electrical_energy_rate = blower_rate
+    ahu.air_conditioning_electrical_energy_rate = ac_rate
+    boiler = out.boiler_reward_infos["boiler"]
+    boiler.natural_gas_heating_energy_rate = gas_rate
+    boiler.pump_electrical_energy_rate = pump_rate
+    return out
+
+
+class FakeReader:
+    """In-memory reader with the RecordReader surface (test_utils.py:485)."""
+
+    def __init__(
+        self,
+        observation_responses=(),
+        action_responses=(),
+        reward_infos=(),
+        reward_responses=(),
+        device_infos=(),
+        zone_infos=(),
+        normalization_info: Optional[Dict] = None,
+    ):
+        self._observation_responses = list(observation_responses)
+        self._action_responses = list(action_responses)
+        self._reward_infos = list(reward_infos)
+        self._reward_responses = list(reward_responses)
+        self._device_infos = list(device_infos)
+        self._zone_infos = list(zone_infos)
+        self._normalization_info = normalization_info or {}
+
+    def read_observation_responses(self, start=None, end=None):
+        return self._observation_responses
+
+    def read_action_responses(self, start=None, end=None):
+        return self._action_responses
+
+    def read_reward_infos(self, start=None, end=None):
+        return self._reward_infos
+
+    def read_reward_responses(self, start=None, end=None):
+        return self._reward_responses
+
+    def read_device_infos(self):
+        return self._device_infos
+
+    def read_zone_infos(self):
+        return self._zone_infos
+
+    def read_normalization_info(self):
+        return self._normalization_info

@@ -1,0 +1,113 @@
+"""Multi-building suite, image generator, plots, testing utils."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.suite import BuildingSuite
+from sbsim_tpu.io.render import BuildingImageGenerator
+from sbsim_tpu.utils import testing
+
+
+def small_suite_configs():
+    base = presets.two_zone_test_config()
+    plan2 = np.full((10, 10), 2.0)
+    plan2[1:9, 1:9] = 1.0
+    plan2[2:8, 2:5] = 0.0
+    plan2[2:8, 6:8] = 0.0
+    cfg2 = dataclasses.replace(
+        base, building=dataclasses.replace(base.building, floor_plan=plan2)
+    )
+    return [base, cfg2]
+
+
+class TestBuildingSuite:
+    def test_reset_and_step_merged(self):
+        suite = BuildingSuite(small_suite_configs())
+        assert suite.n_buildings == 2
+        states, obs = suite.reset(jax.random.PRNGKey(0), envs_per_building=3)
+        assert obs.shape == (6, suite.obs_dim)
+        actions = jnp.zeros((6, suite.n_actions))
+        step = jax.jit(lambda s, a: suite.step(s, a, use_pallas=False))
+        states, out = step(states, actions)
+        assert out.reward.shape == (6,)
+        assert np.isfinite(np.asarray(out.observation)).all()
+        # Different geometries -> different temperatures trajectories.
+        assert states[0].temp.shape != states[1].temp.shape
+
+    def test_mismatched_action_space_rejected(self):
+        base = presets.two_zone_test_config()
+        narrowed = dataclasses.replace(
+            base,
+            action_normalizers={
+                "supply_water_setpoint": base.action_normalizers[
+                    "supply_water_setpoint"
+                ]
+            },
+        )
+        with pytest.raises(ValueError):
+            BuildingSuite([base, narrowed])
+
+    def test_calibrated_suite_configs_build(self):
+        configs = presets.building_suite(num_days_in_episode=1)
+        assert len(configs) == 3
+        suite = BuildingSuite(configs)
+        shapes = {e.geom.shape for e in suite.envs}
+        assert len(shapes) == 3
+
+
+class TestBuildingImageGenerator:
+    def test_base64_png(self):
+        grid = np.asarray([[0, 0, 2], [1, 1, 2]])
+        generator = BuildingImageGenerator(
+            grid, ["zone_id_1", "zone_id_2"], cv_px=2
+        )
+        response = testing.observation_response(
+            {
+                ("vav_room_1", "zone_air_temperature_sensor"): 294.0,
+                ("vav_room_2", "zone_air_temperature_sensor"): 299.0,
+            }
+        )
+        encoded = generator.generate_building_image(response)
+        import base64
+
+        raw = base64.b64decode(encoded)
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+class TestPlots:
+    def test_plot_functions_render(self, tmp_path):
+        from sbsim_tpu.io import plots
+
+        ax = plots.plot_building_heatmap(
+            np.full((5, 6), 290.0), wall_mask=np.eye(5, 6)
+        )
+        assert ax is not None
+        ax = plots.plot_zone_timeline(
+            np.random.default_rng(0).normal(294, 1, (50, 2)),
+            heating_setpoints=np.full(50, 294.0),
+            cooling_setpoints=np.full(50, 297.0),
+        )
+        assert ax is not None
+
+
+class TestTestingUtils:
+    def test_reward_info_builder(self):
+        info = testing.reward_info({"zone_id_1": 295.0}, gas_rate=1000.0)
+        assert info.zone_reward_infos["zone_id_1"].zone_air_temperature == (
+            pytest.approx(295.0)
+        )
+        assert info.boiler_reward_infos[
+            "boiler"
+        ].natural_gas_heating_energy_rate == pytest.approx(1000.0)
+
+    def test_fake_reader(self):
+        reader = testing.FakeReader(
+            reward_responses=[testing.reward_pb2.RewardResponse()]
+        )
+        assert len(reader.read_reward_responses()) == 1
+        assert reader.read_device_infos() == []
