@@ -7,63 +7,103 @@ comparison point is the BASELINE.json north star of >= 1M env-steps/s
 aggregate on a 16-chip v5p slice, i.e. 62,500 env-steps/s per chip.
 `vs_baseline` reports measured single-chip throughput against that per-chip
 share.
+
+If the TPU backend cannot initialize within a timeout (e.g. the remote
+tunnel is down), the benchmark falls back to CPU and says so in the unit.
 """
 
+import argparse
 import json
+import multiprocessing
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 PER_CHIP_TARGET = 62_500.0  # 1M aggregate / 16 chips (BASELINE.json)
 
 
+def _probe_device(queue):
+    try:
+        import jax
+
+        queue.put(str(jax.devices()[0].platform))
+    except Exception:
+        queue.put("error")
+
+
+def tpu_available(timeout_sec: float = 120.0) -> bool:
+    ctx = multiprocessing.get_context("spawn")
+    queue = ctx.Queue()
+    proc = ctx.Process(target=_probe_device, args=(queue,))
+    proc.start()
+    proc.join(timeout_sec)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+        return False
+    try:
+        platform = queue.get_nowait()
+    except Exception:
+        return False
+    return platform not in ("cpu", "error")
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=64)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--force-cpu", action="store_true")
+    args = parser.parse_args()
+
+    on_cpu = args.force_cpu or not tpu_available()
+    if on_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
     from sbsim_tpu.agents import schedule_policy
     from sbsim_tpu.envs import presets
     from sbsim_tpu.envs.building_env import BuildingEnv
 
-    batch = 1024
-    n_steps = 288  # one simulated day per env per measured block
+    batch = args.batch if not on_cpu else min(args.batch, 64)
+    n_steps = args.steps
 
     env = BuildingEnv(presets.sb1_config(num_days_in_episode=2))
-    actions = jnp.asarray(
-        schedule_policy.build_schedule_actions(env)
-    )
+    actions = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    use_pallas = not args.no_pallas
 
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    states, _ = jax.vmap(env.reset)(keys)
-    step_v = jax.vmap(env.step)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
 
     def rollout(states):
         def body(s, _):
             act = actions[jnp.clip(s.step_idx, 0, actions.shape[0] - 1)]
-            s, out = step_v(s, act)
+            s, out = env.step_batched(s, act, use_pallas=use_pallas)
             return s, out.reward
 
         states, rewards = jax.lax.scan(body, states, None, length=n_steps)
         return states, jnp.mean(rewards)
 
     rollout = jax.jit(rollout)
-
-    # Warmup/compile.
-    states, _ = jax.block_until_ready(rollout(states))
+    states, _ = jax.block_until_ready(rollout(states))  # compile
 
     best = 0.0
-    for _ in range(3):
+    for _ in range(args.repeats):
         t0 = time.perf_counter()
         states, mean_r = rollout(states)
         jax.block_until_ready(states)
         dt = time.perf_counter() - t0
         best = max(best, batch * n_steps / dt)
 
+    unit = "env-steps/s" if not on_cpu else "env-steps/s (cpu fallback)"
     print(
         json.dumps(
             {
                 "metric": "env_steps_per_sec_single_chip",
                 "value": round(best, 1),
-                "unit": "env-steps/s",
+                "unit": unit,
                 "vs_baseline": round(best / PER_CHIP_TARGET, 3),
             }
         )

@@ -76,6 +76,18 @@ def _zone_means(
     return (sums[: geom.n_zones] / geom.zone_sizes).astype(jnp.float32)
 
 
+def zone_mean_matrix(geom: BuildingGeometry) -> np.ndarray:
+    """(n_zones, H*W) averaging matrix: zone means become one matmul, which
+    maps onto the MXU instead of a scatter-add."""
+    zone_ids = np.asarray(geom.zone_ids).ravel()
+    sizes = np.asarray(geom.zone_sizes)
+    matrix = np.zeros((geom.n_zones, zone_ids.shape[0]), np.float32)
+    for z in range(geom.n_zones):
+        members = zone_ids == z
+        matrix[z, members] = 1.0 / sizes[z]
+    return matrix
+
+
 class BuildingEnv:
     """Host-side wrapper holding the static pieces; all methods are pure
     jittable functions suitable for jit/vmap/shard_map."""
@@ -118,6 +130,7 @@ class BuildingEnv:
             self.geom, config.convection.p, config.convection.distance
         )
         self.reward_params = reward_lib.make_reward_params(config.reward)
+        self._zone_mean_matrix = jnp.asarray(zone_mean_matrix(self.geom))
         self.obs_layout = obs_lib.build_obs_layout(
             self.geom.zone_names,
             config.observation_normalization,
@@ -224,6 +237,14 @@ class BuildingEnv:
         obs = self._observation(state, t_obs=jnp.int32(0))
         return state, obs
 
+    def _zone_means_fast(self, temp: jnp.ndarray) -> jnp.ndarray:
+        """Zone averages as one (Z, HW) x (HW,) matmul (MXU-friendly)."""
+        return jnp.matmul(
+            self._zone_mean_matrix,
+            temp.ravel(),
+            preferred_element_type=jnp.float32,
+        )
+
     def _occupancy_peek_randomized(
         self, occupants, key, local_hour, workday
     ):
@@ -325,7 +346,7 @@ class BuildingEnv:
         rng, conv_key, obs_key, reward_key = jax.random.split(state.rng, 4)
 
         # ---- Phase 1: request_action -------------------------------------
-        zone_temps = _zone_means(state.temp, geom)
+        zone_temps = self._zone_means_fast(state.temp)
         comfort_now = tables.comfort[t]
         mode = hvac_ops.thermostat_update(
             state.hvac.thermostat_mode,
@@ -479,7 +500,7 @@ class BuildingEnv:
             tables.workday_local[t_next],
         )
         zone_occ = self._zone_occupancy_at(occupants, t_next)
-        post_zone_temps = _zone_means(new_temp, self.geom)
+        post_zone_temps = self._zone_means_fast(new_temp)
         breakdown = self._reward(
             mid_state, post_zone_temps, zone_occ, t_next
         )

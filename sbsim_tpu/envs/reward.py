@@ -196,3 +196,69 @@ def compute_regret_reward(
         normalized_energy_cost=normalized_energy_cost,
         normalized_carbon_emission=normalized_carbon,
     )
+
+
+def compute_absolute_reward(
+    *,
+    heating_setpoint: jnp.ndarray,
+    cooling_setpoint: jnp.ndarray,
+    zone_temps: jnp.ndarray,
+    zone_occupancy: jnp.ndarray,
+    electricity_energy_rate: jnp.ndarray,
+    natural_gas_energy_rate: jnp.ndarray,
+    elec_price: jnp.ndarray,
+    elec_carbon: jnp.ndarray,
+    gas_price: jnp.ndarray,
+    dt_sec: jnp.ndarray,
+    params: RewardParams,
+    energy_cost_weight: jnp.ndarray = 1.0,
+    carbon_cost_weight: jnp.ndarray = 1.0,
+    carbon_cost_factor_usd_per_kg: jnp.ndarray = 0.0,
+    reward_shift: jnp.ndarray = 0.0,
+    reward_scale: jnp.ndarray = 1.0,
+) -> RewardBreakdown:
+    """Unnormalized variant: r = productivity - u*(costs) - w*carbon_cost,
+    shifted/scaled (setpoint_energy_carbon_reward.py:84-190)."""
+    productivity = jnp.sum(
+        zone_productivity(
+            heating_setpoint,
+            cooling_setpoint,
+            zone_temps,
+            zone_occupancy,
+            dt_sec,
+            params,
+        )
+    )
+    total_occupancy = jnp.sum(zone_occupancy)
+    elec_cost = elec_price * jnp.abs(electricity_energy_rate) * dt_sec
+    elec_carbon_kg = elec_carbon * jnp.abs(electricity_energy_rate) * dt_sec
+    gas_energy = jnp.maximum(natural_gas_energy_rate, 0.0) * dt_sec
+    gas_cost = gas_price * gas_energy
+    gas_carbon_kg = GAS_CARBON_KG_PER_J * gas_energy
+    carbon_cost = carbon_cost_factor_usd_per_kg * (
+        elec_carbon_kg + gas_carbon_kg
+    )
+    raw = (
+        productivity
+        - energy_cost_weight * (elec_cost + gas_cost)
+        - carbon_cost_weight * carbon_cost
+    )
+    agent_reward = (raw - reward_shift) * reward_scale
+    max_productivity = (
+        params.max_productivity_personhour_usd
+        * total_occupancy
+        * dt_sec
+        / _HOUR_SEC
+    )
+    return RewardBreakdown(
+        agent_reward_value=agent_reward,
+        productivity_reward=productivity,
+        electricity_energy_cost=elec_cost,
+        natural_gas_energy_cost=gas_cost,
+        carbon_emitted=elec_carbon_kg + gas_carbon_kg,
+        total_occupancy=total_occupancy,
+        productivity_regret=productivity - max_productivity,
+        normalized_productivity_regret=jnp.float32(0.0),
+        normalized_energy_cost=jnp.float32(0.0),
+        normalized_carbon_emission=jnp.float32(0.0),
+    )
