@@ -1,0 +1,74 @@
+"""Profiling and phase timing.
+
+The reference has no tracing at all (SURVEY.md section 5 - only wall-clock
+prints in the notebook). Here: a jax.profiler trace context for device
+timelines (viewable in TensorBoard/Perfetto) and a lightweight phase timer
+for host-side loops.
+"""
+
+from __future__ import annotations
+
+import collections
+import contextlib
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str) -> Iterator[None]:
+    """Captures a device profile (XPlane) under log_dir.
+
+    View with TensorBoard's profile plugin or ui.perfetto.dev.
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region that shows up inside device traces."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class PhaseTimer:
+    """Accumulates host wall-time per named phase."""
+
+    def __init__(self):
+        self._totals: Dict[str, float] = collections.defaultdict(float)
+        self._counts: Dict[str, int] = collections.defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, block_on=None) -> Iterator[None]:
+        """Times a phase; pass a pytree as block_on to include device time
+        (block_until_ready before stopping the clock)."""
+        t0 = time.perf_counter()
+        yield
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        self._totals[name] += time.perf_counter() - t0
+        self._counts[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {
+                "total_sec": self._totals[name],
+                "calls": self._counts[name],
+                "mean_ms": 1000.0 * self._totals[name] / self._counts[name],
+            }
+            for name in self._totals
+        }
+
+    def report(self) -> str:
+        lines = []
+        for name, stats in sorted(
+            self.summary().items(), key=lambda kv: -kv[1]["total_sec"]
+        ):
+            lines.append(
+                f"{name:32s} {stats['total_sec']:8.2f}s "
+                f"{stats['calls']:6d} calls  {stats['mean_ms']:8.2f} ms/call"
+            )
+        return "\n".join(lines)

@@ -1,0 +1,65 @@
+"""Gin calibration loader tests against the actual sb1 config file."""
+
+import os
+
+import pytest
+
+from sbsim_tpu.envs import gin_compat
+
+SB1_GIN = "/root/reference/smart_control/configs/resources/sb1/sim_config.gin"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SB1_GIN), reason="reference gin file not mounted"
+)
+
+
+def test_parse_macros():
+    b = gin_compat.parse_gin_bindings(SB1_GIN)
+    assert b["time_step_sec"] == 300
+    assert b["convergence_threshold"] == 0.1
+    assert b["iteration_limit"] == 100
+    assert b["heating_setpoint_day"] == 294
+    assert b["reheat_water_setpoint"] == 360.0
+    assert b["num_days_in_episode"] == 14
+
+
+def test_observation_normalization_constants():
+    b = gin_compat.parse_gin_bindings(SB1_GIN)
+    norms = gin_compat.extract_observation_normalization(b)
+    assert norms["zone_air_temperature_sensor"] == (190.0, 408.113303)
+    assert norms["supply_water_temperature_sensor"] == (
+        321.520315,
+        658.413066,
+    )
+    assert norms["outside_air_temperature_sensor"][0] == pytest.approx(
+        291.244931
+    )
+    assert len(norms) > 40
+
+
+def test_action_normalizers():
+    b = gin_compat.parse_gin_bindings(SB1_GIN)
+    normalizers = gin_compat.extract_action_normalizers(b)
+    assert normalizers["supply_water_setpoint"].min_native_value == 310.0
+    assert normalizers["supply_water_setpoint"].max_native_value == 355.0
+    assert normalizers[
+        "supply_air_heating_temperature_setpoint"
+    ].max_native_value == 300.0
+
+
+def test_env_config_from_gin_builds_env():
+    import jax
+    import jax.numpy as jnp
+
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    cfg = gin_compat.env_config_from_gin(SB1_GIN)
+    assert cfg.time_step_sec == 300.0
+    assert cfg.schedule.comfort_temp_window == (294.0, 297.0)
+    assert cfg.reward.productivity_weight == 0.2
+    assert "zone_air_temperature_sensor" in cfg.histogram_parameters
+    env = BuildingEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (env.obs_dim,)
+    _, out = jax.jit(env.step)(state, jnp.zeros(env.n_actions))
+    assert -1.0 <= float(out.reward) <= 0.0
