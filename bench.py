@@ -53,6 +53,11 @@ def main():
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--force-cpu", action="store_true")
+    parser.add_argument(
+        "--full-scale",
+        action="store_true",
+        help="126-room building matching the real sb1 device count",
+    )
     args = parser.parse_args()
 
     on_cpu = args.force_cpu or not tpu_available()
@@ -70,7 +75,16 @@ def main():
     batch = args.batch if not on_cpu else min(args.batch, 64)
     n_steps = args.steps
 
-    env = BuildingEnv(presets.sb1_config(num_days_in_episode=2))
+    floor_plan = None
+    if args.full_scale:
+        from sbsim_tpu.core.geometry import make_synthetic_office_plan
+
+        # The recorded sb1 telemetry shows 126 VAV zones
+        # (observation_response_2024.08.29.00).
+        floor_plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+    env = BuildingEnv(
+        presets.sb1_config(num_days_in_episode=2, floor_plan=floor_plan)
+    )
     actions = jnp.asarray(schedule_policy.build_schedule_actions(env))
     use_pallas = not args.no_pallas
 

@@ -1,0 +1,46 @@
+"""Wire-format interop: parse the actual recorded telemetry shipped with the
+reference (configs/resources/sb1/observation_response_2024.08.29.00)."""
+
+import os
+
+import pytest
+
+from sbsim_tpu.io import records
+from sbsim_tpu.proto import building_pb2
+from sbsim_tpu.utils import telemetry
+
+SB1_OBS = (
+    "/root/reference/smart_control/configs/resources/sb1/"
+    "observation_response_2024.08.29.00"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SB1_OBS), reason="reference resources not mounted"
+)
+
+
+def test_read_recorded_observation_responses():
+    msgs = list(
+        records.read_records(SB1_OBS, building_pb2.ObservationResponse)
+    )
+    assert len(msgs) == 2
+    first = msgs[0]
+    assert len(first.single_observation_responses) == 390
+    devices = {
+        r.single_observation_request.device_id
+        for r in first.single_observation_responses
+    }
+    # The real calibrated building: one AHU, one boiler, 126 VAV zones.
+    assert len(devices) == 128
+    assert any(d.startswith("vav_room_") for d in devices)
+
+
+def test_recorded_telemetry_to_frame():
+    msgs = list(
+        records.read_records(SB1_OBS, building_pb2.ObservationResponse)
+    )
+    df = telemetry.observation_responses_to_frame(msgs)
+    assert df.shape[0] == 2
+    assert ("vav_room_1", "zone_air_temperature_sensor") in df.columns
+    temps = df[("vav_room_1", "zone_air_temperature_sensor")]
+    assert 280.0 < float(temps.iloc[0]) < 310.0
