@@ -1,0 +1,86 @@
+"""Policy export / load for deployment.
+
+The reference exports TF-Agents SavedModel policies
+(PolicySavedModelTrigger, SAC_Demo.ipynb cell 42); here a trained actor is
+saved as an orbax checkpoint together with the action layout metadata, and
+loads back into a pure `policy(obs) -> normalized action` function - the
+artifact a real-building controller (envs/host_environment.py) consumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sbsim_tpu.agents import networks
+from sbsim_tpu.agents.sac import SACConfig, SACLearner, SACState
+
+
+def save_policy(
+    directory: str,
+    learner: SACLearner,
+    state: SACState,
+    action_names: Sequence[str],
+) -> None:
+    """Writes actor params + metadata under `directory`."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with ocp.StandardCheckpointer() as checkpointer:
+        checkpointer.save(
+            os.path.join(directory, "actor_params"),
+            jax.tree.map(np.asarray, state.actor_params),
+        )
+    metadata = {
+        "obs_dim": learner.obs_dim,
+        "action_dim": learner.action_dim,
+        "actor_hidden": list(learner.config.actor_hidden),
+        "action_names": list(action_names),
+    }
+    with open(os.path.join(directory, "policy_metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=2)
+
+
+def load_policy(
+    directory: str,
+) -> Tuple[Callable[[jnp.ndarray], jnp.ndarray], dict]:
+    """Returns (greedy_policy_fn, metadata)."""
+    directory = os.path.abspath(directory)
+    with open(os.path.join(directory, "policy_metadata.json")) as f:
+        metadata = json.load(f)
+    actor = networks.TanhGaussianActor(
+        action_dim=metadata["action_dim"],
+        hidden=tuple(metadata["actor_hidden"]),
+    )
+    template = actor.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, metadata["obs_dim"]))
+    )
+    with ocp.StandardCheckpointer() as checkpointer:
+        params = checkpointer.restore(
+            os.path.join(directory, "actor_params"),
+            jax.tree.map(np.asarray, template),
+        )
+
+    @jax.jit
+    def policy(obs: jnp.ndarray) -> jnp.ndarray:
+        mean, _ = actor.apply(params, obs)
+        return networks.deterministic_action(mean)
+
+    return policy, metadata
+
+
+def action_regularization_cost(
+    previous_action: np.ndarray, action: np.ndarray
+) -> float:
+    """L2 norm of the action delta - the smoothing penalty helper
+    (environment.py:253-274)."""
+    return float(
+        np.linalg.norm(
+            np.asarray(previous_action) - np.asarray(action), ord=2
+        )
+    )

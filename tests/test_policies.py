@@ -1,0 +1,30 @@
+"""Policy export/load round trip and regularization helper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.agents import policies
+from sbsim_tpu.agents.sac import SACLearner
+
+
+def test_policy_round_trip(tmp_path):
+    learner = SACLearner(obs_dim=6, action_dim=2)
+    state = learner.init(jax.random.PRNGKey(0))
+    policies.save_policy(
+        str(tmp_path / "policy"), learner, state, ["a", "b"]
+    )
+    policy, metadata = policies.load_policy(str(tmp_path / "policy"))
+    assert metadata["action_names"] == ["a", "b"]
+    obs = jax.random.normal(jax.random.PRNGKey(1), (5, 6))
+    expected = learner.act_greedy(state, obs)
+    got = policy(obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_action_regularization():
+    a = np.asarray([0.0, 0.0])
+    b = np.asarray([3.0, 4.0])
+    assert policies.action_regularization_cost(a, b) == pytest.approx(5.0)
