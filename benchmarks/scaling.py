@@ -1,0 +1,126 @@
+"""Scaling harness: env-steps/s at 1 / N devices (BASELINE.md scaling rows).
+
+Measures batched rollout throughput of the calibrated building with the env
+batch sharded over increasing mesh sizes. On the CPU host platform the
+numbers only validate the plumbing; on TPU slices they are the scaling
+figures (1 chip / 1 host / N hosts with jax.distributed).
+
+Usage:
+  python benchmarks/scaling.py --devices 1 2 4 8 --batch-per-device 128
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    parser.add_argument("--batch-per-device", type=int, default=128)
+    parser.add_argument("--steps", type=int, default=16)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--full-scale", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.distributed import mesh as mesh_lib
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    floor_plan = None
+    if args.full_scale:
+        from sbsim_tpu.core.geometry import make_synthetic_office_plan
+
+        floor_plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+    env = BuildingEnv(
+        presets.sb1_config(num_days_in_episode=2, floor_plan=floor_plan)
+    )
+    actions_table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+
+    results = []
+    for n_dev in args.devices:
+        devices = jax.devices()[:n_dev]
+        if len(devices) < n_dev:
+            print(f"skipping {n_dev} devices (only {len(devices)} present)")
+            continue
+        mesh = mesh_lib.make_mesh(np.asarray(devices))
+        batch = args.batch_per_device * n_dev
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+        sharding = NamedSharding(mesh, P(mesh_lib.ENV_AXIS))
+
+        def constrain(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x,
+                    NamedSharding(
+                        mesh, P(mesh_lib.ENV_AXIS, *([None] * (x.ndim - 1)))
+                    ),
+                )
+                if getattr(x, "ndim", 0) >= 1
+                else x,
+                tree,
+            )
+
+        def rollout(states):
+            states = constrain(states)
+
+            def body(s, _):
+                act = actions_table[
+                    jnp.clip(s.step_idx, 0, actions_table.shape[0] - 1)
+                ]
+                s, out = env.step_batched(s, act)
+                return constrain(s), out.reward
+
+            states, rewards = jax.lax.scan(
+                body, states, None, length=args.steps
+            )
+            return states, jnp.mean(rewards)
+
+        rollout_jit = jax.jit(rollout)
+        states, _ = jax.block_until_ready(rollout_jit(states))
+        t0 = time.perf_counter()
+        states, _ = rollout_jit(states)
+        jax.block_until_ready(states)
+        dt = time.perf_counter() - t0
+        sps = batch * args.steps / dt
+        results.append(
+            {
+                "devices": n_dev,
+                "batch": batch,
+                "env_steps_per_sec": round(sps, 1),
+                "per_device": round(sps / n_dev, 1),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+
+    if len(results) >= 2:
+        eff = (
+            results[-1]["per_device"] / results[0]["per_device"]
+            if results[0]["per_device"]
+            else 0.0
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "from_devices": results[0]["devices"],
+                    "to_devices": results[-1]["devices"],
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
