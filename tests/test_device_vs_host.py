@@ -1,0 +1,96 @@
+"""Device fast path vs bit-faithful host mode on deterministic configs.
+
+Closes the parity triangle without the reference mounted: the golden tests
+pin ExactHostSimulator to the reference; this test pins the jitted device
+path to ExactHostSimulator (deterministic drivers: no convection, and
+occupancy streams don't affect the physics)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.exact_host import ExactHostSimulator
+from sbsim_tpu.hvac import devices as hvac_ops
+
+
+@pytest.fixture(scope="module")
+def env():
+    cfg = presets.two_zone_test_config(occupancy_kind="step_function")
+    return BuildingEnv(cfg)
+
+
+def test_device_trajectory_matches_host_mode(env):
+    host = ExactHostSimulator(env)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    action = jnp.asarray(
+        env.default_action(
+            {
+                "supply_water_setpoint": 340.0,
+                "supply_air_heating_temperature_setpoint": 285.0,
+            }
+        )
+    )
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+
+    for i in range(24):
+        state, out = step(state, action)
+        host_out = host.step(setpoints)
+
+        np.testing.assert_allclose(
+            np.asarray(state.temp),
+            host.temp,
+            atol=5e-3,
+            err_msg=f"step {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.hvac.zone_air_temp),
+            host.zone_air_temp,
+            atol=5e-3,
+        )
+        assert np.array_equal(
+            np.asarray(state.hvac.thermostat_mode), host.mode
+        )
+        np.testing.assert_allclose(
+            float(state.hvac.boiler_current_temp),
+            host.boiler_current_temp,
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(state.hvac.boiler_return_water_temp),
+            host.boiler_return_water,
+            atol=1e-2,
+        )
+
+    # Energy rates driving the reward agree at the final step.
+    t = int(state.step_idx)
+    blower = float(hvac_ops.ahu_blower_power(state.hvac, env.hvac_params))
+    ac = float(
+        hvac_ops.ahu_thermal_energy_rate(
+            state.hvac,
+            jnp.mean(state.temp),
+            env.tables.ambient_temp[t],
+            env.hvac_params,
+        )
+    )
+    pump = float(hvac_ops.boiler_pump_power(state.hvac, env.hvac_params))
+    gas = float(
+        hvac_ops.boiler_thermal_energy_rate(
+            state.hvac, env.tables.ambient_temp[t], env.hvac_params
+        )
+    )
+    np.testing.assert_allclose(
+        blower + abs(ac) + pump, host_out["electricity_rate"],
+        rtol=1e-4, atol=1.0,
+    )
+    np.testing.assert_allclose(
+        gas, host_out["gas_rate"], rtol=1e-3, atol=5.0
+    )
