@@ -167,6 +167,9 @@ class ExactHostSimulator:
         self.zone_masks = [
             np.argwhere(zone_ids == z) for z in range(self.geom.n_zones)
         ]
+        # Float64 diffuser fractions, matching the reference's arrays
+        # (geometry stores float32 for the device path).
+        self._diffusers64 = self._recompute_diffusers64()
         room_lists = [
             [tuple(c) for c in coords] for coords in self.zone_masks
         ]
@@ -180,17 +183,41 @@ class ExactHostSimulator:
 
         self.reset()
 
+    def _recompute_diffusers64(self) -> np.ndarray:
+        """Reference diffuser arrays are float64 (building.py:751-757);
+        rebuild them at full precision from the floor plan when possible."""
+        b = self.cfg.building
+        if b.kind == "floor_plan" and b.floor_plan is not None:
+            from sbsim_tpu.core import floorplan as floorplan_lib
+
+            processed = floorplan_lib.process_floor_plan(
+                b.floor_plan, b.zone_map
+            )
+            return floorplan_lib.assign_thermal_diffusers(
+                processed.floor_plan.shape,
+                processed.room_dict,
+                interior_walls=processed.interior_walls_initial,
+                buffer_from_walls=b.buffer_from_walls,
+            )
+        return np.asarray(self.geom.diffusers, np.float64)
+
     # ------------------------------------------------------------------
 
     def reset(self) -> None:
+        # Reference dtype flow: reset() fills float64
+        # (building.py:784-792); the first FDM step replaces it with the
+        # float32 solver output.
         self.temp = np.array(self.geom.reset_temps, np.float64)
         self.input_q = np.zeros(self.geom.shape, np.float64)
         self.time = self.start_timestamp
         n = self.geom.n_zones
-        self.damper = np.full(n, 0.1)
-        self.reheat_valve = np.zeros(n)
-        self.mode = np.full(n, MODE_OFF, np.int64)
-        self.zone_air_temp = np.zeros(n)
+        # Python-float device attributes, exactly as the reference keeps
+        # them: numpy's weak promotion then rounds the VAV supply-temp
+        # chain to float32 identically (vav.py:168-195 with NEP 50).
+        self.damper = [0.1] * n
+        self.reheat_valve = [0.0] * n
+        self.mode = [MODE_OFF] * n
+        self.zone_air_temp = [0.0] * n
         self.prev_comfort: Optional[bool] = None
         hv = self.cfg.hvac
         self.ahu_heating_setpoint = float(hv.ahu_heating_setpoint)
@@ -369,7 +396,7 @@ class ExactHostSimulator:
         # .py:124-190) --------------------------------------------------
         ambient = self._weather(self.time)
         h_conv = cfg.weather.convection_coefficient
-        recirculation = float(self.temp.mean())
+        recirculation = self.temp.mean()  # np.float32 scalar, reference promotion
         mixed = (
             hv.ahu_recirculation * recirculation
             + (1.0 - hv.ahu_recirculation) * ambient
@@ -388,7 +415,10 @@ class ExactHostSimulator:
             cfg.convergence_threshold,
             cfg.iteration_limit,
         )
-        self.temp = new_temp.astype(np.float64)
+        # Keep float32, exactly as TFSimulator leaves building.temp
+        # (tf_simulator.py:853): subsequent means/sensor reads then round
+        # identically to the reference.
+        self.temp = new_temp
         self.convection.apply(self.temp)
 
         self.ahu_flow = 0.0
@@ -423,10 +453,8 @@ class ExactHostSimulator:
             denominator += valve
             for c in self.zone_masks[z]:
                 cv = tuple(c)
-                if self.geom.diffusers[cv] > 0.0:
-                    self.input_q[cv] = q_zone * float(
-                        np.asarray(self.geom.diffusers)[cv]
-                    )
+                if self._diffusers64[cv] > 0.0:
+                    self.input_q[cv] = q_zone * self._diffusers64[cv]
         self.boiler_return_water = numerator / (denominator + 1e-6)
         self.time = self.time + self.dt
 
@@ -445,7 +473,7 @@ class ExactHostSimulator:
         )
         post_zone_temps = self._zone_average_temps()
         ambient_next = self._weather(self.time)
-        recirculation_next = float(self.temp.mean())
+        recirculation_next = self.temp.mean()
         mixed_next = (
             hv.ahu_recirculation * recirculation_next
             + (1.0 - hv.ahu_recirculation) * ambient_next
