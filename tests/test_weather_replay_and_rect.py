@@ -1,0 +1,71 @@
+"""Replay weather on the real recorded CSV + rectangular-building env."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.config import WeatherConfig
+from sbsim_tpu.scenario import weather as weather_lib
+
+SB1_WEATHER = (
+    "/root/reference/smart_control/configs/resources/sb1/"
+    "local_weather_moffett_field_20230701_20231122.csv"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SB1_WEATHER), reason="reference weather CSV absent"
+)
+class TestReplayWeather:
+    def test_interpolation_and_bounds(self):
+        replay = weather_lib.ReplayWeather(SB1_WEATHER)
+        ts = pd.Timestamp("2023-07-06 07:00:00+00:00")
+        temps = replay.temperatures([ts, ts + pd.Timedelta(hours=1)])
+        # Moffett Field in July: plausible Kelvin range.
+        assert (temps > 270).all() and (temps < 320).all()
+        with pytest.raises(ValueError):
+            replay.temperatures([pd.Timestamp("2020-01-01", tz="UTC")])
+
+    def test_sb1_env_with_replay_weather(self):
+        cfg = presets.sb1_config(
+            num_days_in_episode=1, weather_csv=SB1_WEATHER
+        )
+        env = BuildingEnv(cfg)
+        assert float(env.tables.ambient_temp[0]) > 270.0
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        _, out = jax.jit(env.step)(state, jnp.zeros(env.n_actions))
+        assert np.isfinite(float(out.reward))
+
+
+class TestRectangularEnv:
+    def test_full_env_on_legacy_rectangular_building(self):
+        cfg = presets.two_zone_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            building=dataclasses.replace(
+                cfg.building,
+                kind="rectangular",
+                room_shape=(8, 6),
+                building_shape=(2, 1),
+                cv_size_cm=20.0,
+                floor_height_cm=250.0,
+            ),
+        )
+        env = BuildingEnv(cfg)
+        assert env.geom.shape == (21, 10)
+        assert env.geom.zone_ext_ids == ("zone_id_(0, 0)", "zone_id_(1, 0)")
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        action = jnp.zeros(env.n_actions)
+        for _ in range(4):
+            state, out = step(state, action)
+        assert np.isfinite(np.asarray(out.observation)).all()
+        assert -1.0 <= float(out.reward) <= 0.0
+        assert bool(state.fdm_converged)
