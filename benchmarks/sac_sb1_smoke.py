@@ -1,0 +1,63 @@
+"""SAC on the calibrated sb1-scale building (CPU smoke, background tool)."""
+
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+def main():
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+    print(f"grid={env.geom.shape} zones={env.n_zones} obs={env.obs_dim}",
+          flush=True)
+    n_eval = 288
+
+    trainer = SACTrainer(
+        env,
+        TrainConfig(
+            n_envs=8, replay_capacity=50_000, batch_size=256,
+            updates_per_env_step=2, seed_steps=0,
+        ),
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    evaluate = jax.jit(
+        lambda sac, key: trainer.evaluate(sac, key, n_steps=n_eval, n_envs=2)
+    )
+
+    sched = schedule_policy.build_schedule_actions(env)
+    seed_fn = jax.jit(trainer.seed_with_actions(state, sched))
+    t0 = time.time()
+    for _ in range(500):
+        state, m = seed_fn(state)
+    print(
+        f"seeded {int(state.replay.size)} transitions in {time.time()-t0:.0f}s; "
+        f"schedule step-reward {float(m['reward_mean']):.4f}",
+        flush=True,
+    )
+    ret0 = float(evaluate(state.sac, jax.random.PRNGKey(9)))
+    print(f"untrained greedy return ({n_eval} steps): {ret0:.3f}", flush=True)
+
+    step = jax.jit(trainer.train_step)
+    t0 = time.time()
+    for i in range(8000):
+        state, metrics = step(state)
+        if (i + 1) % 2000 == 0:
+            ret = float(evaluate(state.sac, jax.random.PRNGKey(9)))
+            print(
+                f"step {i+1}: eval {ret:.3f} "
+                f"critic {float(metrics['critic_loss']):.4f} "
+                f"alpha {float(metrics['alpha']):.3f} ({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

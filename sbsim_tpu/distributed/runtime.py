@@ -1,0 +1,64 @@
+"""Multi-host runtime initialization.
+
+On a multi-host TPU pod slice each host runs the same program;
+`initialize()` brings up the jax.distributed runtime (coordinator discovery
+via TPU metadata or explicit addresses), after which `jax.devices()` spans
+the whole slice and the mesh in distributed/mesh.py covers every chip.
+Envs stay host-local (the batch axis shards over all devices, so each host
+computes only its shard); the replicated learner state is kept consistent by
+replicated-identical updates - no parameter server, no gRPC replay.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initializes jax.distributed when running multi-host.
+
+    With no arguments, relies on the TPU runtime's automatic discovery
+    (pod slices populate everything from metadata). Explicit arguments (or
+    the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID env vars) cover CPU/GPU clusters.
+    No-op when single-process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if num_processes is None and env_np:
+        num_processes = int(env_np)
+    if process_id is None and env_pid:
+        process_id = int(env_pid)
+    if coordinator_address is None and num_processes is None:
+        # Single host, or TPU pod auto-discovery at first backend use.
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass  # single-process run
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_info() -> dict:
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
