@@ -19,7 +19,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from sbsim_tpu.agents import networks
-from sbsim_tpu.agents.sac import SACConfig, SACLearner, SACState
+from sbsim_tpu.agents.sac import SACLearner, SACState
 
 
 def save_policy(

@@ -9,7 +9,7 @@ crosses the host boundary.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

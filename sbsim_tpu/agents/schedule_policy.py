@@ -13,7 +13,7 @@ index - usable inside jit/vmap/scan rollouts.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Tuple
+from typing import Mapping
 from zoneinfo import ZoneInfo
 
 import numpy as np

@@ -15,7 +15,7 @@ equivalent of "more buildings, more chips".
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -20,8 +20,7 @@ trajectories equal solo runs bitwise.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ from sbsim_tpu.envs import observation as obs_lib
 from sbsim_tpu.envs import reward as reward_lib
 from sbsim_tpu.envs.config import EnvConfig
 from sbsim_tpu.hvac import devices as hvac_ops
-from sbsim_tpu.hvac.params import HvacParams, HvacState, initial_hvac_state, make_hvac_params
+from sbsim_tpu.hvac.params import HvacState, initial_hvac_state, make_hvac_params
 from sbsim_tpu.physics import convection as convection_lib
 from sbsim_tpu.physics import fdm
 from sbsim_tpu.physics import fdm_pallas

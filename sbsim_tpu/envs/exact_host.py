@@ -26,8 +26,6 @@ import pandas as pd
 from zoneinfo import ZoneInfo
 
 from sbsim_tpu import constants
-from sbsim_tpu.core.geometry import BuildingGeometry
-from sbsim_tpu.envs.config import EnvConfig
 from sbsim_tpu.envs.building_env import BuildingEnv
 from sbsim_tpu.physics import reference_impl
 from sbsim_tpu.scenario import uscalendar

@@ -23,13 +23,10 @@ import numpy as np
 from sbsim_tpu.envs import presets
 from sbsim_tpu.envs.config import (
     ActionNormalizerConfig,
-    BuildingConfig,
     ConvectionConfig,
     EnvConfig,
     HvacConfig,
-    OccupancyConfig,
     ScheduleConfig,
-    WeatherConfig,
 )
 
 

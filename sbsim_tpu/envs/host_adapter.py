@@ -15,7 +15,7 @@ raised RuntimeError into an action-rejection reward.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 from sbsim_tpu.envs import observation as obs_lib
-from sbsim_tpu.envs.building_env import BuildingEnv, EnvState
+from sbsim_tpu.envs.building_env import BuildingEnv
 from sbsim_tpu.proto import building_pb2, reward_pb2
 from sbsim_tpu.scenario import occupancy as occupancy_lib
 

@@ -16,13 +16,12 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pandas as pd
 
 from sbsim_tpu.envs.building_env import BuildingEnv
-from sbsim_tpu.envs.host_adapter import SimulatedBuilding
 from sbsim_tpu.io import records as records_lib
 from sbsim_tpu.proto import building_pb2
 

@@ -14,8 +14,7 @@ device-side assembly is one fused concatenate.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 # Thermostat modes (thermostat.py:52-66).

@@ -10,7 +10,7 @@ training run and restore resumes it exactly.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

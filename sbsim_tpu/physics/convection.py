@@ -16,7 +16,7 @@ Python `random` stream; sb1 trajectory parity runs use that path.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ order) is provided by the host-mode harness, not this module.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ weather_controller.py (ambient temperature).
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional
+from typing import Any, List
 from zoneinfo import ZoneInfo
 
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import abc
 import collections
-from typing import Dict, List, Mapping, Sequence, Tuple
+from typing import Dict, List, Mapping, Sequence
 
 import numpy as np
 import pandas as pd

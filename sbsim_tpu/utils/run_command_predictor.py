@@ -9,7 +9,7 @@ action timeseries to infer On/Off from the continuous setpoints
 from __future__ import annotations
 
 import abc
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
