@@ -155,6 +155,7 @@ def fdm_step(
     *,
     convergence_threshold: float,
     iteration_limit: int,
+    unroll: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Advances the temperature field by one simulator time step.
 
@@ -166,6 +167,11 @@ def fdm_step(
       coeffs: stencil coefficients for this building + time step.
       convergence_threshold: stop when max |dT| <= threshold (K).
       iteration_limit: iteration cap per step.
+      unroll: Jacobi iterations per while-loop body. Each inner iteration is
+        individually masked by its own convergence/limit state, so results
+        are identical for any unroll factor - it only amortizes loop
+        overhead (the while condition is re-checked every `unroll`
+        iterations).
 
     Returns:
       (new_temp, converged, n_iterations) where converged/n_iterations have
@@ -188,15 +194,20 @@ def fdm_step(
 
     def body_fn(carry):
         x, done, iters, it = carry
-        x_new = jacobi_iteration(x, const, denom, coeffs, t_inf)
-        delta = jnp.max(jnp.abs(x_new - x), axis=(-2, -1))
-        # Envs already converged are frozen so batched results are identical
-        # to solo runs; envs converging *this* iteration keep this update,
-        # matching the post-update check in simulator.py:348-364.
-        x_out = jnp.where(done[..., None, None], x, x_new)
-        iters_out = jnp.where(done, iters, it + 1)
-        done_out = jnp.logical_or(done, delta <= thr)
-        return x_out, done_out, iters_out, it + 1
+        for k in range(unroll):
+            x_new = jacobi_iteration(x, const, denom, coeffs, t_inf)
+            delta = jnp.max(jnp.abs(x_new - x), axis=(-2, -1))
+            # Envs already converged (or past the cap) are frozen so batched
+            # results are identical to solo runs; envs converging *this*
+            # iteration keep this update, matching the post-update check in
+            # simulator.py:348-364.
+            active = jnp.logical_and(~done, it + k < iteration_limit)
+            x = jnp.where(active[..., None, None], x_new, x)
+            iters = jnp.where(active, it + k + 1, iters)
+            done = jnp.logical_or(
+                done, jnp.logical_and(active, delta <= thr)
+            )
+        return x, done, iters, it + unroll
 
     x0 = temp.astype(jnp.float32)
     done0 = jnp.zeros(batch_shape, dtype=bool)

@@ -53,7 +53,10 @@ def test_pallas_matches_xla_solver(geom):
         convergence_threshold=0.1, iteration_limit=100,
         block_envs=4, interpret=True,
     )
+    # Different compilations (interpret-mode Pallas vs the fused XLA loop)
+    # may make different FMA-contraction choices; equality is to a few
+    # float32 ulps at ~300 K, not bitwise.
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(expected), atol=1e-5
+        np.asarray(got), np.asarray(expected), atol=1e-4
     )
     assert (np.asarray(iters) > 0).all()
