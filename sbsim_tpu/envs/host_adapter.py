@@ -141,7 +141,16 @@ class SimulatedBuilding:
         )
 
     def is_comfort_mode(self, current_time: pd.Timestamp) -> bool:
-        t = int(self._state.step_idx)
+        start = pd.Timestamp(self._env.config.start_timestamp)
+        if start.tz is None:
+            start = start.tz_localize("UTC")
+        if current_time.tz is None:
+            current_time = current_time.tz_localize("UTC")
+        t = int(
+            (current_time - start).total_seconds()
+            // self._env.config.time_step_sec
+        )
+        t = max(0, min(t, self._env.tables.comfort.shape[0] - 1))
         return bool(self._env.tables.comfort[t])
 
     @property

@@ -1,0 +1,153 @@
+"""Controlling a real building: protos in, normalized observations out.
+
+The device env computes observations from simulator state; a *real* building
+only offers the proto protocol. This module assembles the same flat
+observation vector from an ObservationResponse (device/measurement values ->
+z-score -> histogram reduction -> auxiliary time features), with
+missing-sensor imputation - the host-side mirror of
+environment.py:873-985 - so a policy trained in simulation drives a real
+endpoint unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from sbsim_tpu.envs import observation as obs_lib
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.proto import building_pb2
+from sbsim_tpu.utils import conversions, telemetry
+
+
+def response_to_value_map(
+    response: building_pb2.ObservationResponse,
+) -> Dict[Tuple[str, str], float]:
+    return {
+        (
+            r.single_observation_request.device_id,
+            r.single_observation_request.measurement_name,
+        ): r.continuous_value
+        for r in response.single_observation_responses
+        if r.observation_valid
+    }
+
+
+def assemble_observation_from_values(
+    env: BuildingEnv,
+    values: Mapping[Tuple[str, str], float],
+    *,
+    timestamp: pd.Timestamp,
+    comfort_now: bool,
+    comfort_soon: bool,
+    num_occupants: float,
+) -> np.ndarray:
+    """Builds the flat normalized observation vector from native sensor
+    values keyed by (device_id, measurement_name)."""
+    import jax.numpy as jnp
+
+    layout = env.obs_layout
+    zone_names = env.geom.zone_names
+
+    def get(device, measurement, default=0.0):
+        return float(values.get((device, measurement), default))
+
+    ahu_values = {
+        m: jnp.float32(get(obs_lib.AHU_DEVICE_ID, m))
+        for m in obs_lib.AHU_MEASUREMENTS
+    }
+    boiler_values = {
+        m: jnp.float32(get(obs_lib.BOILER_DEVICE_ID, m))
+        for m in obs_lib.BOILER_MEASUREMENTS
+    }
+    vav_values = {
+        m: jnp.asarray(
+            [get(f"vav_{name}", m) for name in zone_names], jnp.float32
+        )
+        for m in obs_lib.VAV_MEASUREMENTS
+    }
+
+    hod_rad = conversions.get_radian_time(
+        timestamp, conversions.TimeIntervalEnum.HOUR_OF_DAY
+    )
+    dow_rad = conversions.get_radian_time(
+        timestamp, conversions.TimeIntervalEnum.DAY_OF_WEEK
+    )
+    c = float(env.config.occupancy_normalization_constant)
+    obs = obs_lib.assemble_observation(
+        layout,
+        ahu_values=ahu_values,
+        boiler_values=boiler_values,
+        vav_values=vav_values,
+        hod_rad=jnp.float32(hod_rad),
+        dow_rad=jnp.float32(dow_rad),
+        comfort_now=jnp.asarray(comfort_now),
+        comfort_soon=jnp.asarray(comfort_soon),
+        num_occupants=jnp.float32((int(num_occupants) - c) / (c + 1.0)),
+    )
+    return np.asarray(obs)
+
+
+class RealBuildingController:
+    """Drives any BaseBuilding-protocol endpoint with a policy.
+
+    `building` needs request_observations / request_action / wait_time /
+    is_comfort_mode / num_occupants / current_timestamp - either a real
+    endpoint speaking the wire protocol or the simulated adapter.
+    """
+
+    def __init__(
+        self,
+        building,
+        env: BuildingEnv,
+        policy,  # obs (obs_dim,) -> normalized action (n_actions,)
+    ):
+        self._building = building
+        self._env = env
+        self._policy = policy
+        self._last_response: Optional[building_pb2.ObservationResponse] = None
+
+    def observe(self) -> np.ndarray:
+        request = self._building.default_observation_request()
+        response = self._building.request_observations(request)
+        response = telemetry.impute_missing_observations(
+            response, self._last_response
+        )
+        self._last_response = response
+        now = self._building.current_timestamp
+        return assemble_observation_from_values(
+            self._env,
+            response_to_value_map(response),
+            timestamp=now,
+            comfort_now=self._building.is_comfort_mode(now),
+            comfort_soon=self._building.is_comfort_mode(
+                now + pd.Timedelta(60, unit="m")
+            ),
+            num_occupants=self._building.num_occupants,
+        )
+
+    def control_step(self) -> np.ndarray:
+        """One closed-loop step: observe -> policy -> action -> wait.
+
+        Returns the normalized action applied.
+        """
+        obs = self.observe()
+        action = np.asarray(self._policy(obs[None, :]))[0]
+        request = building_pb2.ActionRequest()
+        for i, (device, field, normalizer) in enumerate(
+            self._env.action_entries
+        ):
+            native = (
+                (float(np.clip(action[i], -1.0, 1.0)) + 1.0)
+                / 2.0
+                * (normalizer.max_native_value - normalizer.min_native_value)
+                + normalizer.min_native_value
+            )
+            request.single_action_requests.add(
+                device_id=device, setpoint_name=field, continuous_value=native
+            )
+        self._building.request_action(request)
+        self._building.wait_time()
+        return action

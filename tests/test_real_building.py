@@ -1,0 +1,71 @@
+"""Real-building control path: proto-driven observation + policy loop."""
+
+import numpy as np
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.host_adapter import SimulatedBuilding
+from sbsim_tpu.envs.real_building import (
+    RealBuildingController,
+    assemble_observation_from_values,
+    response_to_value_map,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return BuildingEnv(presets.two_zone_test_config())
+
+
+def test_proto_observation_matches_device_observation(env):
+    """The host-side proto assembly reproduces the device env's own
+    observation for the simulated building."""
+    building = SimulatedBuilding(env, seed=0)
+    response = building.request_observations(
+        building.default_observation_request()
+    )
+    now = building.current_timestamp
+    obs_host = assemble_observation_from_values(
+        env,
+        response_to_value_map(response),
+        timestamp=now,
+        comfort_now=building.is_comfort_mode(now),
+        comfort_soon=building.is_comfort_mode(
+            now + __import__("pandas").Timedelta(60, unit="m")
+        ),
+        num_occupants=building.num_occupants,
+    )
+    obs_device = np.asarray(building._last_obs_vector)
+    np.testing.assert_allclose(obs_host, obs_device, atol=1e-5)
+
+
+def test_controller_closed_loop(env):
+    building = SimulatedBuilding(env, seed=1)
+
+    def policy(obs_batch):
+        return np.zeros((obs_batch.shape[0], env.n_actions), np.float32)
+
+    controller = RealBuildingController(building, env, policy)
+    t0 = building.current_timestamp
+    action = controller.control_step()
+    assert action.shape == (env.n_actions,)
+    assert building.current_timestamp > t0
+    # Second step keeps working (imputation path with full responses).
+    controller.control_step()
+
+
+def test_trained_policy_drives_building(env):
+    """A SAC policy exported for deployment drives the proto endpoint."""
+    import jax
+
+    from sbsim_tpu.agents.sac import SACLearner
+
+    learner = SACLearner(env.obs_dim, env.n_actions)
+    sac_state = learner.init(jax.random.PRNGKey(0))
+    policy = lambda obs: np.asarray(learner.act_greedy(sac_state, obs))
+    building = SimulatedBuilding(env, seed=2)
+    controller = RealBuildingController(building, env, policy)
+    for _ in range(2):
+        action = controller.control_step()
+        assert (np.abs(action) <= 1.0).all()
