@@ -1,0 +1,42 @@
+"""Full 14-day episode integration (4032 steps spanning weekends/holidays)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+def test_full_14_day_episode():
+    env = BuildingEnv(
+        presets.two_zone_test_config(
+            num_days_in_episode=14, occupancy_kind="randomized"
+        )
+    )
+    assert env.steps_per_episode == 4032
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    states, _ = jax.vmap(env.reset)(keys)
+
+    def body(s, _):
+        act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+        s, out = jax.vmap(env.step)(s, act)
+        return s, (out.reward, out.done)
+
+    final, (rewards, dones) = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=env.steps_per_episode)
+    )(states)
+
+    rewards = np.asarray(rewards)
+    dones = np.asarray(dones)
+    assert np.isfinite(rewards).all()
+    assert (rewards <= 0).all() and (rewards >= -1).all()
+    # Termination exactly at the episode end.
+    assert dones[-1].all()
+    assert not dones[:-1].any()
+    # Physics stayed healthy: solver converged, temps plausible.
+    assert np.asarray(final.fdm_converged).all()
+    temps = np.asarray(final.temp)
+    assert 250.0 < temps.min() and temps.max() < 330.0
