@@ -140,17 +140,32 @@ class ExactConvection:
 class ExactHostSimulator:
     """Single-building host simulator, reference-faithful step by step."""
 
-    def __init__(self, env: BuildingEnv, naive_timestamps: bool = False):
+    def __init__(
+        self,
+        env: BuildingEnv,
+        naive_timestamps: bool = False,
+        solver: str = "jacobi",
+    ):
         """Args:
         env: the configured BuildingEnv (for geometry/config/tables).
         naive_timestamps: treat simulation time as tz-naive, matching a
           reference configured with naive timestamps (its occupancy then
           skips timezone conversion, randomized_...occupancy.py:84-89).
+        solver: "jacobi" replicates TFSimulator (the sb1 default,
+          tf_simulator.py:573-853); "gauss_seidel" replicates the legacy
+          scalar in-place sweep (simulator.py:98-316, the
+          SimulatorFlexibleGeometries path).
         """
         self.env = env
         self.cfg = env.config
         self.geom = env.geom
         self._naive = naive_timestamps
+        if solver not in ("jacobi", "gauss_seidel"):
+            raise ValueError(f"unknown solver: {solver}")
+        self.solver = solver
+        self._scalar_materials = (
+            self._materials64() if solver == "gauss_seidel" else None
+        )
 
         start = pd.Timestamp(self.cfg.start_timestamp)
         if naive_timestamps:
@@ -180,6 +195,50 @@ class ExactHostSimulator:
         self._occ_tz = ZoneInfo(self.cfg.occupancy.time_zone)
 
         self.reset()
+
+    def _materials64(self):
+        """Float64 (conductivity, heat_capacity, density) grids rebuilt from
+        the config materials (the geometry keeps float32 for the device
+        path; the scalar sweep needs the float64 originals)."""
+        b = self.cfg.building
+        if b.kind == "floor_plan" and b.floor_plan is not None:
+            from sbsim_tpu.core import floorplan as floorplan_lib
+
+            processed = floorplan_lib.process_floor_plan(
+                b.floor_plan, b.zone_map
+            )
+
+            def assign(prop):
+                out = np.full(
+                    processed.floor_plan.shape,
+                    getattr(b.inside_air, prop),
+                    np.float64,
+                )
+                out[processed.exterior_walls] = getattr(
+                    b.building_exterior, prop
+                )
+                out[processed.interior_walls] = getattr(b.inside_wall, prop)
+                return out
+
+            return (
+                assign("conductivity"),
+                assign("heat_capacity"),
+                assign("density"),
+            )
+        return None
+
+    def _present_mask(self) -> np.ndarray:
+        """In-building mask for the scalar solver's neighbor lists
+        (building.py:794-813 excludes outside-air CVs; the legacy
+        rectangular building has no outside air at all)."""
+        b = self.cfg.building
+        if b.kind == "floor_plan" and b.floor_plan is not None:
+            from sbsim_tpu import constants as consts
+            from sbsim_tpu.core import floorplan as floorplan_lib
+
+            plan = floorplan_lib.guarantee_air_padding(b.floor_plan)
+            return plan != consts.EXTERIOR_SPACE_VALUE
+        return np.ones(self.geom.shape, bool)
 
     def _recompute_diffusers64(self) -> np.ndarray:
         """Reference diffuser arrays are float64 (building.py:751-757);
@@ -403,19 +462,34 @@ class ExactHostSimulator:
             max(mixed, self.ahu_heating_setpoint), self.ahu_cooling_setpoint
         )
 
-        new_temp, _, _ = reference_impl.tf_finite_differences_timestep(
-            self.geom,
-            self.temp,
-            self.input_q,
-            ambient,
-            h_conv,
-            cfg.time_step_sec,
-            cfg.convergence_threshold,
-            cfg.iteration_limit,
-        )
-        # Keep float32, exactly as TFSimulator leaves building.temp
-        # (tf_simulator.py:853): subsequent means/sensor reads then round
-        # identically to the reference.
+        if self.solver == "jacobi":
+            new_temp, _, _ = reference_impl.tf_finite_differences_timestep(
+                self.geom,
+                self.temp,
+                self.input_q,
+                ambient,
+                h_conv,
+                cfg.time_step_sec,
+                cfg.convergence_threshold,
+                cfg.iteration_limit,
+            )
+        else:
+            new_temp, _, _ = reference_impl.scalar_finite_differences_timestep(
+                self.geom,
+                self.temp,
+                self.input_q,
+                ambient,
+                h_conv,
+                cfg.time_step_sec,
+                cfg.convergence_threshold,
+                cfg.iteration_limit,
+                present=self._present_mask(),
+                materials64=self._scalar_materials,
+            )
+        # Keep the solver's dtype, exactly as the reference leaves
+        # building.temp (float32 for TFSimulator, tf_simulator.py:853;
+        # float64 for the scalar sweep): subsequent means/sensor reads then
+        # round identically to the reference.
         self.temp = new_temp
         self.convection.apply(self.temp)
 

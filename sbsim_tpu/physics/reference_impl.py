@@ -140,12 +140,18 @@ def scalar_gauss_seidel_step(
     convection_coefficient: float,
     time_step_sec: float,
     present: Optional[np.ndarray] = None,
+    materials64: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, float]:
     """One in-place Gauss-Seidel sweep in float64 (simulator.py:278-316).
 
     Args:
       present: bool (H, W); False marks outside-air CVs excluded from
         neighbor lists. Defaults to all-present (legacy rectangular building).
+      materials64: optional (conductivity, heat_capacity, density) float64
+        grids. The geometry stores float32 for the device path; the
+        reference's scalar sweep reads float64 arrays, and constants like
+        0.05 W/m/K differ at the 1e-9 level between the two - pass the
+        originals for bitwise parity.
 
     Returns (updated_estimates, max_delta). `temp_estimates` is not mutated.
     """
@@ -153,9 +159,12 @@ def scalar_gauss_seidel_step(
     x = np.array(temp_estimates, dtype=np.float64)
     t_minus = _np(temp_minus).astype(np.float64)
     q = _np(input_q).astype(np.float64)
-    rho = _np(geom.density).astype(np.float64)
-    cp = _np(geom.heat_capacity).astype(np.float64)
-    k = _np(geom.conductivity).astype(np.float64)
+    if materials64 is not None:
+        k, cp, rho = (np.asarray(m, np.float64) for m in materials64)
+    else:
+        rho = _np(geom.density).astype(np.float64)
+        cp = _np(geom.heat_capacity).astype(np.float64)
+        k = _np(geom.conductivity).astype(np.float64)
     dx = geom.cv_size_m
     dt = float(time_step_sec)
     z = geom.floor_height_m
@@ -225,6 +234,7 @@ def scalar_finite_differences_timestep(
     convergence_threshold: float,
     iteration_limit: int,
     present: Optional[np.ndarray] = None,
+    materials64: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, bool, int]:
     """Convergence loop over the scalar sweep (simulator.py:318-371)."""
     estimate = np.array(temp, copy=True, dtype=np.float64)
@@ -240,6 +250,7 @@ def scalar_finite_differences_timestep(
             convection_coefficient,
             time_step_sec,
             present=present,
+            materials64=materials64,
         )
         n += 1
         if max_delta <= convergence_threshold:

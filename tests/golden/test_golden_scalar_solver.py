@@ -1,0 +1,178 @@
+"""Golden parity for the legacy scalar Gauss-Seidel solver path
+(SimulatorFlexibleGeometries without TF, simulator.py:98-371)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.exact_host import ExactHostSimulator
+from sbsim_tpu.physics import reference_impl
+
+START = pd.Timestamp("2023-07-06 07:00:00")
+
+
+def small_plan():
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    return plan
+
+
+def build_reference_scalar():
+    import pytz
+    from smart_buildings.smart_control.simulator import air_handler as ref_ahu
+    from smart_buildings.smart_control.simulator import boiler as ref_boiler
+    from smart_buildings.smart_control.simulator import building as ref_building
+    from smart_buildings.smart_control.simulator import (
+        hvac_floorplan_based as ref_hvac,
+    )
+    from smart_buildings.smart_control.simulator import (
+        setpoint_schedule as ref_schedule,
+    )
+    from smart_buildings.smart_control.simulator import (
+        simulator_flexible_floor_plan as ref_flexible,
+    )
+    from smart_buildings.smart_control.simulator import (
+        weather_controller as ref_weather,
+    )
+
+    mp = ref_building.MaterialProperties
+    bldg = ref_building.FloorPlanBasedBuilding(
+        cv_size_cm=20.0,
+        floor_height_cm=250.0,
+        initial_temp=294.0,
+        inside_air_properties=mp(50.0, 700.0, 1.0),
+        inside_wall_properties=mp(2.0, 500.0, 1800.0),
+        building_exterior_properties=mp(0.05, 700.0, 1.0),
+        floor_plan=small_plan(),
+        zone_map=small_plan().copy(),
+        buffer_from_walls=0,
+        convection_simulator=None,
+    )
+    weather = ref_weather.WeatherController(
+        default_low_temp=278.0,
+        default_high_temp=288.0,
+        convection_coefficient=12.0,
+    )
+    schedule = ref_schedule.SetpointSchedule(
+        morning_start_hour=6,
+        evening_start_hour=19,
+        comfort_temp_window=(294.0, 297.0),
+        eco_temp_window=(289.0, 298.0),
+        time_zone=pytz.timezone("US/Pacific"),
+    )
+    ahu = ref_ahu.AirHandler(
+        recirculation=0.3,
+        heating_air_temp_setpoint=285.0,
+        cooling_air_temp_setpoint=298.0,
+        fan_differential_pressure=10000.0,
+        fan_efficiency=0.9,
+        max_air_flow_rate=8.67,
+        device_id="air_handler",
+        sim_weather_controller=weather,
+    )
+    boiler = ref_boiler.Boiler(
+        reheat_water_setpoint=360.0,
+        water_pump_differential_head=6.0,
+        water_pump_efficiency=0.98,
+        device_id="boiler",
+        heating_rate=0.5,
+        cooling_rate=0.1,
+    )
+    hvac = ref_hvac.FloorPlanBasedHvac(
+        air_handler=ahu,
+        boiler=boiler,
+        schedule=schedule,
+        vav_max_air_flow_rate=0.035,
+        vav_reheat_max_water_flow_rate=0.03,
+    )
+    return ref_flexible.SimulatorFlexibleGeometries(
+        building=bldg,
+        hvac=hvac,
+        weather_controller=weather,
+        time_step_sec=300.0,
+        convergence_threshold=0.1,
+        iteration_limit=100,
+        iteration_warning=30,
+        start_timestamp=START,
+    )
+
+
+def test_scalar_sweep_bitwise():
+    """One Gauss-Seidel sweep matches the reference scalar update bitwise."""
+    import dataclasses
+
+    cfg = presets.two_zone_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        weather=dataclasses.replace(
+            cfg.weather, low_temp=278.0, high_temp=288.0,
+            convection_coefficient=12.0,
+        ),
+    )
+    env = BuildingEnv(cfg)
+    ref = build_reference_scalar()
+    rng = np.random.default_rng(2)
+    temp = 294.0 + rng.normal(0, 2.0, env.geom.shape)
+    q = np.zeros(env.geom.shape)
+    diff = np.asarray(env.geom.diffusers)
+    q[diff > 0] = 400.0
+
+    ref._building.temp = temp.copy()
+    ref._building.input_q = q.copy()
+    ref_new, ref_delta = ref.update_temperature_estimates(
+        temp.copy(), 281.0, 12.0
+    )
+    present = small_plan() != 2.0
+    materials64 = (
+        np.asarray(ref._building.conductivity, np.float64),
+        np.asarray(ref._building.heat_capacity, np.float64),
+        np.asarray(ref._building.density, np.float64),
+    )
+    ours, delta = reference_impl.scalar_gauss_seidel_step(
+        env.geom, temp, temp, q, 281.0, 12.0, 300.0,
+        present=present, materials64=materials64,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_new), ours)
+    assert delta == pytest.approx(ref_delta)
+
+
+def test_scalar_solver_trajectory_bitwise():
+    """Multi-step host-mode trajectories with the gauss_seidel solver match
+    the reference SimulatorFlexibleGeometries bitwise."""
+    import dataclasses
+
+    cfg = presets.two_zone_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        weather=dataclasses.replace(
+            cfg.weather, low_temp=278.0, high_temp=288.0,
+            convection_coefficient=12.0,
+        ),
+        schedule=dataclasses.replace(cfg.schedule, time_zone="UTC"),
+        occupancy=dataclasses.replace(cfg.occupancy, time_zone="UTC"),
+    )
+    env = BuildingEnv(cfg)
+    host = ExactHostSimulator(
+        env, naive_timestamps=True, solver="gauss_seidel"
+    )
+    ref = build_reference_scalar()
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+    for i in range(6):
+        ts = ref.current_timestamp
+        ref.setup_step_sim()
+        ref._hvac.boiler.set_action("supply_water_setpoint", 340.0, ts)
+        ref._hvac.air_handler.set_action(
+            "supply_air_heating_temperature_setpoint", 285.0, ts
+        )
+        ref.execute_step_sim()
+        host.step(setpoints)
+        np.testing.assert_array_equal(
+            np.asarray(ref._building.temp), host.temp, err_msg=f"step {i}"
+        )
