@@ -74,17 +74,26 @@ class SACTrainer:
     def _maybe_reset(
         self, env_states: EnvState, obs: jnp.ndarray, done: jnp.ndarray, key
     ) -> Tuple[EnvState, jnp.ndarray]:
-        """Resets envs that finished their episode (masked select)."""
-        keys = jax.random.split(key, self.config.n_envs)
-        fresh_states, fresh_obs = self._reset_v(keys)
+        """Resets envs that finished their episode (masked select). The
+        reset computation only runs when some env actually finished
+        (episodes are thousands of steps, so this is the rare branch)."""
 
-        def select(new, old):
-            mask = done.reshape(done.shape + (1,) * (new.ndim - 1))
-            return jnp.where(mask, new, old)
+        def do_reset(operands):
+            env_states, obs = operands
+            keys = jax.random.split(key, self.config.n_envs)
+            fresh_states, fresh_obs = self._reset_v(keys)
 
-        states = jax.tree.map(select, fresh_states, env_states)
-        new_obs = jnp.where(done[:, None], fresh_obs, obs)
-        return states, new_obs
+            def select(new, old):
+                mask = done.reshape(done.shape + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            states = jax.tree.map(select, fresh_states, env_states)
+            return states, jnp.where(done[:, None], fresh_obs, obs)
+
+        return jax.lax.cond(
+            jnp.any(done), do_reset, lambda operands: operands,
+            (env_states, obs),
+        )
 
     def collect_step(
         self, state: TrainState, action_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
