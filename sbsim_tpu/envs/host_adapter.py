@@ -40,7 +40,10 @@ def _ts(pandas_ts: pd.Timestamp):
     return out
 
 
-class SimulatedBuilding:
+from sbsim_tpu.interfaces import BaseBuilding
+
+
+class SimulatedBuilding(BaseBuilding):
     """Single-env, host-driven facade over BuildingEnv."""
 
     def __init__(self, env: BuildingEnv, seed: int = 0):

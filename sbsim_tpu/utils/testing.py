@@ -109,6 +109,121 @@ def reward_info(
     return out
 
 
+class SimpleBuilding:
+    """In-memory BaseBuilding-protocol fake with scripted observations
+    (the environment_test_utils.SimpleBuilding analogue, :30-195)."""
+
+    def __init__(
+        self,
+        observation_script: Mapping[Tuple[str, str], Sequence[float]],
+        action_fields: Mapping[str, Sequence[str]] = (),
+        time_step_sec: float = 300.0,
+        start_timestamp: Optional[pd.Timestamp] = None,
+    ):
+        """Args:
+        observation_script: (device, measurement) -> per-step values
+          (cycled).
+        action_fields: device -> accepted setpoint names.
+        """
+        self._script = {k: list(v) for k, v in observation_script.items()}
+        self._action_fields = {k: set(v) for k, v in dict(action_fields).items()}
+        self._time_step_sec = time_step_sec
+        self._start = start_timestamp or pd.Timestamp(
+            "2023-07-06 07:00:00+00:00"
+        )
+        self._step = 0
+        self.received_actions = []
+
+    @property
+    def devices(self):
+        out = []
+        device_fields: Dict[str, list] = {}
+        for device, measurement in self._script:
+            device_fields.setdefault(device, []).append(measurement)
+        for device, fields in device_fields.items():
+            out.append(
+                device_info(
+                    device,
+                    observable_fields=fields,
+                    action_fields=sorted(
+                        self._action_fields.get(device, ())
+                    ),
+                )
+            )
+        return out
+
+    @property
+    def zones(self):
+        return []
+
+    @property
+    def time_step_sec(self):
+        return self._time_step_sec
+
+    @property
+    def current_timestamp(self) -> pd.Timestamp:
+        return self._start + self._step * pd.Timedelta(
+            self._time_step_sec, unit="s"
+        )
+
+    def reset(self):
+        self._step = 0
+        self.received_actions = []
+
+    def request_observations(self, observation_request):
+        response = building_pb2.ObservationResponse()
+        response.request.CopyFrom(observation_request)
+        response.timestamp.CopyFrom(
+            conversions.pandas_to_proto_timestamp(self.current_timestamp)
+        )
+        for sreq in observation_request.single_observation_requests:
+            key = (sreq.device_id, sreq.measurement_name)
+            single = response.single_observation_responses.add()
+            single.single_observation_request.CopyFrom(sreq)
+            if key in self._script:
+                values = self._script[key]
+                single.continuous_value = values[self._step % len(values)]
+                single.observation_valid = True
+            else:
+                single.observation_valid = False
+        return response
+
+    def request_action(self, action_request):
+        response = building_pb2.ActionResponse()
+        response.request.CopyFrom(action_request)
+        for sreq in action_request.single_action_requests:
+            single = response.single_action_responses.add()
+            single.request.CopyFrom(sreq)
+            allowed = self._action_fields.get(sreq.device_id, set())
+            if sreq.setpoint_name in allowed:
+                single.response_type = (
+                    building_pb2.SingleActionResponse.ACCEPTED
+                )
+                self.received_actions.append(
+                    (sreq.device_id, sreq.setpoint_name,
+                     sreq.continuous_value)
+                )
+            else:
+                single.response_type = (
+                    building_pb2.SingleActionResponse.REJECTED_INVALID_DEVICE
+                )
+        return response
+
+    def wait_time(self):
+        self._step += 1
+
+    @property
+    def reward_info(self):
+        return reward_info({})
+
+    def is_comfort_mode(self, current_time):
+        return True
+
+    @property
+    def num_occupants(self) -> int:
+        return 0
+
+
 class FakeReader:
     """In-memory reader with the RecordReader surface (test_utils.py:485)."""
 

@@ -1,0 +1,101 @@
+"""Interface contracts: ABCs, normalizers, SimpleBuilding fake."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu import interfaces
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.host_adapter import SimulatedBuilding
+from sbsim_tpu.proto import building_pb2
+from sbsim_tpu.utils import testing
+
+
+def test_simulated_building_implements_base_building():
+    env = BuildingEnv(presets.two_zone_test_config())
+    building = SimulatedBuilding(env)
+    assert isinstance(building, interfaces.BaseBuilding)
+
+
+class TestBoundedActionNormalizer:
+    def test_round_trip(self):
+        n = interfaces.BoundedActionNormalizer(310.0, 355.0)
+        assert n.setpoint_value(-1.0) == pytest.approx(310.0)
+        assert n.setpoint_value(1.0) == pytest.approx(355.0)
+        assert n.agent_value(332.5) == pytest.approx(0.0)
+        assert n.setpoint_min == 310.0 and n.setpoint_max == 355.0
+
+
+class TestStandardScoreNormalizer:
+    def test_normalize_denormalize(self):
+        normalizer = interfaces.StandardScoreObservationNormalizer(
+            {"zone_air_temperature_sensor": (190.0, 400.0)}
+        )
+        response = testing.observation_response(
+            {
+                ("vav_1", "zone_air_temperature_sensor"): 290.0,
+                ("vav_1", "unknown_sensor"): 5.0,
+            }
+        )
+        normalized = normalizer.normalize(response)
+        values = {
+            r.single_observation_request.measurement_name: r.continuous_value
+            for r in normalized.single_observation_responses
+        }
+        assert values["zone_air_temperature_sensor"] == pytest.approx(5.0)
+        assert values["unknown_sensor"] == pytest.approx(5.0)  # passthrough
+        back = normalizer.denormalize(normalized)
+        assert back.single_observation_responses[
+            0
+        ].continuous_value == pytest.approx(290.0, abs=1e-4)
+
+    def test_zero_variance_collapses(self):
+        normalizer = interfaces.StandardScoreObservationNormalizer(
+            {"x": (7.0, 0.0)}
+        )
+        response = testing.observation_response({("d", "x"): 7.0})
+        out = normalizer.normalize(response)
+        assert out.single_observation_responses[0].continuous_value == 0.0
+
+
+class TestSimpleBuilding:
+    def test_scripted_observations_and_actions(self):
+        building = testing.SimpleBuilding(
+            observation_script={
+                ("device_a", "temp"): [290.0, 291.0],
+                ("device_b", "flow"): [1.0],
+            },
+            action_fields={"device_a": ["setpoint"]},
+        )
+        request = building_pb2.ObservationRequest()
+        request.single_observation_requests.add(
+            device_id="device_a", measurement_name="temp"
+        )
+        r0 = building.request_observations(request)
+        assert r0.single_observation_responses[0].continuous_value == 290.0
+        building.wait_time()
+        r1 = building.request_observations(request)
+        assert r1.single_observation_responses[0].continuous_value == 291.0
+
+        action = building_pb2.ActionRequest()
+        action.single_action_requests.add(
+            device_id="device_a", setpoint_name="setpoint",
+            continuous_value=5.0,
+        )
+        action.single_action_requests.add(
+            device_id="device_b", setpoint_name="nope", continuous_value=1.0
+        )
+        response = building.request_action(action)
+        assert (
+            response.single_action_responses[0].response_type
+            == building_pb2.SingleActionResponse.ACCEPTED
+        )
+        assert (
+            response.single_action_responses[1].response_type
+            == building_pb2.SingleActionResponse.REJECTED_INVALID_DEVICE
+        )
+        assert building.received_actions == [("device_a", "setpoint", 5.0)]
+        assert building.current_timestamp == pd.Timestamp(
+            "2023-07-06 07:05:00+00:00"
+        )
