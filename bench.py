@@ -104,12 +104,34 @@ def main():
 
         return jax.jit(rollout)
 
-    rollout = make_rollout(not args.no_pallas)
+    def pallas_is_sound() -> bool:
+        """One-step numeric check of the Pallas kernel vs the XLA solver."""
+        try:
+            small = jax.tree.map(lambda x: x[:8], states0)
+            acts = jnp.zeros((8, env.n_actions), jnp.float32)
+            sp, op = jax.jit(
+                lambda s, a: env.step_batched(s, a, use_pallas=True)
+            )(small, acts)
+            sx, ox = jax.jit(
+                lambda s, a: env.step_batched(s, a, use_pallas=False)
+            )(small, acts)
+            temp_ok = bool(
+                jnp.max(jnp.abs(sp.temp - sx.temp)) < 1e-2
+            )
+            reward_ok = bool(
+                jnp.max(jnp.abs(op.reward - ox.reward)) < 1e-4
+            )
+            return temp_ok and reward_ok
+        except Exception:
+            return False
+
+    use_pallas = not args.no_pallas and not on_cpu and pallas_is_sound()
+    rollout = make_rollout(use_pallas)
     try:
         states, _ = jax.block_until_ready(rollout(states0))  # compile
     except Exception:
-        # Pallas lowering failure must not take the benchmark down; fall
-        # back to the XLA while_loop solver.
+        # Lowering failure must not take the benchmark down; fall back to
+        # the XLA while_loop solver.
         rollout = make_rollout(False)
         states, _ = jax.block_until_ready(rollout(states0))
 
