@@ -20,3 +20,33 @@ Layer map (mirrors SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (kept lazy so `import sbsim_tpu` never
+    touches JAX backends)."""
+    if name == "BuildingEnv":
+        from sbsim_tpu.envs.building_env import BuildingEnv
+
+        return BuildingEnv
+    if name == "presets":
+        from sbsim_tpu.envs import presets
+
+        return presets
+    if name == "SACTrainer":
+        from sbsim_tpu.agents.train import SACTrainer
+
+        return SACTrainer
+    if name == "TrainConfig":
+        from sbsim_tpu.agents.train import TrainConfig
+
+        return TrainConfig
+    if name == "SimulatedBuilding":
+        from sbsim_tpu.envs.host_adapter import SimulatedBuilding
+
+        return SimulatedBuilding
+    if name == "interfaces":
+        from sbsim_tpu import interfaces
+
+        return interfaces
+    raise AttributeError(f"module 'sbsim_tpu' has no attribute {name!r}")
