@@ -1,0 +1,96 @@
+"""Golden parity for histogram reduction against the reference reducer."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.utils import reducers
+
+
+def frame():
+    rng = np.random.default_rng(4)
+    data = {}
+    for i in range(6):
+        data[(f"vav_{i}", "zone_air_temperature_sensor")] = rng.uniform(
+            284.0, 305.0, 3
+        )
+        data[(f"vav_{i}", "supply_air_damper_percentage_command")] = (
+            rng.uniform(0.0, 1.0, 3)
+        )
+    data[("ahu", "supply_air_flowrate_sensor")] = rng.uniform(0, 5, 3)
+    return pd.DataFrame(data)
+
+
+BINS = {
+    "zone_air_temperature_sensor": (285.0, 290.0, 295.0, 300.0, 303.0),
+    "supply_air_damper_percentage_command": (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+}
+
+
+def test_clipped_histogram_matches_reference():
+    from smart_buildings.smart_control.utils import (
+        histogram_reducer as ref_hr,
+    )
+
+    rng = np.random.default_rng(7)
+    values = rng.uniform(280.0, 310.0, 40)
+    for name, bins in BINS.items():
+        ref_counts = ref_hr.get_clipped_histogram(
+            measurements=values, bins=np.asarray(bins)
+        )
+        our_counts = reducers.clipped_histogram(values, bins)
+        np.testing.assert_array_equal(our_counts, ref_counts)
+
+
+def test_reduce_counts_match_reference():
+    from smart_buildings.smart_control.utils import (
+        histogram_reducer as ref_hr,
+    )
+
+    df = frame()
+    ours = reducers.HistogramReducer(BINS).reduce(df).reduced_sequence
+
+    for measurement, bins in BINS.items():
+        cols = [c for c in df.columns if c[1] == measurement]
+        for idx in range(len(df)):
+            ref_counts = ref_hr.get_clipped_histogram(
+                measurements=df[cols].iloc[idx].values,
+                bins=np.asarray(bins),
+            )
+            our_counts = np.asarray(
+                [
+                    ours[(measurement, "h_%.2f" % e)].iloc[idx]
+                    for e in bins
+                ]
+            )
+            np.testing.assert_array_equal(our_counts, ref_counts)
+
+    # Passthrough column preserved.
+    pd.testing.assert_series_equal(
+        ours[("ahu", "supply_air_flowrate_sensor")],
+        df[("ahu", "supply_air_flowrate_sensor")],
+    )
+
+
+def test_device_bin_assignment_matches_reference():
+    from smart_buildings.smart_control.utils import (
+        histogram_reducer as ref_hr,
+    )
+    from sbsim_tpu.utils import testing
+
+    bins = np.asarray(BINS["zone_air_temperature_sensor"])
+    values = {
+        "vav_a": 284.0, "vav_b": 291.0, "vav_c": 303.0, "vav_d": 299.9,
+    }
+    response = testing.observation_response(
+        {
+            (device, "zone_air_temperature_sensor"): value
+            for device, value in values.items()
+        }
+    )
+    ref_assignment = ref_hr.assign_devices_to_bins(
+        "zone_air_temperature_sensor", bins, response
+    )
+    ours = reducers.assign_devices_to_bins(values, bins)
+    for bin_idx, devices in enumerate(ref_assignment):
+        assert sorted(ours.get(bin_idx, [])) == sorted(devices)

@@ -1,0 +1,166 @@
+"""Golden parity for the 3C regret reward and energy-cost models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs import reward as reward_lib
+from sbsim_tpu.envs.config import RegretRewardConfig
+from sbsim_tpu.utils import testing
+
+
+def build_reference_reward():
+    from smart_buildings.smart_control.reward import (
+        electricity_energy_cost as ref_elec,
+    )
+    from smart_buildings.smart_control.reward import (
+        natural_gas_energy_cost as ref_gas,
+    )
+    from smart_buildings.smart_control.reward import (
+        setpoint_energy_carbon_regret as ref_regret,
+    )
+
+    return ref_regret.SetpointEnergyCarbonRegretFunction(
+        max_productivity_personhour_usd=300.0,
+        min_productivity_personhour_usd=100.0,
+        max_electricity_rate=160000.0,
+        max_natural_gas_rate=400000.0,
+        productivity_midpoint_delta=0.5,
+        productivity_decay_stiffness=4.3,
+        electricity_energy_cost=ref_elec.ElectricityEnergyCost(),
+        natural_gas_energy_cost=ref_gas.NaturalGasEnergyCost(),
+        productivity_weight=0.2,
+        energy_cost_weight=0.4,
+        carbon_emission_weight=0.4,
+    )
+
+
+def compute_ours(info, config=RegretRewardConfig()):
+    """Runs our vectorized regret on the same RewardInfo contents."""
+    from sbsim_tpu.utils import conversions
+
+    start = conversions.proto_to_pandas_timestamp(info.start_timestamp)
+    end = conversions.proto_to_pandas_timestamp(info.end_timestamp)
+    dt = (end - start).total_seconds()
+    zones = sorted(info.zone_reward_infos)
+    zinfos = [info.zone_reward_infos[z] for z in zones]
+
+    workday = conversions.is_work_day(start)
+    prices = (
+        config.weekday_electricity_prices
+        if workday
+        else config.weekend_electricity_prices
+    )
+    elec_price = prices[start.hour] / 100.0 / 1000.0 / 3600.0
+    elec_carbon = (
+        config.carbon_emission_rates[start.hour] / 1.0e6 / 3600.0
+    )
+    from sbsim_tpu import constants
+
+    gas_price = (
+        config.gas_prices_by_month[start.month - 1]
+        / constants.KWH_PER_KFT3_GAS
+        / constants.JOULES_PER_KWH
+    )
+
+    elec_rate = sum(
+        i.blower_electrical_energy_rate
+        + abs(i.air_conditioning_electrical_energy_rate)
+        for i in info.air_handler_reward_infos.values()
+    ) + sum(
+        i.pump_electrical_energy_rate
+        for i in info.boiler_reward_infos.values()
+    )
+    gas_rate = sum(
+        i.natural_gas_heating_energy_rate
+        for i in info.boiler_reward_infos.values()
+    )
+
+    return reward_lib.compute_regret_reward(
+        heating_setpoint=jnp.asarray(
+            [z.heating_setpoint_temperature for z in zinfos], jnp.float32
+        ),
+        cooling_setpoint=jnp.asarray(
+            [z.cooling_setpoint_temperature for z in zinfos], jnp.float32
+        ),
+        zone_temps=jnp.asarray(
+            [z.zone_air_temperature for z in zinfos], jnp.float32
+        ),
+        zone_occupancy=jnp.asarray(
+            [z.average_occupancy for z in zinfos], jnp.float32
+        ),
+        electricity_energy_rate=jnp.float32(elec_rate),
+        natural_gas_energy_rate=jnp.float32(gas_rate),
+        elec_price=jnp.float32(elec_price),
+        elec_carbon=jnp.float32(elec_carbon),
+        gas_price=jnp.float32(gas_price),
+        dt_sec=jnp.float32(dt),
+        params=reward_lib.make_reward_params(config),
+    )
+
+
+CASES = [
+    # (zone temps, occupancy, blower, ac, gas, pump)
+    dict(zone_temps={"z1": 295.0, "z2": 296.0}, occupancy=1.0,
+         blower_rate=5000.0, ac_rate=-2000.0, gas_rate=30000.0,
+         pump_rate=100.0),
+    dict(zone_temps={"z1": 291.0}, occupancy=2.0, blower_rate=0.0,
+         ac_rate=0.0, gas_rate=0.0, pump_rate=0.0),
+    dict(zone_temps={"z1": 301.5, "z2": 290.0, "z3": 294.5}, occupancy=0.0,
+         blower_rate=90000.0, ac_rate=150000.0, gas_rate=500000.0,
+         pump_rate=2000.0),
+    dict(zone_temps={"z1": 288.0}, occupancy=3.0, blower_rate=1000.0,
+         ac_rate=500.0, gas_rate=-5.0, pump_rate=10.0),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize(
+    "start",
+    [
+        pd.Timestamp("2023-07-06 15:00:00+00:00"),  # weekday, peak TOU
+        pd.Timestamp("2023-07-08 03:00:00+00:00"),  # weekend
+    ],
+)
+def test_regret_reward_matches_reference(case, start):
+    ref_fn = build_reference_reward()
+    info = testing.reward_info(
+        case["zone_temps"],
+        heating_setpoint=294.0,
+        cooling_setpoint=297.0,
+        occupancy=case["occupancy"],
+        blower_rate=case["blower_rate"],
+        ac_rate=case["ac_rate"],
+        gas_rate=case["gas_rate"],
+        pump_rate=case["pump_rate"],
+        start=start,
+    )
+    ref_response = ref_fn.compute_reward(info)
+    ours = compute_ours(info)
+
+    assert float(ours.agent_reward_value) == pytest.approx(
+        ref_response.agent_reward_value, rel=1e-5, abs=1e-6
+    )
+    assert float(ours.productivity_reward) == pytest.approx(
+        ref_response.productivity_reward, rel=1e-5, abs=1e-4
+    )
+    assert float(ours.electricity_energy_cost) == pytest.approx(
+        ref_response.electricity_energy_cost, rel=1e-5, abs=1e-6
+    )
+    assert float(ours.natural_gas_energy_cost) == pytest.approx(
+        ref_response.natural_gas_energy_cost, rel=1e-5, abs=1e-6
+    )
+    assert float(ours.carbon_emitted) == pytest.approx(
+        ref_response.carbon_emitted, rel=1e-5, abs=1e-6
+    )
+    assert float(ours.normalized_productivity_regret) == pytest.approx(
+        ref_response.normalized_productivity_regret, rel=1e-5, abs=1e-6
+    )
+    assert float(ours.normalized_energy_cost) == pytest.approx(
+        ref_response.normalized_energy_cost, rel=1e-5, abs=1e-6
+    )
+    assert float(ours.normalized_carbon_emission) == pytest.approx(
+        ref_response.normalized_carbon_emission, rel=1e-5, abs=1e-6
+    )
