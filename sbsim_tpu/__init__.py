@@ -46,7 +46,7 @@ def __getattr__(name):
 
         return SimulatedBuilding
     if name == "interfaces":
-        from sbsim_tpu import interfaces
+        import importlib
 
-        return interfaces
+        return importlib.import_module("sbsim_tpu.interfaces")
     raise AttributeError(f"module 'sbsim_tpu' has no attribute {name!r}")

@@ -173,17 +173,16 @@ class StandardScoreObservationNormalizer(BaseObservationNormalizer):
             name = single.single_observation_request.measurement_name
             mean, var = self._constants.get(name, (0.0, 1.0))
             value = single.continuous_value
-            if var > 0.0:
-                if forward:
-                    single.continuous_value = (value - mean) / float(
-                        np.sqrt(var)
-                    )
-                else:
-                    single.continuous_value = value * float(
-                        np.sqrt(var)
-                    ) + mean
-            elif forward:
-                single.continuous_value = 0.0
+            if forward:
+                # Zero-variance fields collapse to 0
+                # (observation_normalizer.py:86-91).
+                single.continuous_value = (
+                    (value - mean) / float(np.sqrt(var)) if var > 0.0 else 0.0
+                )
+            else:
+                # Denormalize has no variance guard: zero-variance fields
+                # recover their mean (observation_normalizer.py:93-99).
+                single.continuous_value = value * float(np.sqrt(var)) + mean
         return out
 
     def normalize(self, native):

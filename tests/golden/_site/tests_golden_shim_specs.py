@@ -1,0 +1,22 @@
+"""Minimal tf_agents.specs stand-in."""
+import types
+
+
+class ArraySpec:
+    def __init__(self, shape=(), dtype=float, name=None):
+        self.shape = shape
+        self.dtype = dtype
+        self.name = name
+
+
+class BoundedArraySpec(ArraySpec):
+    def __init__(self, shape=(), dtype=float, minimum=None, maximum=None,
+                 name=None):
+        super().__init__(shape, dtype, name)
+        self.minimum = minimum
+        self.maximum = maximum
+
+
+specs = types.SimpleNamespace(
+    ArraySpec=ArraySpec, BoundedArraySpec=BoundedArraySpec
+)

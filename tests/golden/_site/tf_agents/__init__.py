@@ -1,0 +1,3 @@
+# tf_agents shim: only `specs.ArraySpec/BoundedArraySpec` are referenced by
+# the reference's normalizer interfaces.
+from tests_golden_shim_specs import specs  # noqa: F401

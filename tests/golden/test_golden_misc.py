@@ -1,0 +1,135 @@
+"""Golden parity: observation normalizer, replay weather, step occupancy."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu import interfaces
+from sbsim_tpu.utils import testing
+
+SB1_WEATHER = (
+    "/root/reference/smart_control/configs/resources/sb1/"
+    "local_weather_moffett_field_20230701_20231122.csv"
+)
+
+
+def test_observation_normalizer_matches_reference():
+    from smart_buildings.smart_control.proto import (
+        smart_control_normalization_pb2 as norm_pb2,
+    )
+    from smart_buildings.smart_control.utils import (
+        observation_normalizer as ref_norm,
+    )
+
+    constants = {
+        "zone_air_temperature_sensor": norm_pb2.ContinuousVariableInfo(
+            id="t", sample_mean=190.0, sample_variance=408.113303
+        ),
+        "supply_water_setpoint": norm_pb2.ContinuousVariableInfo(
+            id="s", sample_mean=320.26, sample_variance=240.19
+        ),
+        "zero_var": norm_pb2.ContinuousVariableInfo(
+            id="z", sample_mean=5.0, sample_variance=0.0
+        ),
+    }
+    reference = ref_norm.StandardScoreObservationNormalizer(constants)
+    ours = interfaces.StandardScoreObservationNormalizer(
+        {
+            "zone_air_temperature_sensor": (190.0, 408.113303),
+            "supply_water_setpoint": (320.26, 240.19),
+            "zero_var": (5.0, 0.0),
+        }
+    )
+    response = testing.observation_response(
+        {
+            ("vav_1", "zone_air_temperature_sensor"): 294.2,
+            ("boiler", "supply_water_setpoint"): 340.0,
+            ("d", "zero_var"): 123.0,
+            ("d", "unknown_field"): 7.5,
+        }
+    )
+    ref_out = reference.normalize(response)
+    our_out = ours.normalize(response)
+    for a, b in zip(
+        ref_out.single_observation_responses,
+        our_out.single_observation_responses,
+    ):
+        assert a.continuous_value == pytest.approx(
+            b.continuous_value, rel=1e-6
+        )
+    # Denormalize round-trips identically too.
+    ref_back = reference.denormalize(ref_out)
+    our_back = ours.denormalize(our_out)
+    for a, b in zip(
+        ref_back.single_observation_responses,
+        our_back.single_observation_responses,
+    ):
+        assert a.continuous_value == pytest.approx(
+            b.continuous_value, rel=1e-6
+        )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SB1_WEATHER), reason="weather CSV absent"
+)
+def test_replay_weather_matches_reference():
+    from smart_buildings.smart_control.simulator import (
+        weather_controller as ref_weather,
+    )
+
+    from sbsim_tpu.scenario import weather as our_weather
+
+    reference = ref_weather.ReplayWeatherController(SB1_WEATHER)
+    ours = our_weather.ReplayWeather(SB1_WEATHER)
+    stamps = [
+        pd.Timestamp("2023-07-06 07:00:00+00:00"),
+        pd.Timestamp("2023-08-15 13:37:00+00:00"),
+        pd.Timestamp("2023-10-01 00:05:00+00:00"),
+    ]
+    our_temps = ours.temperatures(stamps)
+    for ts, our_t in zip(stamps, our_temps):
+        assert reference.get_current_temp(ts) == pytest.approx(
+            our_t, rel=1e-9
+        )
+
+
+def test_step_function_occupancy_matches_reference():
+    import pytz
+    from smart_buildings.smart_control.simulator import (
+        step_function_occupancy as ref_occ,
+    )
+
+    from sbsim_tpu.envs.config import EnvConfig, OccupancyConfig
+    from sbsim_tpu.scenario import tables as tables_lib
+
+    reference = ref_occ.StepFunctionOccupancy(
+        pd.Timedelta(hours=9), pd.Timedelta(hours=17), 1.0, 0.1
+    )
+    cfg = EnvConfig(
+        start_timestamp="2023-07-06 07:00:00+00:00",
+        num_days_in_episode=2,
+        occupancy=OccupancyConfig(
+            kind="step_function",
+            work_occupancy=1.0,
+            nonwork_occupancy=0.1,
+            work_start_hour=9,
+            work_end_hour=17,
+            time_zone="UTC",
+        ),
+    )
+    t = tables_lib.build_episode_tables(cfg)
+    start = pd.Timestamp("2023-07-06 07:00:00+00:00")
+    dt = pd.Timedelta(300, unit="s")
+    for i in [0, 24, 30, 100, 120, 288, 300, 400]:
+        s = start + i * dt
+        # The reference expects tz-naive local times
+        # (step_function_occupancy.py:75-77).
+        naive = s.tz_localize(None)
+        expected = reference.average_zone_occupancy(
+            "zone", naive, naive + dt
+        )
+        assert float(t.step_occupancy[i]) == pytest.approx(
+            expected, abs=1e-6
+        ), f"step {i} ({s})"
