@@ -256,12 +256,12 @@ def assemble_observation(
         )
 
     pieces = [scalars_n]
-    hist_emitted = [False, False, False]
-    per_device: List[List[jnp.ndarray]] = []
-    # Histogram features are emitted once (at the first VAV in device order);
-    # passthrough VAV features are emitted per device in device order.
+    per_device: List[jnp.ndarray] = []
+    # Histogram blocks come first (measurement order), then any passthrough
+    # VAV features per device in sorted-device order - matching the field
+    # order built by build_obs_layout.
     for i, m in enumerate(VAV_MEASUREMENTS):
-        if layout.use_histogram[i] and not hist_emitted[i]:
+        if layout.use_histogram[i]:
             n_edges = int(np.asarray(layout.hist_n_bins)[i])
             counts = _clipped_histogram(
                 vav_normed[i], layout.hist_bins[i], n_edges
@@ -269,8 +269,7 @@ def assemble_observation(
             if layout.normalize_histogram:
                 counts = counts / jnp.sum(counts)
             pieces.append(counts)
-            hist_emitted[i] = True
-        elif not layout.use_histogram[i]:
+        else:
             per_device.append(vav_normed[i])
     if per_device:
         # Interleave measurements per device, devices in sorted-id order.
