@@ -36,6 +36,14 @@ class SACConfig:
     tau: float = 0.005
     reward_scale: float = 1.0
     init_alpha: float = 1.0
+    # Optional global-norm gradient clipping (the reference exposes
+    # gradient_clipping on SacAgent; None disables).
+    gradient_clipping: float | None = None
+    # Floor on the temperature to keep exploration alive on long runs
+    # (alpha collapse observed on small envs); 0 disables.
+    min_alpha: float = 0.0
+    # Target entropy; None -> -|A| (the SAC default / reference behavior).
+    target_entropy: float | None = None
 
 
 @struct.dataclass
@@ -66,10 +74,22 @@ class SACLearner:
             action_hidden=config.critic_action_hidden,
             joint_hidden=config.critic_joint_hidden,
         )
-        self.actor_tx = optax.adam(config.actor_lr)
-        self.critic_tx = optax.adam(config.critic_lr)
+        def tx(lr):
+            if config.gradient_clipping is not None:
+                return optax.chain(
+                    optax.clip_by_global_norm(config.gradient_clipping),
+                    optax.adam(lr),
+                )
+            return optax.adam(lr)
+
+        self.actor_tx = tx(config.actor_lr)
+        self.critic_tx = tx(config.critic_lr)
         self.alpha_tx = optax.adam(config.alpha_lr)
-        self.target_entropy = -float(action_dim)
+        self.target_entropy = (
+            config.target_entropy
+            if config.target_entropy is not None
+            else -float(action_dim)
+        )
 
     def init(self, key: jax.Array) -> SACState:
         k_actor, k_critic = jax.random.split(key)
@@ -173,6 +193,10 @@ class SACLearner:
             alpha_grad, state.alpha_opt, state.log_alpha
         )
         log_alpha = optax.apply_updates(state.log_alpha, alpha_updates)
+        if cfg.min_alpha > 0.0:
+            log_alpha = jnp.maximum(
+                log_alpha, jnp.log(jnp.float32(cfg.min_alpha))
+            )
 
         # --- Target network Polyak update ---------------------------------
         target_critic_params = jax.tree.map(
