@@ -50,6 +50,7 @@ class EnvState:
     hvac: HvacState
     occupants: Any  # bool (Z, N)
     step_idx: Any  # i32: completed steps; sim time = start + step_idx * dt
+    window: Any  # i32: episode-window index (0 unless episode_windows > 1)
     rng: Any  # PRNG key
     fdm_converged: Any  # bool, last step
     fdm_iterations: Any  # i32, last step
@@ -211,7 +212,15 @@ class BuildingEnv:
         occupants = occupancy_lib.initial_occupants(
             self.occupancy_params, geom.n_zones
         )
-        key, obs_key = jax.random.split(key)
+        key, obs_key, window_key = jax.random.split(key, 3)
+        if self.config.episode_windows > 1:
+            window = jax.random.randint(
+                window_key, (), 0, self.config.episode_windows
+            )
+            tables = tables_lib.tables_for_window(self.tables, window)
+        else:
+            window = jnp.int32(0)
+            tables = self.tables
         # Reset observation: boiler ramp initializes its action timestamp
         # with zero elapsed time (boiler.py:163-168).
         hvac = hvac_ops.boiler_observe_supply_temp(
@@ -220,8 +229,8 @@ class BuildingEnv:
         occupants = self._occupancy_peek_randomized(
             occupants,
             obs_key,
-            self.tables.reset_local_hour,
-            self.tables.reset_workday,
+            tables.reset_local_hour,
+            tables.reset_workday,
         )
         state = EnvState(
             temp=geom.reset_temps,
@@ -229,12 +238,19 @@ class BuildingEnv:
             hvac=hvac,
             occupants=occupants,
             step_idx=jnp.int32(0),
+            window=window,
             rng=key,
             fdm_converged=jnp.asarray(True),
             fdm_iterations=jnp.int32(0),
         )
         obs = self._observation(state, t_obs=jnp.int32(0))
         return state, obs
+
+    def _state_tables(self, state: "EnvState"):
+        """Per-window table view (identity when episode_windows == 1)."""
+        if self.config.episode_windows > 1:
+            return tables_lib.tables_for_window(self.tables, state.window)
+        return self.tables
 
     def _zone_means_fast(self, temp: jnp.ndarray) -> jnp.ndarray:
         """Zone averages as one (Z, HW) x (HW,) matmul (MXU-friendly)."""
@@ -254,13 +270,13 @@ class BuildingEnv:
         )
 
     def _zone_occupancy_at(
-        self, occupants: jnp.ndarray, t: jnp.ndarray
+        self, occupants: jnp.ndarray, t: jnp.ndarray, tables
     ) -> jnp.ndarray:
         """Per-zone occupancy for the reward interval starting at step t."""
         if self.occupancy_params.kind == "randomized":
             return occupancy_lib.zone_occupancy(occupants)
         return jnp.full(
-            (self.geom.n_zones,), self.tables.step_occupancy[t], jnp.float32
+            (self.geom.n_zones,), tables.step_occupancy[t], jnp.float32
         )
 
     def step(
@@ -339,7 +355,7 @@ class BuildingEnv:
         cfg = self.config
         geom = self.geom
         params = self.hvac_params
-        tables = self.tables
+        tables = self._state_tables(state)
         t = state.step_idx
 
         rng, conv_key, obs_key, reward_key = jax.random.split(state.rng, 4)
@@ -459,7 +475,7 @@ class BuildingEnv:
     ) -> Tuple[EnvState, StepOutput]:
         """Observation + reward at t+1, after the physics solve."""
         cfg = self.config
-        tables = self.tables
+        tables = self._state_tables(state)
         params = self.hvac_params
         t = state.step_idx
         t_next = t + 1
@@ -483,6 +499,7 @@ class BuildingEnv:
             hvac=hvac,
             occupants=occupants,
             step_idx=t_next,
+            window=state.window,
             rng=pre["rng"],
             fdm_converged=converged,
             fdm_iterations=n_iter,
@@ -498,7 +515,7 @@ class BuildingEnv:
             tables.local_hour[t_next],
             tables.workday_local[t_next],
         )
-        zone_occ = self._zone_occupancy_at(occupants, t_next)
+        zone_occ = self._zone_occupancy_at(occupants, t_next, tables)
         post_zone_temps = self._zone_means_fast(new_temp)
         breakdown = self._reward(
             mid_state, post_zone_temps, zone_occ, t_next
@@ -526,7 +543,7 @@ class BuildingEnv:
         """3C regret from the post-step state (environment.py:1073-1097)."""
         cfg = self.config
         params = self.hvac_params
-        tables = self.tables
+        tables = self._state_tables(state)
         hvac = state.hvac
         dt = jnp.float32(cfg.time_step_sec)
 
@@ -564,7 +581,7 @@ class BuildingEnv:
         exposes (simulator_building.py:151-202).
         """
         params = self.hvac_params
-        tables = self.tables
+        tables = self._state_tables(state)
         hvac = state.hvac
 
         flow = hvac.ahu_air_flow_rate
@@ -606,7 +623,7 @@ class BuildingEnv:
 
     def _observation(self, state: EnvState, t_obs: jnp.ndarray) -> jnp.ndarray:
         """Flat normalized observation at table index t_obs."""
-        tables = self.tables
+        tables = self._state_tables(state)
         ahu_values, boiler_values, vav_values = self.device_values(
             state, t_obs
         )
@@ -619,9 +636,7 @@ class BuildingEnv:
             # Average over the trailing 5-minute window per zone
             # (simulator_building.py:305-315).
             probe = jnp.maximum(t_obs - 1, 0)
-            total_occ = (
-                self.tables.step_occupancy[probe] * self.geom.n_zones
-            )
+            total_occ = tables.step_occupancy[probe] * self.geom.n_zones
         # int() truncation then occupancy normalization
         # (simulator_building.py:315, environment.py:952-956).
         c = jnp.float32(self.config.occupancy_normalization_constant)

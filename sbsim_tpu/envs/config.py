@@ -209,6 +209,14 @@ class EnvConfig:
     num_dow_features: int = 1
     occupancy_normalization_constant: float = 0.0
 
+    # Episode-window randomization (beyond the reference, which always
+    # replays the same fixed window - simulator.py reset semantics): with
+    # episode_windows > 1, each reset samples one of N windows offset by
+    # window_stride_hours from start_timestamp, so training sees varied
+    # weather/calendar conditions.
+    episode_windows: int = 1
+    window_stride_hours: float = 24.0
+
     @property
     def steps_per_episode(self) -> int:
         return int(self.num_days_in_episode * 24 * 3600 / self.time_step_sec)

@@ -21,6 +21,7 @@ import math
 from typing import Any, List
 from zoneinfo import ZoneInfo
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -54,6 +55,11 @@ class EpisodeTables:
     reset_workday: Any  # bool scalar: workday 5 min before episode start
     n_steps: int = struct.field(pytree_node=False)  # episode length
     time_step_sec: float = struct.field(pytree_node=False)
+
+
+def tables_for_window(tables: EpisodeTables, window) -> EpisodeTables:
+    """Selects one window's tables from a (W, T)-stacked EpisodeTables."""
+    return jax.tree_util.tree_map(lambda a: a[window], tables)
 
 
 def _schedule_comfort(
@@ -100,7 +106,34 @@ def _step_function_occupancy(
 def build_episode_tables(
     config: EnvConfig, margin_steps: int = 16
 ) -> EpisodeTables:
-    """Precomputes every step-indexed scenario table for one episode window."""
+    """Precomputes step-indexed scenario tables.
+
+    With config.episode_windows > 1, every array leaf gains a leading
+    window axis (W, T) - one table set per start offset; use
+    `tables_for_window` to select a window's 1-D view on device.
+    """
+    if config.episode_windows > 1:
+        import dataclasses as _dc
+
+        window_tables = []
+        base = pd.Timestamp(config.start_timestamp)
+        for w in range(config.episode_windows):
+            offset = pd.Timedelta(
+                w * config.window_stride_hours, unit="h"
+            )
+            cfg_w = _dc.replace(
+                config,
+                start_timestamp=str(base + offset),
+                episode_windows=1,
+            )
+            window_tables.append(
+                build_episode_tables(cfg_w, margin_steps)
+            )
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *window_tables
+        )
+        return stacked
+
     start = pd.Timestamp(config.start_timestamp)
     if start.tz is None:
         start = start.tz_localize("UTC")
