@@ -7,11 +7,13 @@ computed for all rooms at once with a single segmented argsort - no Python
 loops over CVs.
 
 Divergence note: the reference applies a sequential swap list with a
-distance bound (squared distance <= `distance`); the device fast path applies
-a full in-room permutation when p > 0 (the p=1/distance=-1 special case,
-stochastic_convection_simulator.py:83-99, which the reference itself uses as
-its efficient path). The exact-match host harness reproduces the reference's
-Python `random` stream; sb1 trajectory parity runs use that path.
+distance bound (squared distance <= `distance`,
+stochastic_convection_simulator.py:101-145); the device fast path
+approximates that locality by permuting within room *tiles* whose size
+matches the swap radius (full-room permutation when distance == -1, the
+reference's own p=1 special case :83-99). The exact-match host harness
+(envs/exact_host.py) reproduces the reference's Python `random` stream
+bit-for-bit; trajectory-parity runs use that path.
 """
 
 from __future__ import annotations
@@ -38,18 +40,38 @@ class ConvectionBuckets:
 def make_convection_buckets(
     geom: BuildingGeometry, p: float, distance: int
 ) -> ConvectionBuckets:
+    """Groups room CVs into shuffle segments.
+
+    distance == -1 -> whole rooms; otherwise tiles of side ~= the swap
+    radius (the reference's bound is *squared* distance <= `distance`,
+    i.e. radius sqrt(distance)), so mixing stays as local as the
+    reference's swaps.
+    """
     zone_ids = np.asarray(geom.zone_ids)
     h, w = zone_ids.shape
     in_room = zone_ids < geom.n_zones
     flat = np.flatnonzero(in_room.ravel())
-    rooms = zone_ids.ravel()[flat]
-    order = np.argsort(rooms, kind="stable")
+    rooms = zone_ids.ravel()[flat].astype(np.int64)
+
+    if distance == -1:
+        segments = rooms
+    else:
+        radius = max(1, int(np.ceil(np.sqrt(max(distance, 1)))))
+        tile = 2 * radius + 1
+        rows, cols = np.divmod(flat, w)
+        tile_ids = (rows // tile) * ((w // tile) + 1) + (cols // tile)
+        # Combine room and tile so shuffling never crosses a wall.
+        segments = rooms * (tile_ids.max() + 1) + tile_ids
+
+    # Renumber segments densely in raster order.
+    _, segments = np.unique(segments, return_inverse=True)
+    order = np.argsort(segments, kind="stable")
     flat = flat[order]
-    rooms = rooms[order]
+    segments = segments[order]
     enabled = bool(p != 0 and distance != 0)
     return ConvectionBuckets(
         flat_indices=jnp.asarray(flat, jnp.int32),
-        segment_keys=jnp.asarray(rooms.astype(np.float32) * 2.0),
+        segment_keys=jnp.asarray(segments.astype(np.float32) * 2.0),
         enabled=enabled,
     )
 

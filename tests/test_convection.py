@@ -1,0 +1,82 @@
+"""Device convection: locality, conservation, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.core import geometry
+from sbsim_tpu.physics import convection
+
+AIR = geometry.MaterialProperties(50.0, 700.0, 1.0)
+WALL = geometry.MaterialProperties(2.0, 500.0, 1800.0)
+EXT = geometry.MaterialProperties(0.05, 700.0, 1.0)
+
+
+@pytest.fixture(scope="module")
+def geom():
+    plan = np.full((20, 24), 2.0)
+    plan[1:19, 1:23] = 1.0
+    plan[2:18, 2:11] = 0.0
+    plan[2:18, 12:22] = 0.0
+    return geometry.geometry_from_floor_plan(
+        plan, cv_size_cm=10.0, floor_height_cm=300.0, initial_temp=294.0,
+        inside_air=AIR, inside_wall=WALL, exterior_wall=EXT,
+        buffer_from_walls=0,
+    )
+
+
+def test_shuffle_conserves_room_multisets(geom):
+    buckets = convection.make_convection_buckets(geom, p=1.0, distance=-1)
+    rng = np.random.default_rng(0)
+    temp = jnp.asarray(rng.normal(294, 3, geom.shape), jnp.float32)
+    out = convection.apply_convection(temp, buckets, jax.random.PRNGKey(1))
+    zid = np.asarray(geom.zone_ids)
+    for z in range(geom.n_zones):
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(temp)[zid == z]),
+            np.sort(np.asarray(out)[zid == z]),
+        )
+    # Non-room CVs untouched.
+    outside = zid == geom.n_zones
+    np.testing.assert_array_equal(
+        np.asarray(temp)[outside], np.asarray(out)[outside]
+    )
+
+
+def test_distance_bound_keeps_mixing_local(geom):
+    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+    rng = np.random.default_rng(1)
+    temp_np = rng.normal(294, 3, geom.shape).astype(np.float32)
+    out = np.asarray(
+        convection.apply_convection(
+            jnp.asarray(temp_np), buckets, jax.random.PRNGKey(2)
+        )
+    )
+    # Every value moved at most ~tile-diagonal away from its origin.
+    radius = int(np.ceil(np.sqrt(5)))
+    tile = 2 * radius + 1
+    moved = np.argwhere(out != temp_np)
+    for i, j in moved:
+        src = np.argwhere(np.isclose(temp_np, out[i, j], atol=0))
+        dists = np.abs(src - np.array([i, j])).max(axis=1).min()
+        assert dists <= tile, f"value at {(i, j)} moved {dists} CVs"
+
+
+def test_disabled_convection_is_identity(geom):
+    buckets = convection.make_convection_buckets(geom, p=0.0, distance=5)
+    temp = jnp.asarray(np.random.default_rng(2).normal(294, 3, geom.shape),
+                       jnp.float32)
+    out = convection.apply_convection(temp, buckets, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(temp))
+
+
+def test_shuffle_deterministic_per_key(geom):
+    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+    temp = jnp.asarray(np.random.default_rng(3).normal(294, 3, geom.shape),
+                       jnp.float32)
+    a = convection.apply_convection(temp, buckets, jax.random.PRNGKey(4))
+    b = convection.apply_convection(temp, buckets, jax.random.PRNGKey(4))
+    c = convection.apply_convection(temp, buckets, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
