@@ -100,6 +100,15 @@ class BuildingEnv:
         self.config = config
         self.geom = geom if geom is not None else build_geometry(config)
         self.coeffs = fdm.stencil_coefficients(self.geom, config.time_step_sec)
+        if config.fdm_solver not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown fdm_solver: {config.fdm_solver}")
+        self._spectral_radius = (
+            fdm.estimate_spectral_radius(
+                self.coeffs, config.weather.convection_coefficient
+            )
+            if config.fdm_solver == "chebyshev"
+            else None
+        )
         self.hvac_params = make_hvac_params(
             self.geom.n_zones,
             vav_max_air_flow_rate=config.hvac.vav_max_air_flow_rate,
@@ -289,14 +298,8 @@ class BuildingEnv:
         phases with the FDM as a single batched (optionally Pallas) call.
         """
         pre, conv_key = self._step_pre(state, action)
-        new_temp, converged, n_iter = fdm.fdm_step(
-            state.temp,
-            state.input_q,
-            pre["ambient"],
-            pre["h_conv"],
-            self.coeffs,
-            convergence_threshold=self.config.convergence_threshold,
-            iteration_limit=self.config.iteration_limit,
+        new_temp, converged, n_iter = self._solve_fdm(
+            state.temp, state.input_q, pre["ambient"], pre["h_conv"]
         )
         new_temp = convection_lib.apply_convection(
             new_temp, self.convection, conv_key
@@ -330,14 +333,8 @@ class BuildingEnv:
             n_iter = jnp.repeat(iters, block)[:batch]
             converged = n_iter < self.config.iteration_limit
         else:
-            new_temp, converged, n_iter = fdm.fdm_step(
-                states.temp,
-                states.input_q,
-                pre["ambient"],
-                pre["h_conv"],
-                self.coeffs,
-                convergence_threshold=self.config.convergence_threshold,
-                iteration_limit=self.config.iteration_limit,
+            new_temp, converged, n_iter = self._solve_fdm(
+                states.temp, states.input_q, pre["ambient"], pre["h_conv"]
             )
         new_temp = jax.vmap(
             lambda temp, key: convection_lib.apply_convection(
@@ -346,6 +343,20 @@ class BuildingEnv:
         )(new_temp, conv_keys)
         return jax.vmap(self._step_post)(
             states, pre, new_temp, converged, n_iter
+        )
+
+    def _solve_fdm(self, temp, input_q, ambient, h_conv):
+        if self.config.fdm_solver == "chebyshev":
+            return fdm.fdm_step_chebyshev(
+                temp, input_q, ambient, h_conv, self.coeffs,
+                convergence_threshold=self.config.convergence_threshold,
+                iteration_limit=self.config.iteration_limit,
+                spectral_radius=self._spectral_radius,
+            )
+        return fdm.fdm_step(
+            temp, input_q, ambient, h_conv, self.coeffs,
+            convergence_threshold=self.config.convergence_threshold,
+            iteration_limit=self.config.iteration_limit,
         )
 
     def _step_pre(

@@ -176,6 +176,11 @@ class EnvConfig:
     time_step_sec: float = 300.0
     convergence_threshold: float = 0.1
     iteration_limit: int = 100
+    # "jacobi" reproduces the reference solver semantics exactly;
+    # "chebyshev" accelerates to the same fixed point (same residual
+    # criterion) in ~2x fewer iterations - solutions agree within the
+    # convergence threshold, iterate paths differ. Use for throughput.
+    fdm_solver: str = "jacobi"
     num_days_in_episode: int = 14
     discount_factor: float = 0.9
     time_zone: str = "US/Pacific"

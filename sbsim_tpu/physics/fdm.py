@@ -216,3 +216,130 @@ def fdm_step(
         cond_fn, body_fn, (x0, done0, iters0, jnp.int32(0))
     )
     return x_final, converged, n_iter
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev-accelerated fast solver (opt-in, non-parity)
+# ---------------------------------------------------------------------------
+
+
+def estimate_spectral_radius(
+    coeffs: StencilCoefficients,
+    h_conv: float,
+    n_power_iterations: int = 100,
+    seed: int = 0,
+) -> float:
+    """Power-iteration estimate of the Jacobi iteration matrix's spectral
+    radius for this geometry (host-side, at build time).
+
+    The Jacobi map is x' = M x + b with M the shift stencil scaled by
+    1/denom and exterior rows zeroed; its spectral radius governs the
+    convergence rate and parameterizes Chebyshev acceleration.
+    """
+    rng = np.random.default_rng(seed)
+    denom = np.asarray(
+        coeffs.cond_sum + np.float32(h_conv) * coeffs.conv_area + coeffs.absorb
+    )
+    a_r = np.asarray(coeffs.a_r)
+    a_l = np.asarray(coeffs.a_l)
+    a_b = np.asarray(coeffs.a_b)
+    a_t = np.asarray(coeffs.a_t)
+    ext = np.asarray(coeffs.exterior_mask)
+
+    def apply_m(x):
+        sl = np.pad(x, ((0, 0), (0, 1)))[:, 1:]
+        sr = np.pad(x, ((0, 0), (1, 0)))[:, :-1]
+        sb = np.pad(x, ((0, 1), (0, 0)))[1:, :]
+        st = np.pad(x, ((1, 0), (0, 0)))[:-1, :]
+        out = (a_r * sl + a_l * sr + a_b * sb + a_t * st) / denom
+        out[ext] = 0.0
+        return out
+
+    x = rng.normal(size=denom.shape)
+    x[ext] = 0.0
+    rho = 0.0
+    for _ in range(n_power_iterations):
+        y = apply_m(x)
+        norm = np.linalg.norm(y)
+        if norm == 0.0:
+            return 0.0
+        rho = norm / np.linalg.norm(x)
+        x = y / norm
+    return float(min(rho, 0.999999))
+
+
+def fdm_step_chebyshev(
+    temp: jnp.ndarray,
+    input_q: jnp.ndarray,
+    t_inf: jnp.ndarray,
+    h_conv: jnp.ndarray,
+    coeffs: StencilCoefficients,
+    *,
+    convergence_threshold: float,
+    iteration_limit: int,
+    spectral_radius: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Chebyshev semi-iterative acceleration of the Jacobi map.
+
+    Solves the same linear system to the same residual criterion
+    (max |J(x) - x| <= threshold, the quantity the reference's stopping rule
+    measures) in O(sqrt) of the Jacobi iteration count, at identical
+    per-iteration cost. The converged field agrees with the Jacobi solver's
+    within the convergence threshold but follows a different iterate path -
+    use for throughput, not for trajectory-exact parity runs.
+
+    Reference: Golub & Van Loan, Matrix Computations, sec. 10.1.5
+    (Chebyshev semi-iterative method).
+    """
+    batch_shape = temp.shape[:-2]
+    hT = h_conv[..., None, None]
+    denom = coeffs.cond_sum + hT * coeffs.conv_area + coeffs.absorb
+    const = (
+        coeffs.absorb * temp
+        + input_q
+        + (hT * t_inf[..., None, None]) * coeffs.conv_area
+    )
+    thr = jnp.float32(convergence_threshold)
+    rho2 = jnp.float32(spectral_radius**2)
+
+    def jacobi(x):
+        return jacobi_iteration(x, const, denom, coeffs, t_inf)
+
+    x0 = temp.astype(jnp.float32)
+    x1 = jacobi(x0)
+    delta0 = jnp.max(jnp.abs(x1 - x0), axis=(-2, -1))
+    done0 = delta0 <= thr
+    iters0 = jnp.ones(batch_shape, dtype=jnp.int32)
+    omega0 = jnp.float32(1.0 / (1.0 - rho2 / 2.0))
+
+    def cond_fn(carry):
+        _, _, done, _, it, _ = carry
+        return jnp.logical_and(it < iteration_limit, ~jnp.all(done))
+
+    def body_fn(carry):
+        x_prev, x, done, iters, it, omega = carry
+        jx = jacobi(x)
+        delta = jnp.max(jnp.abs(jx - x), axis=(-2, -1))
+        omega_next = 1.0 / (1.0 - rho2 * omega / 4.0)
+        x_next = omega_next * (jx - x_prev) + x_prev
+        # Exterior cells stay pinned (the affine recombination preserves
+        # them since every iterate pins them identically, but keep exact).
+        x_next = jnp.where(
+            coeffs.exterior_mask, t_inf[..., None, None], x_next
+        )
+        active = ~done
+        x_prev_out = jnp.where(active[..., None, None], x, x_prev)
+        x_out = jnp.where(active[..., None, None], x_next, x)
+        iters_out = jnp.where(active, it + 1, iters)
+        done_out = jnp.logical_or(done, delta <= thr)
+        return x_prev_out, x_out, done_out, iters_out, it + 1, omega_next
+
+    x_prev_f, x_f, done_f, iters_f, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (x0, x1, done0, iters0, jnp.int32(1), omega0)
+    )
+    # Emit J(x) for the converged iterate, mirroring the reference's output
+    # being the post-update field.
+    x_final = jnp.where(
+        coeffs.exterior_mask, t_inf[..., None, None], jacobi(x_f)
+    )
+    return x_final, done_f, iters_f

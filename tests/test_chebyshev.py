@@ -1,0 +1,68 @@
+"""Chebyshev fast solver: fewer iterations, same solution (within tol)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.physics import fdm
+
+
+def test_chebyshev_converges_faster_to_same_solution():
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+    rho = fdm.estimate_spectral_radius(env.coeffs, 100.0)
+    assert 0.5 < rho < 1.0
+
+    rng = np.random.default_rng(0)
+    B = 8
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (B,) + env.geom.shape), jnp.float32
+    )
+    q = jnp.zeros((B,) + env.geom.shape, jnp.float32)
+    t_inf = jnp.asarray(rng.uniform(270, 290, (B,)), jnp.float32)
+    h = jnp.full((B,), 100.0, jnp.float32)
+
+    xj, cj, nj = fdm.fdm_step(
+        temp, q, t_inf, h, env.coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+    )
+    xc, cc, nc = fdm.fdm_step_chebyshev(
+        temp, q, t_inf, h, env.coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+        spectral_radius=rho,
+    )
+    assert bool(jnp.all(cj)) and bool(jnp.all(cc))
+    # Both stop at the same residual criterion; solutions agree within a
+    # small multiple of the threshold.
+    assert float(jnp.max(jnp.abs(xj - xc))) < 3 * 0.1
+    # Acceleration: at least 1.5x fewer iterations on every env.
+    assert (np.asarray(nc) * 1.5 < np.asarray(nj)).all(), (
+        np.asarray(nc), np.asarray(nj),
+    )
+
+
+def test_env_with_chebyshev_solver_runs():
+    cfg = dataclasses.replace(
+        presets.two_zone_test_config(), fdm_solver="chebyshev"
+    )
+    env = BuildingEnv(cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(4):
+        state, out = step(state, jnp.zeros(env.n_actions))
+    assert bool(state.fdm_converged)
+    assert np.isfinite(float(out.reward))
+
+    # Trajectories track the parity solver closely.
+    env_j = BuildingEnv(presets.two_zone_test_config())
+    state_j, _ = env_j.reset(jax.random.PRNGKey(0))
+    step_j = jax.jit(env_j.step)
+    for _ in range(4):
+        state_j, _ = step_j(state_j, jnp.zeros(env_j.n_actions))
+    np.testing.assert_allclose(
+        np.asarray(state.temp), np.asarray(state_j.temp), atol=0.5
+    )
