@@ -1,0 +1,206 @@
+"""Regression-building workflow: framing, reconstruction, surrogate env."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu import interfaces
+from sbsim_tpu.proto import building_pb2, reward_pb2
+from sbsim_tpu.utils import regression, testing
+
+TS0 = pd.Timestamp("2023-07-06 07:00:00+00:00")
+STEP = pd.Timedelta(minutes=5)
+
+
+class _ConstOccupancy(interfaces.BaseOccupancy):
+    def average_zone_occupancy(self, zone_id, start_time, end_time):
+        return 2.5
+
+
+def _devices():
+    return [
+        testing.device_info(
+            "vav_1", building_pb2.DeviceInfo.VAV, "zone_a",
+            observable_fields=[regression.ZONE_TEMP_SENSOR],
+        ),
+        testing.device_info(
+            "boiler", building_pb2.DeviceInfo.BLR,
+            action_fields=["supply_water_setpoint"],
+        ),
+        testing.device_info(
+            "air_handler", building_pb2.DeviceInfo.AHU,
+            action_fields=["supply_air_heating_temperature_setpoint"],
+        ),
+    ]
+
+
+def _zones():
+    z = building_pb2.ZoneInfo(zone_id="zone_a")
+    z.devices.append("vav_1")
+    return [z]
+
+
+def test_observation_sequence_frames_time_features_and_values():
+    responses = [
+        testing.observation_response(
+            {("vav_1", regression.ZONE_TEMP_SENSOR): 294.0 + i},
+            timestamp=TS0 + i * STEP,
+        )
+        for i in range(3)
+    ]
+    keys = regression.feature_tuples(responses[0])
+    df = regression.observation_sequence(responses, keys, n_hod=2, n_dow=1)
+    assert len(df) == 3
+    assert ("vav_1", regression.ZONE_TEMP_SENSOR) in df.columns
+    assert "hod_cos_001" in df.columns and "dow_sin_000" in df.columns
+    np.testing.assert_allclose(
+        df[("vav_1", regression.ZONE_TEMP_SENSOR)], [294.0, 295.0, 296.0]
+    )
+    # sin^2+cos^2 == 1 for every time feature pair.
+    np.testing.assert_allclose(
+        df["hod_cos_000"] ** 2 + df["hod_sin_000"] ** 2, 1.0, rtol=1e-6
+    )
+
+
+def test_action_sequence_rejected_commands_are_nan():
+    request = testing.action_request(
+        {("boiler", "supply_water_setpoint"): 340.0,
+         ("ghost", "supply_water_setpoint"): 350.0},
+        timestamp=TS0,
+    )
+    allowed = regression.device_action_tuples(_devices())
+    response = regression.build_action_response(request, TS0, allowed)
+    types = {
+        s.request.device_id: s.response_type
+        for s in response.single_action_responses
+    }
+    assert types["boiler"] == building_pb2.SingleActionResponse.ACCEPTED
+    assert types["ghost"] == (
+        building_pb2.SingleActionResponse.REJECTED_INVALID_DEVICE
+    )
+
+    keys = regression.action_tuples(response)
+    df = regression.action_sequence([response], keys)
+    assert df.iloc[0][(regression.ACTION, "boiler", "supply_water_setpoint")] == 340.0
+    assert np.isnan(
+        df.iloc[0][(regression.ACTION, "ghost", "supply_water_setpoint")]
+    )
+
+
+def test_reward_info_sequence_and_roundtrip():
+    info = testing.reward_info(
+        {"zone_a": 295.0}, blower_rate=10.0, ac_rate=20.0,
+        gas_rate=30.0, pump_rate=40.0, start=TS0,
+    )
+    keys = regression.reward_info_tuples(info)
+    df = regression.reward_info_sequence([info], keys)
+    assert df.iloc[0][(regression.REWARD_INFO, "air_handler", regression.BLOWER_RATE)] == 10.0
+    assert df.iloc[0][(regression.REWARD_INFO, "boiler", regression.GAS_RATE)] == 30.0
+
+    # Reconstruct submessages from the flat mapping.
+    mapping = regression.reward_info_map(info)
+    numeric = {k: v for k, v in mapping.items() if k[1] != regression.TIMESTAMP}
+    by_device = regression.group_reward_fields_by_device(numeric)
+    boilers = regression.boiler_reward_infos(by_device)
+    ahus = regression.air_handler_reward_infos(by_device)
+    assert boilers["boiler"].natural_gas_heating_energy_rate == 30.0
+    assert ahus["air_handler"].air_conditioning_electrical_energy_rate == 20.0
+    assert "air_handler" not in boilers and "boiler" not in ahus
+
+
+def test_nan_energy_rates_drop_device():
+    by_device = {"boiler": {regression.GAS_RATE: np.nan,
+                            regression.PUMP_RATE: 1.0}}
+    assert regression.boiler_reward_infos(by_device) == {}
+
+
+def test_match_sequence_indexes_offset_pairing():
+    idx_in = [TS0 + i * STEP for i in range(5)]
+    # Output missing the row after t2 -> that pair is skipped, not misaligned.
+    idx_out = [TS0 + i * STEP for i in (1, 2, 4)]
+    inputs = pd.DataFrame({"x": range(5)}, index=idx_in)
+    outputs = pd.DataFrame({"y": range(3)}, index=idx_out)
+    m_in, m_out = regression.match_sequence_indexes(inputs, outputs, STEP)
+    assert m_in == [idx_in[0], idx_in[1], idx_in[3]]
+    assert m_out == [idx_in[1], idx_in[2], idx_in[4]]
+
+
+def test_zone_reward_infos_fahrenheit_conversion_and_override():
+    obs_mapping = {
+        ("vav_1", regression.ZONE_TEMP_SENSOR): 72.0,       # deg F
+        ("vav_1", regression.ZONE_HEAT_SETPOINT): 68.0,     # deg F
+    }
+    infos = regression.zone_reward_infos(
+        TS0, STEP, obs_mapping, _ConstOccupancy(),
+        schedule_window=lambda ts: (294.0, 297.0),
+        zone_infos=_zones(), device_infos=_devices(),
+    )
+    z = infos["zone_a"]
+    assert z.zone_air_temperature == pytest.approx(295.372, abs=1e-3)
+    assert z.heating_setpoint_temperature == pytest.approx(293.15, abs=1e-3)
+    assert z.cooling_setpoint_temperature == 297.0  # schedule default kept
+    assert z.average_occupancy == 2.5
+
+
+def test_zone_reward_infos_rejects_inverted_window():
+    with pytest.raises(ValueError):
+        regression.zone_reward_infos(
+            TS0, STEP, {}, _ConstOccupancy(),
+            schedule_window=lambda ts: (299.0, 297.0),
+            zone_infos=_zones(), device_infos=_devices(),
+        )
+
+
+def test_regression_building_end_to_end():
+    initial = testing.observation_response(
+        {("vav_1", regression.ZONE_TEMP_SENSOR): 70.0}, timestamp=TS0
+    )
+
+    def predict_fn(row):
+        # Surrogate: zone warms 1F per step; constant device energy rates.
+        return {
+            ("vav_1", regression.ZONE_TEMP_SENSOR): (
+                row[("vav_1", regression.ZONE_TEMP_SENSOR)] + 1.0
+            ),
+            (regression.REWARD_INFO, "boiler", regression.GAS_RATE): 30.0,
+            (regression.REWARD_INFO, "boiler", regression.PUMP_RATE): 40.0,
+            (regression.REWARD_INFO, "air_handler", regression.BLOWER_RATE): 10.0,
+            (regression.REWARD_INFO, "air_handler", regression.AC_RATE): 20.0,
+        }
+
+    spec = regression.RegressionBuildingSpec(
+        devices=_devices(), zones=_zones(), time_step_sec=300.0,
+        start_timestamp=TS0, occupancy=_ConstOccupancy(),
+        schedule_window=lambda ts: (294.0, 297.0),
+        is_comfort_mode=lambda ts: True,
+    )
+    building = regression.RegressionBuilding(spec, predict_fn, initial)
+
+    obs_request = building_pb2.ObservationRequest()
+    obs_request.single_observation_requests.add(
+        device_id="vav_1", measurement_name=regression.ZONE_TEMP_SENSOR
+    )
+    response = building.request_observations(obs_request)
+    assert response.single_observation_responses[0].continuous_value == 70.0
+
+    building.request_action(
+        testing.action_request({("boiler", "supply_water_setpoint"): 340.0})
+    )
+    building.wait_time()
+    assert building.current_timestamp == TS0 + STEP
+
+    response = building.request_observations(obs_request)
+    assert response.single_observation_responses[0].continuous_value == 71.0
+
+    info = building.reward_info
+    assert info.boiler_reward_infos["boiler"].pump_electrical_energy_rate == 40.0
+    assert info.air_handler_reward_infos["air_handler"].blower_electrical_energy_rate == 10.0
+    z = info.zone_reward_infos["zone_a"]
+    assert z.zone_air_temperature == pytest.approx(294.817, abs=1e-3)  # 71F
+    assert z.average_occupancy == 2.5
+    assert building.num_occupants == 2  # round(2.5) banker's rounding
+
+    building.reset()
+    assert building.current_timestamp == TS0
+    response = building.request_observations(obs_request)
+    assert response.single_observation_responses[0].continuous_value == 70.0
