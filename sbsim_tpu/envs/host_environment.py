@@ -31,6 +31,25 @@ StepType = int
 FIRST, MID, LAST = 0, 1, 2
 
 
+def _init_metrics() -> dict:
+    """Empty per-step timeseries store (plot_utils.py:441-454)."""
+    return {
+        "timestamps": [],
+        "ambient_temps": [],
+        "avg_temps_timeseries": {},  # zone_id -> [K per step]
+        "boiler_gas_energy_rates": [],
+        "boiler_pump_energy_rates": [],
+        "air_handler_blower_energy_rates": [],
+        "air_handler_ac_energy_rates": [],
+        "rewards": [],
+        "productivity_rewards": [],
+        "electricity_energy_costs": [],
+        "natural_gas_energy_costs": [],
+        "carbon_emitted": [],
+        "occupancy": [],
+    }
+
+
 @dataclasses.dataclass
 class TimeStep:
     step_type: StepType
@@ -61,6 +80,14 @@ class HostEnvironment:
         self._episode_count = 0
         self._step_count = 0
         self._episode_ended = False
+        self._metrics = _init_metrics()
+
+    @property
+    def metrics(self) -> dict:
+        """In-memory per-step timeseries for notebook plotting, cleared each
+        reset (plot_utils.init_metrics/update_metrics, consumed at
+        environment.py:436)."""
+        return self._metrics
 
     @property
     def action_names(self):
@@ -90,9 +117,65 @@ class HostEnvironment:
         self._episode_count += 1
         self._step_count = 0
         self._episode_ended = False
+        self._metrics = _init_metrics()
         self._start_metrics_writer()
         obs = np.asarray(self._building._last_obs_vector)
         return TimeStep(FIRST, 0.0, 1.0, obs)
+
+    def _update_metrics(self, obs_response, breakdown, reward: float) -> None:
+        """Appends one step of plotting timeseries (plot_utils.py:456-488)."""
+        m = self._metrics
+        m["timestamps"].append(self._building.current_timestamp)
+        ambient = np.nan
+        for single in obs_response.single_observation_responses:
+            req = single.single_observation_request
+            if (
+                req.measurement_name == "outside_air_temperature_sensor"
+                and single.observation_valid
+            ):
+                ambient = single.continuous_value
+                break
+        m["ambient_temps"].append(ambient)
+
+        info = self._building.reward_info
+        for zone_id, zone in info.zone_reward_infos.items():
+            m["avg_temps_timeseries"].setdefault(zone_id, []).append(
+                zone.zone_air_temperature
+            )
+        m["boiler_gas_energy_rates"].append(
+            sum(
+                b.natural_gas_heating_energy_rate
+                for b in info.boiler_reward_infos.values()
+            )
+        )
+        m["boiler_pump_energy_rates"].append(
+            sum(
+                b.pump_electrical_energy_rate
+                for b in info.boiler_reward_infos.values()
+            )
+        )
+        m["air_handler_blower_energy_rates"].append(
+            sum(
+                a.blower_electrical_energy_rate
+                for a in info.air_handler_reward_infos.values()
+            )
+        )
+        m["air_handler_ac_energy_rates"].append(
+            sum(
+                a.air_conditioning_electrical_energy_rate
+                for a in info.air_handler_reward_infos.values()
+            )
+        )
+        m["rewards"].append(reward)
+        m["productivity_rewards"].append(float(breakdown.productivity_reward))
+        m["electricity_energy_costs"].append(
+            float(breakdown.electricity_energy_cost)
+        )
+        m["natural_gas_energy_costs"].append(
+            float(breakdown.natural_gas_energy_cost)
+        )
+        m["carbon_emitted"].append(float(breakdown.carbon_emitted))
+        m["occupancy"].append(float(breakdown.total_occupancy))
 
     def step(self, action: np.ndarray) -> TimeStep:
         """Applies a normalized [-1, 1] action vector for one control step."""
@@ -150,6 +233,8 @@ class HostEnvironment:
         reward = float(breakdown.agent_reward_value)
         if not action_accepted:
             reward = ACTION_REJECTION_REWARD
+
+        self._update_metrics(obs_response, breakdown, reward)
 
         if self._writer is not None:
             self._writer.write_reward_info(

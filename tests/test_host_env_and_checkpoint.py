@@ -48,6 +48,22 @@ class TestHostEnvironment:
         assert any(f.startswith("action_response") for f in files)
         assert "device_infos" in files
 
+        # In-memory plotting timeseries (plot_utils.init_metrics parity).
+        m = host.metrics
+        assert len(m["timestamps"]) == 3
+        assert len(m["rewards"]) == 3
+        assert np.isfinite(m["ambient_temps"]).all()
+        assert set(m["avg_temps_timeseries"]) == {
+            z.zone_id for z in building.zones
+        }
+        for series in m["avg_temps_timeseries"].values():
+            assert len(series) == 3
+            assert all(280.0 < t < 310.0 for t in series)
+        assert len(m["boiler_gas_energy_rates"]) == 3
+        # reset clears the store
+        host.reset()
+        assert host.metrics["timestamps"] == []
+
     def test_rejection_gives_minus_inf(self, env):
         building = RejectionSimulatedBuilding(
             SimulatedBuilding(env, seed=1), num_rejections=2
