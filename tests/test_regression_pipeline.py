@@ -1,0 +1,168 @@
+"""End-to-end regression-building pipeline: simulate -> record shards ->
+frame supervised tables -> fit surrogate -> drive it as a BaseBuilding.
+
+This is the reference's regression-building training workflow
+(regression_building_utils.py framing consumed by an externally-trained
+surrogate) run entirely inside the framework: the physics simulator
+generates the telemetry, the recorded wire protos are the training set, and
+the fitted model steps behind the same BaseBuilding facade.
+"""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.host_adapter import SimulatedBuilding
+from sbsim_tpu.envs.host_environment import HostEnvironment
+from sbsim_tpu.io.records import RecordReader
+from sbsim_tpu.scenario import tables as tables_lib
+from sbsim_tpu.utils import regression
+
+N_STEPS = 36
+
+
+@pytest.fixture(scope="module")
+def recorded_episode(tmp_path_factory):
+    """Runs the simulator for N_STEPS, recording proto shards."""
+    root = tmp_path_factory.mktemp("episode")
+    env = BuildingEnv(presets.two_zone_test_config())
+    building = SimulatedBuilding(env, seed=0)
+    host = HostEnvironment(building, env, metrics_path=str(root), label="reg")
+    host.reset()
+    rng = np.random.default_rng(0)
+    for _ in range(N_STEPS):
+        host.step(rng.uniform(-0.5, 0.5, len(host.action_names)))
+    episode_dir = glob.glob(str(root / "reg_*"))[0]
+    return env, building, episode_dir
+
+
+def _frame_episode(episode_dir):
+    """Recorded shards -> (inputs, outputs) supervised tables."""
+    reader = RecordReader(episode_dir)
+    obs_responses = reader.read_observation_responses()
+    action_responses = reader.read_action_responses()
+    reward_infos = reader.read_reward_infos()
+    assert len(obs_responses) == N_STEPS
+    assert len(action_responses) == N_STEPS
+
+    obs_keys = regression.feature_tuples(obs_responses[0])
+    act_keys = regression.action_tuples(action_responses[0])
+    ri_keys = regression.reward_info_tuples(reward_infos[0])
+
+    obs_df = regression.observation_sequence(obs_responses, obs_keys)
+    act_df = regression.action_sequence(action_responses, act_keys)
+    ri_df = regression.reward_info_sequence(reward_infos, ri_keys)
+
+    obs_df = obs_df.set_index("timestamp")
+    act_df = act_df.set_index("timestamp")
+    ri_df = ri_df.set_index((regression.REWARD_INFO, "timestamp", "end"))
+    ri_df = ri_df.drop(columns=[(regression.REWARD_INFO, "timestamp", "start")])
+
+    # Model input at t: observations + the action taken at t.
+    inputs = obs_df.join(act_df, how="inner")
+    # Model output at t+1: next observations + energy rates over (t, t+1].
+    outputs = obs_df.drop(
+        columns=[c for c in obs_df.columns if isinstance(c, str)]
+    ).join(ri_df, how="inner")
+    return inputs, outputs
+
+
+def test_recorded_shards_frame_into_supervised_tables(recorded_episode):
+    _, _, episode_dir = recorded_episode
+    inputs, outputs = _frame_episode(recorded_episode[2])
+    step = pd.Timedelta(minutes=5)
+    idx_in, idx_out = regression.match_sequence_indexes(inputs, outputs, step)
+    assert len(idx_in) == N_STEPS - 1
+    assert all(b - a == step for a, b in zip(idx_in, idx_out))
+
+
+def test_fitted_surrogate_tracks_simulator(recorded_episode):
+    sklearn_linear = pytest.importorskip("sklearn.linear_model")
+    env, building, episode_dir = recorded_episode
+    inputs, outputs = _frame_episode(episode_dir)
+    step = pd.Timedelta(minutes=5)
+    idx_in, idx_out = regression.match_sequence_indexes(inputs, outputs, step)
+
+    feature_cols = list(inputs.columns)
+    target_cols = list(outputs.columns)
+    x = inputs.loc[idx_in, feature_cols].to_numpy(float)
+    y = outputs.loc[idx_out, target_cols].to_numpy(float)
+    model = sklearn_linear.Ridge(alpha=1e-3).fit(x, y)
+
+    # In-sample one-step prediction should be tight for a near-linear
+    # thermal system on a short horizon.
+    pred = model.predict(x)
+    temp_cols = [
+        i
+        for i, c in enumerate(target_cols)
+        if isinstance(c, tuple) and c[1] == "zone_air_temperature_sensor"
+    ]
+    assert temp_cols
+    err = np.abs(pred[:, temp_cols] - y[:, temp_cols]).max()
+    assert err < 0.5, f"one-step zone-temp fit error {err} K"
+
+    def predict_fn(row):
+        vec = np.array(
+            [float(row.get(c, 0.0)) for c in feature_cols], dtype=float
+        )
+        out = model.predict(vec[None, :])[0]
+        return dict(zip(target_cols, out))
+
+    reader = RecordReader(episode_dir)
+    obs_responses = reader.read_observation_responses()
+    cfg = env.config
+    tz = cfg.time_zone
+    spec = regression.RegressionBuildingSpec(
+        devices=reader.read_device_infos(),
+        zones=reader.read_zone_infos(),
+        time_step_sec=cfg.time_step_sec,
+        start_timestamp=pd.Timestamp(cfg.start_timestamp),
+        occupancy=_TableOccupancy(),
+        schedule_window=lambda ts: (294.0, 297.0),
+        is_comfort_mode=lambda ts: True,
+        sensors_in_fahrenheit=False,  # simulator telemetry is Kelvin
+    )
+    surrogate = regression.RegressionBuilding(
+        spec, predict_fn, obs_responses[0]
+    )
+
+    # Replay the recorded actions through the surrogate; zone temps must stay
+    # within a few K of the recorded simulator trajectory.
+    action_responses = reader.read_action_responses()
+    recorded = regression.observation_sequence(
+        obs_responses, regression.feature_tuples(obs_responses[0])
+    )
+    zone_col = next(
+        c
+        for c in recorded.columns
+        if isinstance(c, tuple) and c[1] == "zone_air_temperature_sensor"
+    )
+    horizon = 10
+    for i in range(1, horizon):
+        request = action_responses[i].request
+        surrogate.request_action(request)
+        surrogate.wait_time()
+        predicted = regression.observation_mapping(
+            surrogate.request_observations(
+                building.default_observation_request()
+            )
+        )[zone_col]
+        actual = recorded.iloc[i + 1][zone_col]
+        assert abs(predicted - actual) < 3.0, (
+            f"step {i}: surrogate {predicted} vs simulator {actual}"
+        )
+
+    info = surrogate.reward_info
+    assert info.boiler_reward_infos
+    assert info.air_handler_reward_infos
+    for zone in info.zone_reward_infos.values():
+        assert 280.0 < zone.zone_air_temperature < 310.0
+
+
+class _TableOccupancy:
+    def average_zone_occupancy(self, zone_id, start_time, end_time):
+        return 1.0
