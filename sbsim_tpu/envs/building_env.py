@@ -318,9 +318,7 @@ class BuildingEnv:
         pre, conv_keys = jax.vmap(self._step_pre)(states, actions)
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         if use_pallas and on_tpu:
-            batch = states.temp.shape[0]
-            block = 8 if batch % 8 == 0 else 1
-            new_temp, iters = fdm_pallas.fdm_step_pallas(
+            new_temp, n_iter = fdm_pallas.fdm_step_pallas(
                 states.temp,
                 states.input_q,
                 pre["ambient"],
@@ -328,9 +326,7 @@ class BuildingEnv:
                 self.coeffs,
                 convergence_threshold=self.config.convergence_threshold,
                 iteration_limit=self.config.iteration_limit,
-                block_envs=block,
             )
-            n_iter = jnp.repeat(iters, block)[:batch]
             converged = n_iter < self.config.iteration_limit
         else:
             new_temp, converged, n_iter = self._solve_fdm(

@@ -2,15 +2,23 @@
 
 The XLA while_loop version (physics/fdm.py) round-trips the temperature field
 through HBM on every Jacobi iteration. This kernel keeps the whole
-convergence loop resident in VMEM: each grid program loads a block of envs'
-(H, W) fields plus the shared stencil coefficients once, iterates to
-convergence with per-env freezing, and writes back once - HBM traffic drops
-from O(iterations) to O(1) per step.
+convergence loop resident in VMEM: each grid program loads one env's (H, W)
+field plus the shared stencil coefficients once, iterates to convergence,
+and writes back once - HBM traffic drops from O(iterations) to O(1) per
+step. One env per program also makes per-env trajectory isolation trivial
+(BASELINE.md "per-env bitwise identity"): no cross-env masking at all.
 
 Numerics are identical to fdm.jacobi_iteration (the reference "Equation 22"
 semantics, tf_simulator.py:573-853): neighbor shifts padded with the ambient
 temperature, exterior CVs pinned, cp^2 absorption term, per-env max-|dT|
 stopping rule with post-update convergence check (simulator.py:348-364).
+
+Mosaic constraints shaping the code (discovered on real v5e):
+  * rank-1 / (1, 1) outputs don't tile; scalar-per-program outputs are
+    emitted broadcast over one minimal (8, 128) int32 tile.
+  * multi_reduction over both trailing dims must keep a trailing size-1
+    axis unless it reduces to a true scalar; tiny (B, 1, 1) bool vectors in
+    the loop carry crash the layout pass. Hence scalar `delta`/`it` carry.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ from sbsim_tpu.physics.fdm import StencilCoefficients
 
 
 def _shift_with_fill(x, axis, shift, fill):
-    """Shift x by `shift` along axis, filling vacated slots with `fill`.
+    """Shift 2-D x by `shift` along axis, filling vacated slots with `fill`.
 
     y[..., i] = x[..., i - shift]; uses roll + iota mask (Pallas-friendly,
     no concatenate inside the loop body).
@@ -58,46 +66,44 @@ def _fdm_kernel(
     threshold: float,
     iteration_limit: int,
 ):
-    x0 = temp_ref[:]  # (Bb, H, W)
-    const = const_ref[:]
-    denom = denom_ref[:]
-    tinf = tinf_ref[:]  # (Bb, 1, 1)
-    a_r = a_r_ref[:]  # (H, W) shared across the env block
+    x0 = temp_ref[0]  # (H, W)
+    const = const_ref[0]
+    denom = denom_ref[0]
+    tinf = tinf_ref[0, 0, 0]  # scalar ambient for this env
+    a_r = a_r_ref[:]  # (H, W) shared across envs
     a_l = a_l_ref[:]
     a_b = a_b_ref[:]
     a_t = a_t_ref[:]
     ext = ext_ref[:]  # (H, W) 1.0 on exterior CVs
 
-    nb = x0.shape[0]
-
     def body(carry):
-        x, done, it = carry
+        x, _, it = carry
         # a_r pairs with the right neighbor T[i, j+1] (shift left by one),
         # matching tf_simulator.py:719-722.
         num = (
-            a_r * _shift_with_fill(x, axis=2, shift=-1, fill=tinf)
-            + a_l * _shift_with_fill(x, axis=2, shift=1, fill=tinf)
-            + a_b * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-            + a_t * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+            a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
+            + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+            + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
+            + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
             + const
         )
         x_new = num / denom
         x_new = jnp.where(ext > 0, tinf, x_new)
-        delta = jnp.max(jnp.abs(x_new - x), axis=(1, 2))  # (Bb,)
-        x_out = jnp.where(done.reshape(nb, 1, 1), x, x_new)
-        done_out = jnp.logical_or(done, delta <= threshold)
-        return x_out, done_out, it + 1
+        delta = jnp.max(jnp.abs(x_new - x))  # scalar
+        return x_new, delta, it + 1
 
     def cond(carry):
-        _, done, it = carry
-        return jnp.logical_and(it < iteration_limit, ~jnp.all(done))
+        _, delta, it = carry
+        return jnp.logical_and(it < iteration_limit, delta > threshold)
 
-    done0 = jnp.zeros((nb,), dtype=jnp.bool_)
+    big = jnp.float32(threshold) + 1.0
     x_final, _, n_iter = jax.lax.while_loop(
-        cond, body, (x0, done0, jnp.int32(0))
+        cond, body, (x0, big, jnp.int32(0))
     )
-    out_ref[:] = x_final
-    iters_ref[0] = n_iter
+    out_ref[0] = x_final
+    # Scalar outputs can't tile on Mosaic; broadcast the iteration count
+    # over one minimal (8, 128) tile and slice [0, 0] outside.
+    iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
 
 
 def fdm_step_pallas(
@@ -109,32 +115,32 @@ def fdm_step_pallas(
     *,
     convergence_threshold: float,
     iteration_limit: int,
-    block_envs: int = 8,
+    block_envs: int = 1,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """VMEM-resident batched FDM step.
+    """VMEM-resident batched FDM step; one env per grid program.
 
-    Returns (new_temp, iterations_per_block). The per-step constant/denominator
+    Returns (new_temp, iterations_per_env). The per-step constant/denominator
     fields are computed by XLA (one fused elementwise kernel) and streamed in.
+    `block_envs` is accepted for API compatibility; the kernel always runs
+    one env per program (trivially exact per-env freezing).
     """
+    del block_envs
     b, h, w = temp.shape
-    if b % block_envs != 0:
-        raise ValueError(f"batch {b} not divisible by block_envs {block_envs}")
 
     hT = h_conv[:, None, None]
     tinf3 = t_inf[:, None, None]
     denom = coeffs.cond_sum + hT * coeffs.conv_area + coeffs.absorb
     const = coeffs.absorb * temp + input_q + hT * tinf3 * coeffs.conv_area
     ext = coeffs.exterior_mask.astype(jnp.float32)
+    # Ambient as a (B, 1, 128) lane-aligned strip: scalar SMEM inputs hit
+    # Mosaic tiling restrictions, a broadcast lane vector does not.
+    tinf_strip = jnp.broadcast_to(tinf3.astype(jnp.float32), (b, 1, 128))
 
-    n_blocks = b // block_envs
-    batched_vmem = pl.BlockSpec(
-        (block_envs, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    per_env = pl.BlockSpec(
+        (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    tinf_spec = pl.BlockSpec(
-        (block_envs, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
 
     kernel = functools.partial(
         _fdm_kernel,
@@ -143,12 +149,14 @@ def fdm_step_pallas(
     )
     out, iters = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(b,),
         in_specs=[
-            batched_vmem,  # temp
-            batched_vmem,  # const
-            batched_vmem,  # denom
-            tinf_spec,  # tinf
+            per_env,  # temp
+            per_env,  # const
+            per_env,  # denom
+            pl.BlockSpec(
+                (1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),  # tinf strip
             shared,  # a_r
             shared,  # a_l
             shared,  # a_b
@@ -156,23 +164,25 @@ def fdm_step_pallas(
             shared,  # ext
         ],
         out_specs=[
-            batched_vmem,
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            per_env,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks,), jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(
         temp.astype(jnp.float32),
         const,
         denom,
-        tinf3.astype(jnp.float32),
+        tinf_strip,
         coeffs.a_r,
         coeffs.a_l,
         coeffs.a_b,
         coeffs.a_t,
         ext,
     )
-    return out, iters
+    return out, iters[:, 0, 0]
