@@ -1,0 +1,96 @@
+"""Micro-benchmark: batched within-segment shuffle primitives on TPU.
+
+Isolates the convection step's building blocks (sort / gather / scatter /
+take_along_axis) at the sb1 scale (batch 1024, ~3k room CVs) to pick the
+fastest formulation of stochastic convection.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, *args, reps=5):
+    fn_j = jax.jit(fn)
+    out = jax.block_until_ready(fn_j(*args))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn_j(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:40s} {best*1e3:8.2f} ms")
+    return out
+
+
+def main():
+    b, n, m = 1024, 3072, 16
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.normal(294, 3, (b, n)), jnp.float32)
+    keys = jnp.asarray(rng.random((n,)) * 2, jnp.float32)
+    partners = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(m)]), jnp.int32
+    )
+    var = jnp.asarray(rng.integers(0, m, (b,)), jnp.int32)
+    rkeys = jax.random.split(jax.random.PRNGKey(0), b)
+
+    timeit(
+        "argsort(keys+u) per env",
+        lambda v, ks: jax.vmap(
+            lambda vv, kk: vv[jnp.argsort(keys + jax.random.uniform(kk, (n,)))]
+        )(v, ks),
+        vals,
+        rkeys,
+    )
+    timeit(
+        "take_along_axis shared perm",
+        lambda v: jnp.take_along_axis(
+            v, jnp.broadcast_to(partners[0], (b, n)), axis=1
+        ),
+        vals,
+    )
+    timeit(
+        "take_along_axis per-env perm (2 rounds)",
+        lambda v, i: jnp.take_along_axis(
+            jnp.take_along_axis(v, partners[i], axis=1),
+            partners[(i + 1) % m],
+            axis=1,
+        ),
+        vals,
+        var,
+    )
+    timeit(
+        "one-hot matmul perm f32 (n x n)",
+        lambda v: jnp.matmul(
+            v,
+            jax.nn.one_hot(partners[0], n, dtype=jnp.float32),
+            preferred_element_type=jnp.float32,
+        ),
+        vals,
+    )
+    # Per-env random *rotation* within segments via modular index arithmetic
+    # (no gather tables; index = start + (pos - start + r) % seg_len).
+    seg_len = jnp.full((n,), 256, jnp.int32)
+    seg_start = (jnp.arange(n, dtype=jnp.int32) // 256) * 256
+    pos_in = jnp.arange(n, dtype=jnp.int32) - seg_start
+
+    def rot(v, k):
+        r = jax.random.randint(k, (), 0, 256)
+        idx = seg_start + (pos_in + r) % seg_len
+        return v[idx]
+
+    timeit("per-env segment rotation", lambda v, ks: jax.vmap(rot)(v, ks),
+           vals, rkeys)
+
+    timeit(
+        "scatter back (at.set)",
+        lambda v: jnp.zeros((b, n + 512), jnp.float32)
+        .at[:, 256 : 256 + n]
+        .set(v),
+        vals,
+    )
+
+
+if __name__ == "__main__":
+    main()

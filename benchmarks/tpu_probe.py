@@ -16,9 +16,28 @@ def main():
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--scan", type=int, default=16)
     p.add_argument("--block", type=int, default=8)
+    p.add_argument(
+        "--iteration-limit",
+        type=int,
+        default=None,
+        help="override FDM iteration cap (1 isolates non-FDM step cost)",
+    )
+    p.add_argument(
+        "--no-convection",
+        action="store_true",
+        help="disable the stochastic convection shuffle",
+    )
     args = p.parse_args()
 
-    env = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+    import dataclasses
+
+    cfg = presets.sb1_config(
+        num_days_in_episode=1,
+        convection_p=0.0 if args.no_convection else 1.0,
+    )
+    if args.iteration_limit is not None:
+        cfg = dataclasses.replace(cfg, iteration_limit=args.iteration_limit)
+    env = BuildingEnv(cfg)
     print(f"grid={env.geom.shape} zones={env.n_zones}", flush=True)
     batch = args.batch
     keys = jax.random.split(jax.random.PRNGKey(0), batch)

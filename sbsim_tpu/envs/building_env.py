@@ -136,7 +136,13 @@ class BuildingEnv:
             config.occupancy, config.time_step_sec
         )
         self.convection = convection_lib.make_convection_buckets(
-            self.geom, config.convection.p, config.convection.distance
+            self.geom,
+            config.convection.p,
+            config.convection.distance,
+            method=config.convection.method,
+            rounds=config.convection.rounds,
+            variants=config.convection.variants,
+            seed=config.convection.seed,
         )
         self.reward_params = reward_lib.make_reward_params(config.reward)
         self._zone_mean_matrix = jnp.asarray(zone_mean_matrix(self.geom))

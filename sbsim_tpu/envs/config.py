@@ -83,11 +83,21 @@ class OccupancyConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ConvectionConfig:
-    """Stochastic in-room shuffling (stochastic_convection_simulator.py:35)."""
+    """Stochastic in-room shuffling (stochastic_convection_simulator.py:35).
+
+    method "swap" (default) mixes via rounds of masked pair swaps on the
+    grid - the reference's own pairwise-swap primitive, gather-free on
+    device; "argsort" draws a uniform random permutation per room tile
+    (stronger mixing, >10x slower on TPU). rounds=0 auto-sizes so expected
+    swap participations per CV match the reference (~2p per step).
+    """
 
     p: float = 0.0
     distance: int = 0
     seed: int = 5
+    method: str = "swap"
+    rounds: int = 0
+    variants: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

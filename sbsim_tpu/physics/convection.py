@@ -1,24 +1,36 @@
-"""Stochastic intra-room convection as random temperature shuffling.
+"""Stochastic intra-room convection as random temperature swapping.
 
 The reference models in-room air mixing by randomly swapping CV temperatures
-within each room (stochastic_convection_simulator.py:35-145). On device this
-is expressed as a random permutation *within each room's index bucket*,
-computed for all rooms at once with a single segmented argsort - no Python
-loops over CVs.
+within each room (stochastic_convection_simulator.py:35-145): each CV, with
+probability p, swaps with a uniformly random CV within a squared-distance
+bound. On device this is expressed two ways:
 
-Divergence note: the reference applies a sequential swap list with a
-distance bound (squared distance <= `distance`,
-stochastic_convection_simulator.py:101-145); the device fast path
-approximates that locality by permuting within room *tiles* whose size
-matches the swap radius (full-room permutation when distance == -1, the
-reference's own p=1 special case :83-99). The exact-match host harness
-(envs/exact_host.py) reproduces the reference's Python `random` stream
-bit-for-bit; trajectory-parity runs use that path.
+  * "swap" (default fast path): R rounds of *masked pair swaps on the grid*.
+    Each round picks a static offset o from a schedule of in-bound offsets
+    (dy^2 + dx^2 <= distance, the reference's own bound), statically pairs
+    cell x with x+o (disjoint lead/follower coloring), and swaps each pair
+    with a per-env Bernoulli draw. Everything is static shifts + elementwise
+    selects - no gather, no scatter, no sort - so XLA fuses it into the
+    step. Expected swap participations per CV match the reference
+    (rounds * p_round ~= 2p), every hop respects the distance bound and
+    never crosses a wall, and within-room temperature multisets (room
+    energy) are preserved exactly, because each round is a permutation.
+  * "argsort": a uniform random permutation within each room tile via one
+    segmented argsort. Statistically stronger mixing than the reference
+    (full permutation vs swap chain) but >10x slower on TPU: the flatten/
+    gather/scatter it needs costs ~25-60 ms per step at batch 1024 on v5e
+    (XLA TPU gathers are near-scalar), dominating the whole env step.
+
+Divergence note: the reference applies its swaps sequentially with fresh
+uniform partner draws; the fast path draws the partner *direction* from a
+static schedule and the swap decision from the per-env PRNG stream. The
+exact-match host harness (envs/exact_host.py) reproduces the reference's
+Python `random` stream bit-for-bit; trajectory-parity runs use that path.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,29 +42,107 @@ from sbsim_tpu.core.geometry import BuildingGeometry
 
 @struct.dataclass
 class ConvectionBuckets:
-    """Flattened room-CV indices grouped by room (host precomputed)."""
+    """Precomputed mixing structure (host precomputed).
 
+    lead_masks/offsets drive the "swap" path; flat_indices/segment_keys the
+    "argsort" path.
+    """
+
+    lead_masks: Any  # bool (R, H, W): cells that initiate a swap in round r
     flat_indices: Any  # i32 (n_room_cvs,) indices into temp.ravel()
-    segment_keys: Any  # f32 (n_room_cvs,) = room_id * 2.0, for segmented sort
-    enabled: bool = struct.field(pytree_node=False)
+    segment_keys: Any  # f32 (n_room_cvs,) = segment_id * 2.0, segmented sort
+    offsets: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=()
+    )
+    enabled: bool = struct.field(pytree_node=False, default=False)
+    method: str = struct.field(pytree_node=False, default="swap")
+    p_round: float = struct.field(pytree_node=False, default=0.5)
+
+
+def _offset_schedule(
+    distance: int, max_extent: int
+) -> List[Tuple[int, int]]:
+    """Swap offsets honoring the reference's squared-distance bound.
+
+    distance == -1 (the reference's full-room-shuffle mode) uses a
+    doubling ladder so repeated rounds mix across the whole room.
+    """
+    if distance == -1:
+        offsets: List[Tuple[int, int]] = []
+        step = 1
+        while step <= max(1, max_extent // 2):
+            offsets += [(0, step), (step, 0)]
+            step *= 2
+        return offsets or [(0, 1), (1, 0)]
+    offsets = []
+    r = int(np.floor(np.sqrt(max(distance, 1))))
+    for dy in range(0, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx <= 0:
+                continue  # (0, dx<=0) is a duplicate of (0, -dx)
+            if dy * dy + dx * dx <= distance:
+                offsets.append((dy, dx))
+    return offsets or [(0, 1), (1, 0)]
+
+
+def _lead_mask(
+    zone_ids: np.ndarray, n_zones: int, o: Tuple[int, int], phase: int
+) -> np.ndarray:
+    """Static coloring: cell x leads a swap with x+o.
+
+    Leads are chosen by parity along the offset's primary axis so lead and
+    follower sets are disjoint and each follower has exactly one lead (the
+    round is a permutation). Both parity `phase`s are needed across rounds:
+    phase 0 pairs (2k, 2k+1) blocks, phase 1 pairs (2k+1, 2k+2), and only
+    their union makes rows/columns connected paths (a single phase splits
+    each room into closed two-cell orbits that never mix globally).
+    Pairs must lie in the same room.
+    """
+    h, w = zone_ids.shape
+    dy, dx = o
+    ii, jj = np.indices((h, w))
+    if dy != 0:
+        # Offsets always have dy > 0, or dy == 0 and dx > 0 (schedule), so
+        # lead rows i and follower rows i+dy land in opposite parities.
+        parity = ((ii + phase * dy) // abs(dy)) % 2 == 0
+    else:
+        parity = ((jj + phase * dx) // abs(dx)) % 2 == 0
+    in_room = zone_ids < n_zones
+    # partner_ok[x] = in-bounds(x+o) and room(x) == room(x+o) (a room).
+    partner_ok = np.zeros((h, w), bool)
+    i0, i1 = max(0, -dy), h - max(0, dy)
+    j0, j1 = max(0, -dx), w - max(0, dx)
+    here = zone_ids[i0:i1, j0:j1]
+    there = zone_ids[i0 + dy : i1 + dy, j0 + dx : j1 + dx]
+    partner_ok[i0:i1, j0:j1] = (here == there) & (there < n_zones)
+    return parity & in_room & partner_ok
 
 
 def make_convection_buckets(
-    geom: BuildingGeometry, p: float, distance: int
+    geom: BuildingGeometry,
+    p: float,
+    distance: int,
+    method: str = "swap",
+    rounds: int = 0,
+    variants: int = 0,
+    seed: int = 5,
 ) -> ConvectionBuckets:
-    """Groups room CVs into shuffle segments.
+    """Precomputes the mixing structure.
 
-    distance == -1 -> whole rooms; otherwise tiles of side ~= the swap
-    radius (the reference's bound is *squared* distance <= `distance`,
-    i.e. radius sqrt(distance)), so mixing stays as local as the
-    reference's swaps.
+    For "swap": a schedule of offsets within the distance bound and a static
+    lead mask per round. Rounds r and per-round swap probability p_round are
+    sized so expected participations per CV ~= 2p, matching the reference's
+    one initiated + one expected received swap (`rounds`=0 -> auto).
+    `variants` is unused by "swap" (kept for config compatibility).
     """
+    del variants
     zone_ids = np.asarray(geom.zone_ids)
     h, w = zone_ids.shape
     in_room = zone_ids < geom.n_zones
     flat = np.flatnonzero(in_room.ravel())
     rooms = zone_ids.ravel()[flat].astype(np.int64)
 
+    # --- argsort path precompute (legacy) -------------------------------
     if distance == -1:
         segments = rooms
     else:
@@ -62,35 +152,97 @@ def make_convection_buckets(
         tile_ids = (rows // tile) * ((w // tile) + 1) + (cols // tile)
         # Combine room and tile so shuffling never crosses a wall.
         segments = rooms * (tile_ids.max() + 1) + tile_ids
-
-    # Renumber segments densely in raster order.
     _, segments = np.unique(segments, return_inverse=True)
     order = np.argsort(segments, kind="stable")
     flat = flat[order]
     segments = segments[order]
+
+    # --- swap path precompute -------------------------------------------
     enabled = bool(p != 0 and distance != 0)
+    p_round = 0.5
+    if enabled and method == "swap":
+        schedule = _offset_schedule(distance, max_extent=max(h, w))
+        # Core rounds: unit axis steps (or the full doubling ladder) in BOTH
+        # parity phases - this is what makes each room's swap graph
+        # connected so repeated steps mix globally.
+        if distance == -1:
+            core = [(o, ph) for ph in (0, 1) for o in schedule]
+        else:
+            core = [(o, ph) for ph in (0, 1) for o in ((0, 1), (1, 0))]
+        extras = [
+            (o, ph)
+            for ph in (0, 1)
+            for o in schedule
+            if (o, ph) not in core
+        ]
+        if rounds <= 0:
+            # participations/CV/step = rounds * p_round ~= the reference's
+            # 2p (one initiated + one expected received swap).
+            rounds = max(len(core), int(round(2.0 * min(p, 1.0) / p_round)))
+        p_round = 2.0 * min(p, 1.0) / rounds
+        rs = np.random.RandomState(seed)
+        chosen = list(core)
+        while len(chosen) < rounds and extras:
+            chosen.append(extras[rs.randint(len(extras))])
+        chosen = chosen[:rounds]
+        lead_masks = np.stack(
+            [_lead_mask(zone_ids, geom.n_zones, o, ph) for o, ph in chosen]
+        )
+        offsets = tuple(o for o, _ in chosen)
+    else:
+        lead_masks = np.zeros((1, h, w), bool)
+        offsets = ((0, 1),)
+
     return ConvectionBuckets(
+        lead_masks=jnp.asarray(lead_masks),
         flat_indices=jnp.asarray(flat, jnp.int32),
         segment_keys=jnp.asarray(segments.astype(np.float32) * 2.0),
+        offsets=offsets,
         enabled=enabled,
+        method=method,
+        p_round=float(p_round),
     )
+
+
+def _apply_swaps(temp, buckets, key):
+    """R rounds of masked pair swaps; each round is a permutation."""
+    out = temp
+    for r, (dy, dx) in enumerate(buckets.offsets):
+        u = jax.random.uniform(jax.random.fold_in(key, r), temp.shape)
+        swap_lead = jnp.logical_and(
+            buckets.lead_masks[r], u < buckets.p_round
+        )
+        # roll(a, +o)[x] = a[x-o]; masks make the wraparound harmless.
+        from_follower = jnp.roll(out, (-dy, -dx), axis=(0, 1))
+        from_lead = jnp.roll(out, (dy, dx), axis=(0, 1))
+        swap_foll = jnp.roll(swap_lead, (dy, dx), axis=(0, 1))
+        out = jnp.where(swap_lead, from_follower, out)
+        out = jnp.where(swap_foll, from_lead, out)
+    return out
+
+
+def _apply_argsort(temp, buckets, key):
+    flat = temp.ravel()
+    vals = flat[buckets.flat_indices]
+    u = jax.random.uniform(key, vals.shape)
+    # Sorting segment_id*2 + u keeps segments contiguous (u < 1 < 2) while
+    # ordering CVs within each segment uniformly at random.
+    order = jnp.argsort(buckets.segment_keys + u)
+    out = flat.at[buckets.flat_indices].set(vals[order])
+    return out.reshape(temp.shape)
 
 
 def apply_convection(
     temp: jnp.ndarray, buckets: ConvectionBuckets, key: jax.Array
 ) -> jnp.ndarray:
-    """Randomly permutes CV temperatures within each room.
+    """Randomly mixes CV temperatures within each room.
 
-    temp: (H, W). Returns the shuffled field; non-room CVs untouched.
+    temp: (H, W). Returns the mixed field; non-room CVs untouched. Both
+    methods apply a permutation, so within-room temperature multisets (and
+    hence room energy) are preserved exactly.
     """
     if not buckets.enabled:
         return temp
-    flat = temp.ravel()
-    vals = flat[buckets.flat_indices]
-    u = jax.random.uniform(key, vals.shape)
-    # Sorting room_id*2 + u keeps rooms contiguous (u < 1 < 2) while ordering
-    # CVs within each room uniformly at random.
-    order = jnp.argsort(buckets.segment_keys + u)
-    shuffled = vals[order]
-    out = flat.at[buckets.flat_indices].set(shuffled)
-    return out.reshape(temp.shape)
+    if buckets.method == "swap":
+        return _apply_swaps(temp, buckets, key)
+    return _apply_argsort(temp, buckets, key)

@@ -26,8 +26,11 @@ def geom():
     )
 
 
-def test_shuffle_conserves_room_multisets(geom):
-    buckets = convection.make_convection_buckets(geom, p=1.0, distance=-1)
+@pytest.mark.parametrize("method", ["swap", "argsort"])
+def test_shuffle_conserves_room_multisets(geom, method):
+    buckets = convection.make_convection_buckets(
+        geom, p=1.0, distance=-1, method=method
+    )
     rng = np.random.default_rng(0)
     temp = jnp.asarray(rng.normal(294, 3, geom.shape), jnp.float32)
     out = convection.apply_convection(temp, buckets, jax.random.PRNGKey(1))
@@ -44,8 +47,11 @@ def test_shuffle_conserves_room_multisets(geom):
     )
 
 
-def test_distance_bound_keeps_mixing_local(geom):
-    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+@pytest.mark.parametrize("method", ["swap", "argsort"])
+def test_distance_bound_keeps_mixing_local(geom, method):
+    buckets = convection.make_convection_buckets(
+        geom, p=1.0, distance=5, method=method
+    )
     rng = np.random.default_rng(1)
     temp_np = rng.normal(294, 3, geom.shape).astype(np.float32)
     out = np.asarray(
@@ -53,14 +59,18 @@ def test_distance_bound_keeps_mixing_local(geom):
             jnp.asarray(temp_np), buckets, jax.random.PRNGKey(2)
         )
     )
-    # Every value moved at most ~tile-diagonal away from its origin.
-    radius = int(np.ceil(np.sqrt(5)))
-    tile = 2 * radius + 1
+    # Every value moved at most the method's per-step bound: one hop of at
+    # most radius per swap round, or one tile for the argsort permutation.
+    radius = int(np.floor(np.sqrt(5)))
+    if method == "swap":
+        bound = len(buckets.offsets) * radius
+    else:
+        bound = 2 * int(np.ceil(np.sqrt(5))) + 1
     moved = np.argwhere(out != temp_np)
     for i, j in moved:
         src = np.argwhere(np.isclose(temp_np, out[i, j], atol=0))
         dists = np.abs(src - np.array([i, j])).max(axis=1).min()
-        assert dists <= tile, f"value at {(i, j)} moved {dists} CVs"
+        assert dists <= bound, f"value at {(i, j)} moved {dists} CVs"
 
 
 def test_disabled_convection_is_identity(geom):
@@ -71,8 +81,11 @@ def test_disabled_convection_is_identity(geom):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(temp))
 
 
-def test_shuffle_deterministic_per_key(geom):
-    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+@pytest.mark.parametrize("method", ["swap", "argsort"])
+def test_shuffle_deterministic_per_key(geom, method):
+    buckets = convection.make_convection_buckets(
+        geom, p=1.0, distance=5, method=method
+    )
     temp = jnp.asarray(np.random.default_rng(3).normal(294, 3, geom.shape),
                        jnp.float32)
     a = convection.apply_convection(temp, buckets, jax.random.PRNGKey(4))
@@ -80,3 +93,82 @@ def test_shuffle_deterministic_per_key(geom):
     c = convection.apply_convection(temp, buckets, jax.random.PRNGKey(5))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_swap_rounds_are_room_local_permutations(geom):
+    buckets = convection.make_convection_buckets(
+        geom, p=1.0, distance=5, method="swap"
+    )
+    zid = np.asarray(geom.zone_ids)
+    h, w = zid.shape
+    masks = np.asarray(buckets.lead_masks)
+    for r, (dy, dx) in enumerate(buckets.offsets):
+        # Offsets respect the reference's squared-distance bound.
+        assert dy * dy + dx * dx <= 5
+        lead = masks[r]
+        ii, jj = np.nonzero(lead)
+        # Followers in bounds.
+        assert (ii + dy >= 0).all() and (ii + dy < h).all()
+        assert (jj + dx >= 0).all() and (jj + dx < w).all()
+        # Pairs never cross a wall, both ends in a room.
+        assert (zid[ii, jj] == zid[ii + dy, jj + dx]).all()
+        assert (zid[ii, jj] < geom.n_zones).all()
+        # Lead and follower sets are disjoint (the round is a permutation).
+        follower = np.zeros_like(lead)
+        follower[ii + dy, jj + dx] = True
+        assert not (lead & follower).any()
+        # Each follower has exactly one lead (offset map is injective).
+        assert follower.sum() == lead.sum()
+
+
+def test_swap_partial_probability_swaps_some_not_all(geom):
+    buckets = convection.make_convection_buckets(
+        geom, p=0.4, distance=-1, method="swap"
+    )
+    rng = np.random.default_rng(7)
+    temp_np = rng.normal(294, 3, geom.shape).astype(np.float32)
+    out = np.asarray(
+        convection.apply_convection(
+            jnp.asarray(temp_np), buckets, jax.random.PRNGKey(11)
+        )
+    )
+    zid = np.asarray(geom.zone_ids)
+    in_room = zid < geom.n_zones
+    changed = (out != temp_np) & in_room
+    frac = changed.sum() / in_room.sum()
+    # Expected participation = 2p = 0.8 per CV; the changed fraction is a
+    # bit lower (unpaired leftovers, swap-backs). Loose bounds that fail
+    # for all-swap or no-swap bugs.
+    assert 0.1 < frac < 0.95
+    # Still a permutation per room.
+    for z in range(geom.n_zones):
+        np.testing.assert_array_equal(
+            np.sort(temp_np[zid == z]), np.sort(out[zid == z])
+        )
+
+
+def test_swap_mixes_across_steps(geom):
+    """Repeated application homogenizes an initially split room."""
+    buckets = convection.make_convection_buckets(
+        geom, p=1.0, distance=5, method="swap"
+    )
+    zid = np.asarray(geom.zone_ids)
+    temp_np = np.full(geom.shape, 294.0, np.float32)
+    room0 = zid == 0
+    rows = np.argwhere(room0)
+    top_half = rows[rows[:, 0] < np.median(rows[:, 0])]
+    temp_np[tuple(top_half.T)] = 300.0
+    temp = jnp.asarray(temp_np)
+    key = jax.random.PRNGKey(3)
+    # Distance-bounded swaps mix diffusively (as the reference's bounded
+    # swap chain does); a 16-row room homogenizes over ~tens of steps.
+    for i in range(50):
+        key, sub = jax.random.split(key)
+        temp = convection.apply_convection(temp, buckets, sub)
+    out = np.asarray(temp)
+    # Top and bottom halves of the room approach the same mean (start: 6 K
+    # apart).
+    bottom_half = rows[rows[:, 0] >= np.median(rows[:, 0])]
+    m_top = out[tuple(top_half.T)].mean()
+    m_bot = out[tuple(bottom_half.T)].mean()
+    assert abs(m_top - m_bot) < 2.0, (m_top, m_bot)
