@@ -324,7 +324,16 @@ class BuildingEnv:
         pre, conv_keys = jax.vmap(self._step_pre)(states, actions)
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         if use_pallas and on_tpu:
-            new_temp, n_iter = fdm_pallas.fdm_step_pallas(
+            batch = states.temp.shape[0]
+            # Envs-in-lanes kernel amortizes loop overhead over 128 envs at
+            # full VPU lane occupancy; the per-env-program kernel only wins
+            # for small batches where lane padding would dominate.
+            kernel_fn = (
+                fdm_pallas.fdm_step_pallas_lanes
+                if batch >= 128
+                else fdm_pallas.fdm_step_pallas
+            )
+            new_temp, n_iter = kernel_fn(
                 states.temp,
                 states.input_q,
                 pre["ambient"],
