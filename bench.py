@@ -48,10 +48,17 @@ def tpu_available(timeout_sec: float = 120.0) -> bool:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument(
+        "--solver",
+        default="auto",
+        choices=["auto", "pallas_env", "pallas_cheby", "pallas_lanes",
+                 "xla_jacobi", "xla_chebyshev"],
+        help="FDM path to benchmark; auto = measured-best for the platform",
+    )
     parser.add_argument("--force-cpu", action="store_true")
     parser.add_argument(
         "--full-scale",
@@ -90,11 +97,11 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states0, _ = jax.jit(jax.vmap(env.reset))(keys)
 
-    def make_rollout(use_pallas):
+    def make_rollout(solver):
         def rollout(states):
             def body(s, _):
                 act = actions[jnp.clip(s.step_idx, 0, actions.shape[0] - 1)]
-                s, out = env.step_batched(s, act, use_pallas=use_pallas)
+                s, out = env.step_batched(s, act, solver=solver)
                 return s, out.reward
 
             states, rewards = jax.lax.scan(
@@ -104,35 +111,50 @@ def main():
 
         return jax.jit(rollout)
 
-    def pallas_is_sound() -> bool:
-        """One-step numeric check of the Pallas kernel vs the XLA solver."""
+    def solver_is_sound(solver) -> bool:
+        """One-step numeric check of the SAME solver path and batch the timed
+        rollout uses, against the XLA Jacobi reference semantics.
+
+        Jacobi-family paths must reproduce the reference iterates (tight);
+        Chebyshev solves the same system under the same residual stopping
+        rule but follows different iterates, so the two converged fields
+        agree only within the rule's slack (measured 0.63 K on the sb1 plan,
+        reward within 4e-6 - artifacts/TPU_PROBE_r02.md).
+        """
+        if solver == "xla_jacobi":
+            return True
+        temp_tol = 1.0 if "cheby" in solver else 1e-2
         try:
-            small = jax.tree.map(lambda x: x[:8], states0)
-            acts = jnp.zeros((8, env.n_actions), jnp.float32)
+            acts = jnp.zeros((batch, env.n_actions), jnp.float32)
             sp, op = jax.jit(
-                lambda s, a: env.step_batched(s, a, use_pallas=True)
-            )(small, acts)
+                lambda s, a: env.step_batched(s, a, solver=solver)
+            )(states0, acts)
             sx, ox = jax.jit(
-                lambda s, a: env.step_batched(s, a, use_pallas=False)
-            )(small, acts)
-            temp_ok = bool(
-                jnp.max(jnp.abs(sp.temp - sx.temp)) < 1e-2
-            )
-            reward_ok = bool(
-                jnp.max(jnp.abs(op.reward - ox.reward)) < 1e-4
-            )
+                lambda s, a: env.step_batched(s, a, solver="xla_jacobi")
+            )(states0, acts)
+            temp_ok = bool(jnp.max(jnp.abs(sp.temp - sx.temp)) < temp_tol)
+            reward_ok = bool(jnp.max(jnp.abs(op.reward - ox.reward)) < 1e-3)
             return temp_ok and reward_ok
         except Exception:
             return False
 
-    use_pallas = not args.no_pallas and not on_cpu and pallas_is_sound()
-    rollout = make_rollout(use_pallas)
+    if args.solver != "auto":
+        order = [args.solver]
+    elif on_cpu or args.no_pallas:
+        order = ["xla_jacobi"]
+    else:
+        # Measured-best first on real v5e (artifacts/TPU_PROBE_r02.md):
+        # Chebyshev VMEM kernel 130k, Jacobi VMEM kernel 90k, XLA 61k.
+        order = ["pallas_cheby", "pallas_env", "xla_jacobi"]
+    solver = next((s for s in order if solver_is_sound(s)), "xla_jacobi")
+    rollout = make_rollout(solver)
     try:
         states, _ = jax.block_until_ready(rollout(states0))  # compile
     except Exception:
         # Lowering failure must not take the benchmark down; fall back to
         # the XLA while_loop solver.
-        rollout = make_rollout(False)
+        solver = "xla_jacobi"
+        rollout = make_rollout(solver)
         states, _ = jax.block_until_ready(rollout(states0))
 
     best = 0.0
@@ -151,6 +173,8 @@ def main():
                 "value": round(best, 1),
                 "unit": unit,
                 "vs_baseline": round(best / PER_CHIP_TARGET, 3),
+                "solver": solver,
+                "batch": batch,
             }
         )
     )

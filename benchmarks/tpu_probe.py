@@ -1,21 +1,106 @@
-"""Incremental TPU timing probe for the batched env step (dev tool)."""
+"""Incremental TPU timing probe for the batched env step (dev tool).
+
+Times any subset of the FDM solver paths ("pallas_env", "pallas_lanes",
+"xla_jacobi", "xla_chebyshev") at one or more batch sizes in a single
+process, so kernel choices are made by measurement on the real chip
+(VERDICT round-1 item 1). Also cross-checks each timed path's numerics
+against the XLA Jacobi solver at the same batch.
+"""
 
 import argparse
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sbsim_tpu.envs import presets
 from sbsim_tpu.envs.building_env import BuildingEnv
 
 
+def time_solver(env, states, actions, solver, scan_len, repeats=2):
+    def step(s, a):
+        return env.step_batched(s, a, solver=solver)
+
+    def scan_fn(s):
+        def body(s, _):
+            s, out = step(s, actions)
+            return s, out.reward
+
+        return jax.lax.scan(body, s, None, length=scan_len)
+
+    batch = actions.shape[0]
+    r = jax.jit(scan_fn)
+    t0 = time.time()
+    s, rw = r(states)
+    jax.block_until_ready(rw)
+    print(f"  compile+run: {time.time()-t0:.1f}s", flush=True)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.time()
+        s, rw = r(s)
+        jax.block_until_ready(rw)
+        dt = time.time() - t0
+        best = max(best, scan_len * batch / dt)
+    print(
+        f"  {solver}: {best:.0f} env-steps/s "
+        f"(batch={batch}, fdm iters mean={float(s.fdm_iterations.mean()):.1f})",
+        flush=True,
+    )
+    return best, s
+
+
+def check_numerics(env, states, actions, solver):
+    """One-step max-|dT| of `solver` vs the XLA Jacobi path, same batch."""
+    sp, op = jax.jit(
+        lambda s, a: env.step_batched(s, a, solver=solver)
+    )(states, actions)
+    sx, ox = jax.jit(
+        lambda s, a: env.step_batched(s, a, solver="xla_jacobi")
+    )(states, actions)
+    dt = float(jnp.max(jnp.abs(sp.temp - sx.temp)))
+    dr = float(jnp.max(jnp.abs(op.reward - ox.reward)))
+    di = int(jnp.max(jnp.abs(sp.fdm_iterations - sx.fdm_iterations)))
+    print(f"  {solver} vs xla_jacobi: max|dT|={dt:.2e} max|dR|={dr:.2e} "
+          f"max|diters|={di}", flush=True)
+    return dt, dr, di
+
+
+def check_isolation(env, states, actions, solver, idx=3):
+    """Env `idx` stepped alone vs inside the full batch: bitwise equality
+    (BASELINE.md 'per-env bitwise identity under vmap batch ... 1 TPU chip',
+    demonstrated on the solver path bench.py times)."""
+    step = jax.jit(lambda s, a: env.step_batched(s, a, solver=solver))
+    sb, ob = step(states, actions)
+    solo = jax.tree.map(lambda x: x[idx: idx + 1], states)
+    sa, oa = step(solo, actions[idx: idx + 1])
+    temp_eq = bool(jnp.all(sa.temp[0] == sb.temp[idx]))
+    iter_eq = bool(jnp.all(sa.fdm_iterations[0] == sb.fdm_iterations[idx]))
+    obs_eq = bool(jnp.all(oa.observation[0] == ob.observation[idx]))
+    rew_eq = bool(jnp.all(oa.reward[0] == ob.reward[idx]))
+    print(f"  {solver} isolation: temp={'BITWISE' if temp_eq else 'DIFF'} "
+          f"iters={'==' if iter_eq else '!='} "
+          f"obs={'BITWISE' if obs_eq else 'DIFF'} "
+          f"reward={'BITWISE' if rew_eq else 'DIFF'}", flush=True)
+    return temp_eq and iter_eq and obs_eq and rew_eq
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--batch", type=int, nargs="+", default=[1024])
+    p.add_argument(
+        "--solver",
+        nargs="+",
+        default=["pallas_env", "pallas_lanes", "xla_jacobi"],
+        choices=["pallas_env", "pallas_cheby", "pallas_lanes", "xla_jacobi", "xla_chebyshev"],
+    )
+    p.add_argument("--pallas", action="store_true",
+                   help="legacy alias: probe both pallas kernels only")
     p.add_argument("--scan", type=int, default=16)
-    p.add_argument("--block", type=int, default=8)
+    p.add_argument("--check", action="store_true",
+                   help="numeric cross-check each solver vs xla_jacobi")
+    p.add_argument("--isolation", action="store_true",
+                   help="bitwise per-env batch-isolation check per solver")
     p.add_argument(
         "--iteration-limit",
         type=int,
@@ -27,58 +112,59 @@ def main():
         action="store_true",
         help="disable the stochastic convection shuffle",
     )
+    p.add_argument(
+        "--full-scale",
+        action="store_true",
+        help="126-room building matching the real sb1 device count",
+    )
     args = p.parse_args()
 
     import dataclasses
 
+    floor_plan = None
+    if args.full_scale:
+        from sbsim_tpu.core.geometry import make_synthetic_office_plan
+
+        floor_plan = make_synthetic_office_plan(9, 14, room_cvs=12)
     cfg = presets.sb1_config(
         num_days_in_episode=1,
         convection_p=0.0 if args.no_convection else 1.0,
+        floor_plan=floor_plan,
     )
     if args.iteration_limit is not None:
         cfg = dataclasses.replace(cfg, iteration_limit=args.iteration_limit)
     env = BuildingEnv(cfg)
-    print(f"grid={env.geom.shape} zones={env.n_zones}", flush=True)
-    batch = args.batch
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    t0 = time.time()
-    states, obs = jax.jit(jax.vmap(env.reset))(keys)
-    jax.block_until_ready(obs)
-    print(f"reset: {time.time()-t0:.1f}s", flush=True)
-    actions = jnp.zeros((batch, env.n_actions))
+    print(f"grid={env.geom.shape} zones={env.n_zones} "
+          f"device={jax.devices()[0].platform}", flush=True)
 
-    def step(s, a):
-        return env.step_batched(s, a, use_pallas=args.pallas)
-
-    t0 = time.time()
-    step_j = jax.jit(step)
-    s2, out = step_j(states, actions)
-    jax.block_until_ready(out.reward)
-    print(f"single step compile+run: {time.time()-t0:.1f}s", flush=True)
-    print("fdm iters mean:", float(s2.fdm_iterations.mean()), flush=True)
-
-    def scan_fn(s):
-        def body(s, _):
-            s, out = step(s, actions)
-            return s, out.reward
-
-        return jax.lax.scan(body, s, None, length=args.scan)
-
-    r = jax.jit(scan_fn)
-    t0 = time.time()
-    s3, rw = r(s2)
-    jax.block_until_ready(rw)
-    print(f"scan{args.scan} compile+run: {time.time()-t0:.1f}s", flush=True)
-    for _ in range(2):
+    solvers = ["pallas_env", "pallas_lanes"] if args.pallas else args.solver
+    results = {}
+    for batch in args.batch:
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
         t0 = time.time()
-        s3, rw = r(s3)
-        jax.block_until_ready(rw)
-        dt = time.time() - t0
-        print(
-            f"scan{args.scan} cached: {dt:.3f}s -> "
-            f"{args.scan*batch/dt:.0f} env-steps/s",
-            flush=True,
-        )
+        states, obs = jax.jit(jax.vmap(env.reset))(keys)
+        jax.block_until_ready(obs)
+        print(f"batch={batch} reset: {time.time()-t0:.1f}s", flush=True)
+        actions = jnp.zeros((batch, env.n_actions))
+        for solver in solvers:
+            try:
+                rate, _ = time_solver(
+                    env, states, actions, solver, args.scan
+                )
+                results[(batch, solver)] = rate
+                if args.check:
+                    check_numerics(env, states, actions, solver)
+                if args.isolation:
+                    check_isolation(env, states, actions, solver)
+            except Exception as e:  # lowering failures must not end the sweep
+                print(f"  {solver}: FAILED ({type(e).__name__}: {e})",
+                      flush=True)
+                results[(batch, solver)] = None
+
+    print("\nsummary (env-steps/s):", flush=True)
+    for (batch, solver), rate in sorted(results.items()):
+        val = f"{rate:.0f}" if rate else "failed"
+        print(f"  batch={batch:5d} {solver:14s} {val}", flush=True)
 
 
 if __name__ == "__main__":

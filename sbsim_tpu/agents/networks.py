@@ -33,13 +33,24 @@ class MLP(nn.Module):
 
 
 class TanhGaussianActor(nn.Module):
-    """Tanh-squashed diagonal Gaussian policy."""
+    """Tanh-squashed diagonal Gaussian policy.
+
+    `input_norm` applies LayerNorm to the raw observation: the calibrated sb1
+    normalization table leaves some emitted fields unnormalized by design
+    (exact-field-id matching, observation_normalizer.py:60-66 — e.g. AHU
+    setpoints reach the agent as raw ~290 K values in the reference too), and
+    whitening them inside the network keeps the critic TD scale sane without
+    deviating from the reference observation contract.
+    """
 
     action_dim: int
     hidden: Sequence[int] = (128, 128)
+    input_norm: bool = True
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.input_norm:
+            obs = nn.LayerNorm()(obs)
         x = MLP(self.hidden)(obs)
         mean = nn.Dense(
             self.action_dim, kernel_init=nn.initializers.glorot_uniform()
@@ -74,14 +85,21 @@ def deterministic_action(mean: jnp.ndarray) -> jnp.ndarray:
 
 
 class Critic(nn.Module):
-    """Q(s, a) with separate obs/action towers and a joint MLP."""
+    """Q(s, a) with separate obs/action towers and a joint MLP.
+
+    `input_norm`: see TanhGaussianActor — whitens raw-magnitude observation
+    fields that the reference contract leaves unnormalized.
+    """
 
     obs_hidden: Sequence[int] = (128, 64)
     action_hidden: Sequence[int] = (128, 64)
     joint_hidden: Sequence[int] = (128, 64)
+    input_norm: bool = True
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+        if self.input_norm:
+            obs = nn.LayerNorm()(obs)
         o = MLP(self.obs_hidden)(obs) if self.obs_hidden else obs
         a = MLP(self.action_hidden)(action) if self.action_hidden else action
         x = jnp.concatenate([o, a], axis=-1)
@@ -96,13 +114,12 @@ class TwinCritic(nn.Module):
     obs_hidden: Sequence[int] = (128, 64)
     action_hidden: Sequence[int] = (128, 64)
     joint_hidden: Sequence[int] = (128, 64)
+    input_norm: bool = True
 
     @nn.compact
     def __call__(self, obs, action):
-        q1 = Critic(self.obs_hidden, self.action_hidden, self.joint_hidden)(
-            obs, action
-        )
-        q2 = Critic(self.obs_hidden, self.action_hidden, self.joint_hidden)(
-            obs, action
-        )
+        q1 = Critic(self.obs_hidden, self.action_hidden, self.joint_hidden,
+                    self.input_norm)(obs, action)
+        q2 = Critic(self.obs_hidden, self.action_hidden, self.joint_hidden,
+                    self.input_norm)(obs, action)
         return q1, q2

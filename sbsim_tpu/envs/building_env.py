@@ -40,6 +40,15 @@ from sbsim_tpu.physics import fdm_pallas
 from sbsim_tpu.scenario import occupancy as occupancy_lib
 from sbsim_tpu.scenario import tables as tables_lib
 
+# FDM paths step_batched can run; "auto"/None resolves via resolve_solver.
+_SOLVERS = (
+    "pallas_env",
+    "pallas_cheby",
+    "pallas_lanes",
+    "xla_jacobi",
+    "xla_chebyshev",
+)
+
 
 @struct.dataclass
 class EnvState:
@@ -102,12 +111,11 @@ class BuildingEnv:
         self.coeffs = fdm.stencil_coefficients(self.geom, config.time_step_sec)
         if config.fdm_solver not in ("jacobi", "chebyshev"):
             raise ValueError(f"unknown fdm_solver: {config.fdm_solver}")
-        self._spectral_radius = (
-            fdm.estimate_spectral_radius(
-                self.coeffs, config.weather.convection_coefficient
-            )
-            if config.fdm_solver == "chebyshev"
-            else None
+        # Always computed: host-side power iteration on the stencil, ~ms.
+        # (Computing it lazily inside a jitted step would run numpy on
+        # staged-out tracers.)
+        self._spectral_radius = fdm.estimate_spectral_radius(
+            self.coeffs, config.weather.convection_coefficient
         )
         self.hvac_params = make_hvac_params(
             self.geom.n_zones,
@@ -155,20 +163,67 @@ class BuildingEnv:
             num_dow_features=config.num_dow_features,
         )
 
-        # Action layout: devices in reference order [boiler, air handler]
+        # Action layout: generic over arbitrary (device, field) tuples - the
+        # analogue of the reference's device_action_tuples + generate_field_id
+        # (environment.py:591-707, :310-348). config.action_tuples names the
+        # devices explicitly (including per-VAV damper commands); the default
+        # is devices in reference order [boiler, air handler]
         # (simulator_building.py:70-81) with alphabetically sorted action
         # fields, filtered to setpoints that have a normalizer
         # (environment.py:620-660).
-        candidates = [
-            ("boiler", "supply_water_setpoint"),
-            ("air_handler", "supply_air_cooling_temperature_setpoint"),
-            ("air_handler", "supply_air_heating_temperature_setpoint"),
-        ]
-        self.action_entries = [
-            (dev, field, config.action_normalizers[field])
-            for dev, field in candidates
-            if field in config.action_normalizers
-        ]
+        if config.action_tuples is not None:
+            candidates = [tuple(t) for t in config.action_tuples]
+            missing = sorted(
+                {f for _, f in candidates if f not in config.action_normalizers}
+            )
+            if missing:
+                raise ValueError(
+                    f"action fields without a normalizer: {missing}"
+                )
+        else:
+            candidates = [
+                (dev, field)
+                for dev, field in [
+                    ("boiler", "supply_water_setpoint"),
+                    ("air_handler", "supply_air_cooling_temperature_setpoint"),
+                    ("air_handler", "supply_air_heating_temperature_setpoint"),
+                ]
+                if field in config.action_normalizers
+            ]
+        zone_index = {n: i for i, n in enumerate(self.geom.zone_names)}
+        known_fields = {
+            "boiler": ("supply_water_setpoint",),
+            "air_handler": (
+                "supply_air_cooling_temperature_setpoint",
+                "supply_air_heating_temperature_setpoint",
+            ),
+            "vav": ("supply_air_damper_percentage_command",),
+        }
+        self.action_entries = []
+        vav_slots = []  # (zone index, action index) for per-VAV dampers
+        for i, (dev, field) in enumerate(candidates):
+            kind = "vav" if dev.startswith("vav_") else dev
+            if kind not in known_fields or field not in known_fields[kind]:
+                raise ValueError(
+                    f"unsupported action tuple ({dev!r}, {field!r})"
+                )
+            if kind == "vav":
+                zname = dev[len("vav_"):]
+                if zname not in zone_index:
+                    raise ValueError(
+                        f"unknown VAV device {dev!r}; zones are "
+                        f"{self.geom.zone_names}"
+                    )
+                vav_slots.append((zone_index[zname], i))
+            self.action_entries.append(
+                (dev, field, config.action_normalizers[field])
+            )
+        self._vav_action_zone_idx = np.asarray(
+            [z for z, _ in vav_slots], np.int32
+        )
+        self._vav_action_slot = np.asarray(
+            [i for _, i in vav_slots], np.int32
+        )
         self.action_names = tuple(
             f"{dev}_{field}" for dev, field, _ in self.action_entries
         )
@@ -312,40 +367,77 @@ class BuildingEnv:
         )
         return self._step_post(state, pre, new_temp, converged, n_iter)
 
+    def resolve_solver(
+        self, batch: int, use_pallas: bool = True, solver: Optional[str] = None
+    ) -> str:
+        """Name of the FDM path `step_batched` will run for this batch.
+
+        Exposed so callers that *measure* a path (bench.py) can also
+        *validate* that exact path, and record it in their output.
+        """
+        if solver is not None and solver != "auto":
+            if solver not in _SOLVERS:
+                raise ValueError(
+                    f"unknown solver {solver!r}; one of {sorted(_SOLVERS)}"
+                )
+            return solver
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        if use_pallas and on_tpu:
+            # Per-env-program kernel measured fastest on real v5e across
+            # batch 128-1024 (artifacts/TPU_PROBE_r02.md); the envs-in-lanes
+            # kernel trades VPU occupancy for worse convergence coupling.
+            return "pallas_env"
+        return f"xla_{self.config.fdm_solver}"
+
     def step_batched(
-        self, states: EnvState, actions: jnp.ndarray, use_pallas: bool = True
+        self,
+        states: EnvState,
+        actions: jnp.ndarray,
+        use_pallas: bool = True,
+        solver: Optional[str] = None,
     ) -> Tuple[EnvState, StepOutput]:
         """One control step for an explicit env batch.
 
         The control/observation/reward phases vmap over envs; the FDM hot
-        loop runs as one batched call - the Pallas VMEM-resident kernel on
-        TPU (physics/fdm_pallas.py), the XLA while_loop elsewhere.
+        loop runs as one batched call. `solver` selects the FDM path
+        explicitly ("pallas_env", "pallas_lanes", "xla_jacobi",
+        "xla_chebyshev"); None/"auto" picks the Pallas VMEM-resident kernel
+        on TPU (physics/fdm_pallas.py) and the XLA while_loop elsewhere.
         """
         pre, conv_keys = jax.vmap(self._step_pre)(states, actions)
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        if use_pallas and on_tpu:
-            batch = states.temp.shape[0]
-            # Envs-in-lanes kernel amortizes loop overhead over 128 envs at
-            # full VPU lane occupancy; the per-env-program kernel only wins
-            # for small batches where lane padding would dominate.
-            kernel_fn = (
-                fdm_pallas.fdm_step_pallas_lanes
-                if batch >= 128
-                else fdm_pallas.fdm_step_pallas
+        solver = self.resolve_solver(
+            states.temp.shape[0], use_pallas=use_pallas, solver=solver
+        )
+        if solver.startswith("pallas"):
+            kwargs = dict(
+                convergence_threshold=self.config.convergence_threshold,
+                iteration_limit=self.config.iteration_limit,
             )
+            if solver == "pallas_lanes":
+                kernel_fn = fdm_pallas.fdm_step_pallas_lanes
+            else:
+                kernel_fn = fdm_pallas.fdm_step_pallas
+                if solver == "pallas_cheby":
+                    kwargs.update(
+                        method="chebyshev",
+                        spectral_radius=self._spectral_radius,
+                    )
             new_temp, n_iter = kernel_fn(
                 states.temp,
                 states.input_q,
                 pre["ambient"],
                 pre["h_conv"],
                 self.coeffs,
-                convergence_threshold=self.config.convergence_threshold,
-                iteration_limit=self.config.iteration_limit,
+                **kwargs,
             )
             converged = n_iter < self.config.iteration_limit
         else:
             new_temp, converged, n_iter = self._solve_fdm(
-                states.temp, states.input_q, pre["ambient"], pre["h_conv"]
+                states.temp,
+                states.input_q,
+                pre["ambient"],
+                pre["h_conv"],
+                kind=solver[len("xla_"):],
             )
         new_temp = jax.vmap(
             lambda temp, key: convection_lib.apply_convection(
@@ -356,8 +448,9 @@ class BuildingEnv:
             states, pre, new_temp, converged, n_iter
         )
 
-    def _solve_fdm(self, temp, input_q, ambient, h_conv):
-        if self.config.fdm_solver == "chebyshev":
+    def _solve_fdm(self, temp, input_q, ambient, h_conv, kind=None):
+        kind = kind or self.config.fdm_solver
+        if kind == "chebyshev":
             return fdm.fdm_step_chebyshev(
                 temp, input_q, ambient, h_conv, self.coeffs,
                 convergence_threshold=self.config.convergence_threshold,
@@ -411,8 +504,18 @@ class BuildingEnv:
             self._action_high - self._action_low
         ) + self._action_low
         setters: Dict[str, jnp.ndarray] = {}
-        for i, (_, field, _) in enumerate(self.action_entries):
-            setters[field] = native[i]
+        for i, (dev, field, _) in enumerate(self.action_entries):
+            if not dev.startswith("vav_"):
+                setters[field] = native[i]
+        # Per-VAV damper commands override the thermostat defaults
+        # (set_action runs after update_settings,
+        # simulator_building.py:204-263).
+        if self._vav_action_slot.size:
+            hvac = hvac.replace(
+                damper=hvac.damper.at[self._vav_action_zone_idx].set(
+                    native[self._vav_action_slot]
+                )
+            )
         if "supply_water_setpoint" in setters:
             hvac = hvac.replace(
                 boiler_setpoint=setters["supply_water_setpoint"],

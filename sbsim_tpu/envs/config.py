@@ -207,6 +207,15 @@ class EnvConfig:
         )
     )
 
+    # Explicit (device_id, setpoint_name) action tuples, the analogue of the
+    # reference's device_action_tuples (environment.py:591-707). device_id is
+    # "boiler", "air_handler", or "vav_<zone_name>" (per-zone damper/reheat
+    # control). None keeps the sb1 default: the boiler + air-handler
+    # setpoints above, in reference device order
+    # (simulator_building.py:70-81). Every named field must have an entry in
+    # action_normalizers.
+    action_tuples: Optional[Tuple[Tuple[str, str], ...]] = None
+
     # Observation z-score constants: field id -> (mean, variance)
     # (sim_config.gin:252-583; fields absent here normalize to 0, matching
     # observation_normalizer.py:100-140).

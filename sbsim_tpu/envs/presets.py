@@ -25,22 +25,72 @@ from sbsim_tpu.envs.config import (
     WeatherConfig,
 )
 
-# Calibrated z-score constants for the measurements this simulator emits
-# (sim_config.gin:252-583; fields the gin map does not cover pass through
-# unnormalized, matching observation_normalizer.py:60-66).
+# The COMPLETE calibrated z-score table from the released sb1 config — all 56
+# field ids of sim_config.gin:252-583, extracted verbatim via
+# gin_compat.parse_gin_bindings so the calibration is self-contained without
+# the reference mounted. Matching is EXACT field-id match, else the value
+# passes through unnormalized (observation_normalizer.py:60-66) — reference
+# quirks preserved: e.g. the sim emits supply_air_heating/
+# cooling_temperature_setpoint and cooling/heating_request_count, which have
+# no exact entry here and therefore reach the agent unnormalized, exactly as
+# in the reference environment.
 SB1_OBSERVATION_NORMALIZATION: Mapping[str, Tuple[float, float]] = {
-    "differential_pressure_setpoint": (83810.269540, 14889040.603647),
-    "outside_air_flowrate_sensor": (3.701930, 20.300565),
+    "air_flowrate": (0.5, 4.0),
+    "building_air_static_pressure_sensor": (3.779228, 14.599437),
+    "building_air_static_pressure_setpoint": (7.472401, 0.0),
+    "cooling_percentage_command": (9.658281, 295.833612),
+    "differential_pressure": (10000.0, 100000.0),
+    "differential_pressure_sensor": (31611.814379, 1844378631.487996),
+    "differential_pressure_setpoint": (83810.26954, 14889040.603647),
+    "discharge_air_temperature_sensor": (69.889025, 541.455462),
+    "discharge_air_temperature_setpoint": (57.665244, 97.254479),
+    "exhaust_air_damper_percentage_command": (25.0, 0.0),
+    "exhaust_air_damper_percentage_sensor": (10.680755, 539.207818),
+    "exhaust_fan_speed_frequency_sensor": (4.273057, 138.559759),
+    "exhaust_fan_speed_percentage_command": (7.121761, 384.888218),
+    "heating_water_valve_percentage_command": (3.105189, 202.006249),
+    "mixed_air_temperature_sensor": (293.71871, 12.517696),
+    "mixed_air_temperature_setpoint": (288.218302, 3.186768),
+    "outside_air_damper_percentage_command": (34.504101, 2053.149002),
+    "outside_air_dewpoint_temperature_sensor": (285.774428, 2.50461),
+    "outside_air_flowrate_sensor": (3.70193, 20.300565),
+    "outside_air_flowrate_setpoint": (8.730134, 0.240364),
+    "outside_air_relative_humidity_sensor": (71.799372, 172.388773),
+    "outside_air_specificenthalpy_sensor": (60711.656343, 25491060.173822),
     "outside_air_temperature_sensor": (291.244931, 12.904175),
-    "supply_air_temperature_setpoint": (289.329414, 3.186769),
-    "supply_air_cooling_temperature_setpoint": (289.329414, 3.186769),
-    "supply_air_heating_temperature_setpoint": (289.329414, 3.186769),
+    "outside_air_wetbulb_temperature_sensor": (287.709943, 3.59426),
+    "percentage": (0.5, 1.0),
+    "program_differential_pressure_setpoint": (83808.578375, 14897544.664858),
+    "program_supply_air_static_pressure_setpoint": (163.396282, 1092.073231),
+    "program_supply_air_temperature_setpoint": (289.490004, 2.854515),
+    "program_supply_water_temperature_setpoint": (341.467705, 74.961483),
+    "request_count": (100.0, 25.0),
+    "return_air_temperature_sensor": (295.602164, 11.30993),
+    "return_water_temperature_sensor": (326.219913, 497.847788),
+    "run_status": (-0.63834, 0.592523),
+    "speed_frequency_sensor": (7.003487, 227.751249),
+    "speed_percentage_command": (11.330966, 602.718159),
+    "supervisor_run_command": (0.0, 1.0),
+    "supervisor_supply_air_static_pressure_setpoint": (179.409052, 352.049768),
+    "supervisor_supply_air_temperature_setpoint": (290.2, 9.66245),
+    "supervisor_supply_water_temperature_setpoint": (332.164444, 1.534112),
     "supply_air_flowrate_sensor": (177.520026, 50499.153481),
+    "supply_air_static_pressure_sensor": (128.527912, 6679.599175),
+    "supply_air_static_pressure_setpoint": (181.307432, 361.757966),
+    "supply_air_temperature_sensor": (289.737939, 6.265837),
+    "supply_air_temperature_setpoint": (289.329414, 3.186769),
+    "supply_fan_run_status": (0.439849, 0.806533),
+    "supply_fan_speed_frequency_sensor": (15.926249, 207.034194),
     "supply_fan_speed_percentage_command": (26.543748, 575.094979),
+    "supply_water_setpoint": (310.0, 2500.0),
     "supply_water_temperature_sensor": (321.520315, 658.413066),
-    "supply_water_setpoint": (320.261985, 240.195517),
+    "supply_water_temperature_setpoint": (320.261985, 240.195517),
+    "temperature": (310.0, 2500.0),
+    "zone_air_co2_concentration_sensor": (432.092062, 962.90384),
+    "zone_air_co2_concentration_setpoint": (739.337708, 3618.117781),
+    "zone_air_cooling_temperature_setpoint": (82.084227, 402.158853),
+    "zone_air_heating_temperature_setpoint": (64.231868, 24.461668),
     "zone_air_temperature_sensor": (190.0, 408.113303),
-    "cooling_request_count": (100.0, 25.0),
 }
 
 # Histogram bins (sim_config.gin:586-590).
@@ -146,6 +196,13 @@ def sb1_config(
         discount_factor=0.9,
         observation_normalization=SB1_OBSERVATION_NORMALIZATION,
         histogram_parameters=SB1_HISTOGRAM_PARAMETERS,
+        # The sb1 action space, expressed through the generic
+        # device_action_tuples mechanism (sim_config.gin:228-244 wires
+        # exactly these two setpoints).
+        action_tuples=(
+            ("boiler", "supply_water_setpoint"),
+            ("air_handler", "supply_air_heating_temperature_setpoint"),
+        ),
     )
 
 

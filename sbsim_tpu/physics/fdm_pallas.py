@@ -107,6 +107,78 @@ def _fdm_kernel(
     iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
 
 
+def _fdm_cheby_kernel(
+    temp_ref,
+    const_ref,
+    denom_ref,
+    tinf_ref,
+    a_r_ref,
+    a_l_ref,
+    a_b_ref,
+    a_t_ref,
+    ext_ref,
+    out_ref,
+    iters_ref,
+    *,
+    threshold: float,
+    iteration_limit: int,
+    rho2: float,
+):
+    """Chebyshev semi-iterative FDM solve, one env per program.
+
+    Same VMEM-resident layout as _fdm_kernel; the loop runs the Chebyshev
+    recombination of the Jacobi map (fdm.fdm_step_chebyshev, Golub & Van
+    Loan sec. 10.1.5), reaching the same residual criterion in ~sqrt of the
+    Jacobi iteration count. One env per program keeps per-env trajectory
+    isolation bitwise regardless of batch composition.
+    """
+    x0 = temp_ref[0]  # (H, W)
+    const = const_ref[0]
+    denom = denom_ref[0]
+    tinf = tinf_ref[0, 0, 0]
+    a_r = a_r_ref[:]
+    a_l = a_l_ref[:]
+    a_b = a_b_ref[:]
+    a_t = a_t_ref[:]
+    ext = ext_ref[:]
+
+    def jacobi(x):
+        num = (
+            a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
+            + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+            + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
+            + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
+            + const
+        )
+        return jnp.where(ext > 0, tinf, num / denom)
+
+    x1 = jacobi(x0)
+    delta0 = jnp.max(jnp.abs(x1 - x0))
+    omega0 = jnp.float32(1.0 / (1.0 - rho2 / 2.0))
+
+    def body(carry):
+        x_prev, x, _, it, omega = carry
+        jx = jacobi(x)
+        delta = jnp.max(jnp.abs(jx - x))
+        omega_next = jnp.float32(1.0) / (
+            jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
+        )
+        x_next = omega_next * (jx - x_prev) + x_prev
+        x_next = jnp.where(ext > 0, tinf, x_next)
+        return x, x_next, delta, it + 1, omega_next
+
+    def cond(carry):
+        _, _, delta, it, _ = carry
+        return jnp.logical_and(it < iteration_limit, delta > threshold)
+
+    _, x_f, _, n_iter, _ = jax.lax.while_loop(
+        cond, body, (x0, x1, delta0, jnp.int32(1), omega0)
+    )
+    # Emit J(x) for the converged iterate, mirroring fdm.fdm_step_chebyshev.
+    out_ref[0] = jacobi(x_f)
+    iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
+
+
 def _fdm_lanes_kernel(
     x_ref,  # (HW, L) f32: start-of-step temps, envs in lanes
     const_ref,  # (HW, L) f32: per-env constant field (edge fills folded in)
@@ -314,6 +386,8 @@ def fdm_step_pallas(
     iteration_limit: int,
     block_envs: int = 1,
     interpret: bool = False,
+    method: str = "jacobi",
+    spectral_radius: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """VMEM-resident batched FDM step; one env per grid program.
 
@@ -321,6 +395,12 @@ def fdm_step_pallas(
     fields are computed by XLA (one fused elementwise kernel) and streamed in.
     `block_envs` is accepted for API compatibility; the kernel always runs
     one env per program (trivially exact per-env freezing).
+
+    method "jacobi" reproduces the reference solver's iterate path exactly
+    (bitwise-equal to fdm.fdm_step on real v5e, artifacts/TPU_PROBE_r02.md);
+    "chebyshev" reaches the same residual criterion in ~2.3x fewer
+    iterations (requires `spectral_radius` from
+    fdm.estimate_spectral_radius).
     """
     del block_envs
     b, h, w = temp.shape
@@ -339,11 +419,19 @@ def fdm_step_pallas(
     )
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(
-        _fdm_kernel,
-        threshold=convergence_threshold,
-        iteration_limit=iteration_limit,
-    )
+    if method == "chebyshev":
+        kernel = functools.partial(
+            _fdm_cheby_kernel,
+            threshold=convergence_threshold,
+            iteration_limit=iteration_limit,
+            rho2=float(spectral_radius) ** 2,
+        )
+    else:
+        kernel = functools.partial(
+            _fdm_kernel,
+            threshold=convergence_threshold,
+            iteration_limit=iteration_limit,
+        )
     out, iters = pl.pallas_call(
         kernel,
         grid=(b,),

@@ -94,3 +94,37 @@ def test_device_trajectory_matches_host_mode(env):
     np.testing.assert_allclose(
         gas, host_out["gas_rate"], rtol=1e-3, atol=5.0
     )
+
+
+def test_device_vs_host_drift_budget_full_day(env):
+    """288 steps (one simulated day): the f32 device path tracks the host
+    oracle within a fixed drift budget. The budget is measured headroom over
+    observed drift (~1.5e-3 K at step 288), not a tight bound; it exists to
+    catch structural divergence (wrong op order, table off-by-one), which
+    shows up orders of magnitude above f32 noise."""
+    host = ExactHostSimulator(env)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    action = jnp.asarray(
+        env.default_action(
+            {
+                "supply_water_setpoint": 340.0,
+                "supply_air_heating_temperature_setpoint": 285.0,
+            }
+        )
+    )
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+    max_drift = 0.0
+    for i in range(288):
+        state, out = step(state, action)
+        host.step(setpoints)
+        drift = float(np.max(np.abs(np.asarray(state.temp) - host.temp)))
+        max_drift = max(max_drift, drift)
+        assert drift < 5e-2, f"step {i}: drift {drift}"
+        assert np.array_equal(
+            np.asarray(state.hvac.thermostat_mode), host.mode
+        ), f"step {i}: thermostat modes diverged"
+    assert max_drift < 5e-2

@@ -185,3 +185,127 @@ class TestSb1Config:
         state, out = jax.jit(env.step)(state, jnp.zeros(env.n_actions))
         assert np.isfinite(np.asarray(out.observation)).all()
         assert -1.0 <= float(out.reward) <= 0.0
+
+
+class TestGenericActionTuples:
+    """Arbitrary device_action_tuples incl. per-VAV dampers
+    (environment.py:591-707, :310-348)."""
+
+    @pytest.fixture(scope="class")
+    def wide_env(self):
+        import dataclasses
+
+        from sbsim_tpu.envs.config import ActionNormalizerConfig
+
+        cfg = presets.two_zone_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            action_normalizers={
+                **cfg.action_normalizers,
+                "supply_air_cooling_temperature_setpoint": (
+                    ActionNormalizerConfig(292.0, 302.0)
+                ),
+                "supply_air_damper_percentage_command": (
+                    ActionNormalizerConfig(0.0, 1.0)
+                ),
+            },
+            action_tuples=(
+                ("boiler", "supply_water_setpoint"),
+                ("air_handler", "supply_air_cooling_temperature_setpoint"),
+                ("air_handler", "supply_air_heating_temperature_setpoint"),
+                ("vav_room_1", "supply_air_damper_percentage_command"),
+                ("vav_room_2", "supply_air_damper_percentage_command"),
+            ),
+        )
+        return BuildingEnv(cfg)
+
+    def test_spec(self, wide_env):
+        assert wide_env.n_actions == 5
+        assert wide_env.action_names[3:] == (
+            "vav_room_1_supply_air_damper_percentage_command",
+            "vav_room_2_supply_air_damper_percentage_command",
+        )
+
+    def test_vav_damper_override_applies(self, wide_env):
+        state, _ = wide_env.reset(jax.random.PRNGKey(0))
+        # agent fully opens room_1's damper, fully closes room_2's
+        action = jnp.asarray([0.0, 0.0, 0.0, 1.0, -1.0])
+        s1, _ = jax.jit(wide_env.step)(state, action)
+        np.testing.assert_allclose(np.asarray(s1.hvac.damper), [1.0, 0.0])
+
+    def test_vav_actions_change_physics(self, wide_env):
+        state, _ = wide_env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(wide_env.step)
+        sa, sb = state, state
+        for _ in range(4):
+            sa, _ = step(sa, jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0]))
+            sb, _ = step(sb, jnp.asarray([0.0, 0.0, 0.0, -1.0, -1.0]))
+        assert float(jnp.max(jnp.abs(sa.temp - sb.temp))) > 1e-4
+
+    def test_unknown_device_rejected(self):
+        import dataclasses
+
+        from sbsim_tpu.envs.config import ActionNormalizerConfig
+
+        cfg = presets.two_zone_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            action_normalizers={
+                "supply_air_damper_percentage_command": (
+                    ActionNormalizerConfig(0.0, 1.0)
+                ),
+            },
+            action_tuples=(
+                ("vav_room_9", "supply_air_damper_percentage_command"),
+            ),
+        )
+        with pytest.raises(ValueError, match="unknown VAV device"):
+            BuildingEnv(cfg)
+
+    def test_missing_normalizer_rejected(self):
+        import dataclasses
+
+        cfg = presets.two_zone_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            action_tuples=(("boiler", "not_a_field"),),
+        )
+        with pytest.raises(ValueError, match="without a normalizer"):
+            BuildingEnv(cfg)
+
+    def test_sb1_full_scale_per_vav_space(self):
+        """The 126-room building exposes one damper action per VAV."""
+        import dataclasses
+
+        from sbsim_tpu.core.geometry import make_synthetic_office_plan
+        from sbsim_tpu.envs.config import ActionNormalizerConfig
+
+        cfg = presets.sb1_config(
+            num_days_in_episode=1,
+            floor_plan=make_synthetic_office_plan(9, 14, room_cvs=12),
+        )
+        env0 = BuildingEnv(cfg)
+        tuples = tuple(cfg.action_tuples) + tuple(
+            (f"vav_{z}", "supply_air_damper_percentage_command")
+            for z in env0.geom.zone_names
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            action_normalizers={
+                **cfg.action_normalizers,
+                "supply_air_damper_percentage_command": (
+                    ActionNormalizerConfig(0.0, 1.0)
+                ),
+            },
+            action_tuples=tuples,
+        )
+        env = BuildingEnv(cfg, geom=env0.geom)
+        assert env.n_actions == 2 + 126
+        state, _ = env.reset(jax.random.PRNGKey(1))
+        action = jnp.zeros((env.n_actions,))
+        s1, out = jax.jit(env.step)(state, action)
+        assert np.isfinite(float(out.reward))
+        # zeros map to the midpoint damper 0.5 on every zone
+        np.testing.assert_allclose(
+            np.asarray(s1.hvac.damper), np.full(126, 0.5), atol=1e-6
+        )

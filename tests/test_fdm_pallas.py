@@ -62,6 +62,44 @@ def test_pallas_matches_xla_solver(geom):
     assert (np.asarray(iters) > 0).all()
 
 
+def test_pallas_chebyshev_matches_xla_chebyshev(geom):
+    """The Chebyshev Pallas kernel follows fdm_step_chebyshev's iterate path."""
+    coeffs = fdm.stencil_coefficients(geom, 300.0)
+    rho = fdm.estimate_spectral_radius(coeffs, 12.0)
+    rng = np.random.default_rng(2)
+    batch = 8
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+    t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
+    h = jnp.full((batch,), 12.0, jnp.float32)
+
+    expected, _, expected_iters = fdm.fdm_step_chebyshev(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+        spectral_radius=rho,
+    )
+    got, iters = fdm_pallas.fdm_step_pallas(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+        interpret=True, method="chebyshev", spectral_radius=rho,
+    )
+    np.testing.assert_array_equal(np.asarray(iters),
+                                  np.asarray(expected_iters))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=1e-4
+    )
+    # Chebyshev solves the same system: the field agrees with the Jacobi
+    # solver's within the convergence criterion.
+    jac, _, jac_iters = fdm.fdm_step(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100,
+    )
+    assert np.abs(np.asarray(got) - np.asarray(jac)).max() < 2 * 0.1
+    assert np.asarray(iters).mean() < np.asarray(jac_iters).mean()
+
+
 def test_pallas_lanes_matches_xla_solver(geom):
     """Envs-in-lanes kernel parity, including a batch not divisible by 128."""
     coeffs = fdm.stencil_coefficients(geom, 300.0)
@@ -96,3 +134,31 @@ def test_pallas_lanes_matches_xla_solver(geom):
     assert same.mean() > 0.9  # knife-edge envs are rare
     assert diff[same].max() < 2e-4, diff[same].max()
     assert diff.max() < 2 * 0.1, diff.max()
+
+
+@pytest.mark.parametrize("method", ["jacobi", "chebyshev"])
+def test_pallas_per_env_batch_isolation(geom, method):
+    """One env per grid program => an env's solve is bitwise independent of
+    its batch companions (BASELINE.md 'per-env bitwise identity'). This is
+    the isolation property of the kernels bench.py times (pallas_cheby /
+    pallas_env); the TPU-side equivalent runs via tpu_probe.py --isolation."""
+    coeffs = fdm.stencil_coefficients(geom, 300.0)
+    rho = fdm.estimate_spectral_radius(coeffs, 12.0)
+    rng = np.random.default_rng(3)
+    batch = 8
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+    t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
+    h = jnp.asarray(rng.uniform(5.0, 100.0, (batch,)), jnp.float32)
+    kw = dict(convergence_threshold=0.1, iteration_limit=100, interpret=True,
+              method=method, spectral_radius=rho)
+
+    full, full_iters = fdm_pallas.fdm_step_pallas(temp, q, t_inf, h, coeffs,
+                                                  **kw)
+    solo, solo_iters = fdm_pallas.fdm_step_pallas(
+        temp[2:3], q[2:3], t_inf[2:3], h[2:3], coeffs, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(solo[0]), np.asarray(full[2]))
+    assert int(solo_iters[0]) == int(full_iters[2])
