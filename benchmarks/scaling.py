@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--steps", type=int, default=16)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--full-scale", action="store_true")
+    parser.add_argument(
+        "--out", default=None, help="write results JSON to this path"
+    )
     args = parser.parse_args()
 
     import jax
@@ -104,22 +107,32 @@ def main():
         )
         print(json.dumps(results[-1]), flush=True)
 
+    summary = None
     if len(results) >= 2:
         eff = (
             results[-1]["per_device"] / results[0]["per_device"]
             if results[0]["per_device"]
             else 0.0
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff, 3),
-                    "from_devices": results[0]["devices"],
-                    "to_devices": results[-1]["devices"],
-                }
-            )
-        )
+        summary = {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "from_devices": results[0]["devices"],
+            "to_devices": results[-1]["devices"],
+        }
+        print(json.dumps(summary))
+    if args.out:
+        payload = {
+            "platform": jax.devices()[0].platform,
+            "batch_per_device": args.batch_per_device,
+            "steps": args.steps,
+            "full_scale": bool(args.full_scale),
+            "results": results,
+            "summary": summary,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

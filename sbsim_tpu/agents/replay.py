@@ -74,3 +74,90 @@ def sample(
         key, (batch_size,), 0, jnp.maximum(state.size, 1)
     )
     return jax.tree.map(lambda buf: buf[idx], state.data)
+
+
+# ---------------------------------------------------------------------------
+# Env-sharded layout: one sub-ring per env, shard-local insert AND sample
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class ShardedReplayState:
+    """Per-env sub-rings: leaves shaped (n_envs, per_env_capacity, ...).
+
+    This is the SURVEY 2.9 "host-local replay" plan expressed through GSPMD:
+    shard axis 0 over the env mesh axis (distributed/mesh.py) and every
+    operation here is shard-local - inserts write column `insert_index` of
+    each env's own ring, sampling gathers along axis 1 only - so scaling to
+    N chips/hosts moves ZERO replay bytes over ICI/DCN; only the SAC
+    gradients are psum-reduced (inserted by GSPMD at the loss mean over the
+    sharded batch axis). Envs step in lockstep, so one scalar ring cursor
+    serves all sub-rings.
+    """
+
+    data: Transition  # leaves shaped (n_envs, per_env_capacity, ...)
+    insert_index: Any  # i32 scalar (lockstep cursor, same for every env)
+    size: Any  # i32 scalar (filled slots per sub-ring)
+    per_env_capacity: int = struct.field(pytree_node=False)
+
+
+def init_sharded_replay(
+    n_envs: int, per_env_capacity: int, obs_dim: int, action_dim: int
+) -> ShardedReplayState:
+    zeros = lambda *shape: jnp.zeros((n_envs,) + shape, jnp.float32)
+    data = Transition(
+        obs=zeros(per_env_capacity, obs_dim),
+        action=zeros(per_env_capacity, action_dim),
+        reward=zeros(per_env_capacity),
+        discount=zeros(per_env_capacity),
+        next_obs=zeros(per_env_capacity, obs_dim),
+    )
+    return ShardedReplayState(
+        data=data,
+        insert_index=jnp.int32(0),
+        size=jnp.int32(0),
+        per_env_capacity=per_env_capacity,
+    )
+
+
+def add_batch_sharded(
+    state: ShardedReplayState, batch: Transition
+) -> ShardedReplayState:
+    """Writes each env's transition into its own sub-ring (FIFO).
+
+    batch leaves are (n_envs, ...); the write touches one column of the
+    (n_envs, capacity, ...) buffers, preserving axis-0 sharding.
+    """
+    idx = state.insert_index
+    data = jax.tree.map(
+        lambda buf, new: buf.at[:, idx].set(new), state.data, batch
+    )
+    return state.replace(
+        data=data,
+        insert_index=(idx + 1) % state.per_env_capacity,
+        size=jnp.minimum(state.size + 1, state.per_env_capacity),
+    )
+
+
+def sample_sharded(
+    state: ShardedReplayState, key: jax.Array, batch_size: int
+) -> Transition:
+    """Stratified-uniform sample: batch_size // n_envs slots from each env's
+    sub-ring (shard-local gather along axis 1), flattened to
+    (n_envs * k, ...). With lockstep fill levels this matches uniform
+    sampling over the union; the flattened batch keeps its major-axis
+    sharding so the learner's loss mean psums gradients across shards."""
+    n_envs = state.data.reward.shape[0]
+    k = max(1, batch_size // n_envs)
+    slots = jax.random.randint(
+        key, (n_envs, k), 0, jnp.maximum(state.size, 1)
+    )
+
+    def take(buf):
+        idx = slots.reshape(slots.shape + (1,) * (buf.ndim - 2))
+        out = jnp.take_along_axis(
+            buf, jnp.broadcast_to(idx, (n_envs, k) + buf.shape[2:]), axis=1
+        )
+        return out.reshape((n_envs * k,) + buf.shape[2:])
+
+    return jax.tree.map(take, state.data)

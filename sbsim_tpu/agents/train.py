@@ -29,10 +29,14 @@ from sbsim_tpu.envs.building_env import BuildingEnv, EnvState
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     n_envs: int = 16
-    replay_capacity: int = 50_000
+    replay_capacity: int = 50_000  # total across envs
     batch_size: int = 256
     updates_per_env_step: int = 1
     seed_steps: int = 1_000  # env steps before learning starts
+    # "per_env": one sub-ring per env, sharded with the envs over the mesh -
+    # inserts and samples are shard-local and only SAC gradients cross chips
+    # (SURVEY 2.9 host-local-replay plan). "flat": single replicated ring.
+    replay_layout: str = "per_env"
     sac: SACConfig = SACConfig()
 
 
@@ -58,12 +62,27 @@ class SACTrainer:
         k_env, k_sac, k_rng = jax.random.split(key, 3)
         env_keys = jax.random.split(k_env, self.config.n_envs)
         env_states, obs = self._reset_v(env_keys)
+        if self.config.replay_layout == "per_env":
+            replay = replay_lib.init_sharded_replay(
+                self.config.n_envs,
+                max(1, self.config.replay_capacity // self.config.n_envs),
+                self.env.obs_dim,
+                self.env.n_actions,
+            )
+        elif self.config.replay_layout == "flat":
+            replay = replay_lib.init_replay(
+                self.config.replay_capacity,
+                self.env.obs_dim,
+                self.env.n_actions,
+            )
+        else:
+            raise ValueError(
+                f"unknown replay_layout: {self.config.replay_layout}"
+            )
         return TrainState(
             env_states=env_states,
             last_obs=obs,
-            replay=replay_lib.init_replay(
-                self.config.replay_capacity, self.env.obs_dim, self.env.n_actions
-            ),
+            replay=replay,
             sac=self.learner.init(k_sac),
             rng=k_rng,
             env_steps=jnp.int32(0),
@@ -112,7 +131,10 @@ class SACTrainer:
             discount=discount,
             next_obs=out.observation,
         )
-        replay = replay_lib.add_batch(state.replay, batch)
+        if self.config.replay_layout == "per_env":
+            replay = replay_lib.add_batch_sharded(state.replay, batch)
+        else:
+            replay = replay_lib.add_batch(state.replay, batch)
         env_states, obs = self._maybe_reset(
             env_states, out.observation, out.done, k_reset
         )
@@ -136,12 +158,16 @@ class SACTrainer:
 
         state, metrics = self.collect_step(state, policy)
 
+        sample_fn = (
+            replay_lib.sample_sharded
+            if self.config.replay_layout == "per_env"
+            else replay_lib.sample
+        )
+
         def do_update(carry, key):
             sac, replay = carry
             k_sample, k_update = jax.random.split(key)
-            batch = replay_lib.sample(
-                replay, k_sample, self.config.batch_size
-            )
+            batch = sample_fn(replay, k_sample, self.config.batch_size)
             sac, m = self.learner.update(sac, batch, k_update)
             return (sac, replay), m
 

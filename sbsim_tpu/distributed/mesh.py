@@ -2,11 +2,14 @@
 
 The natural scaling axis of this workload is the number of simultaneous
 building instances (SURVEY.md section 5): env state (temperature grids, HVAC
-vectors, occupant arrays) shards over a 1-D device mesh on its batch axis,
-while the SAC learner state and replay buffer stay replicated - the learner
-networks are tiny MLPs (128x128), so replicating their update costs nothing
-while the FDM grids (the actual FLOPs) partition perfectly. XLA GSPMD inserts
-the all-gather of per-shard transitions into the replicated replay ring.
+vectors, occupant arrays) AND the replay buffer's per-env sub-rings
+(agents/replay.ShardedReplayState) shard over a 1-D device mesh on their env
+axis; only the SAC learner state replicates - the learner networks are tiny
+MLPs (128x128), so replicating their update costs nothing while the FDM
+grids (the actual FLOPs) and replay bytes partition perfectly. Replay
+inserts and samples are shard-local; the only cross-chip traffic per train
+step is the psum of learner gradients that GSPMD inserts at the loss mean
+over the sharded sample batch (SURVEY 2.9 host-local-replay plan).
 
 The reference has no distributed layer at all (single Python process +
 a Reverb server, SURVEY.md section 5); this module is the TPU-native
@@ -42,8 +45,30 @@ def _batched_leaf_sharding(mesh: Mesh):
     return shard
 
 
+def _shard_replay(replay, mesh: Mesh):
+    """Per-env sub-rings shard with the envs (axis 0); the scalar ring
+    cursors replicate. A flat (legacy) ring replicates entirely."""
+    from sbsim_tpu.agents.replay import ShardedReplayState
+
+    replicated = NamedSharding(mesh, P())
+    if not isinstance(replay, ShardedReplayState):
+        return jax.tree.map(lambda x: jax.device_put(x, replicated), replay)
+    data = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(ENV_AXIS, *([None] * (x.ndim - 1))))
+        ),
+        replay.data,
+    )
+    return replay.replace(
+        data=data,
+        insert_index=jax.device_put(replay.insert_index, replicated),
+        size=jax.device_put(replay.size, replicated),
+    )
+
+
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Places env state on the mesh (batch-sharded); learner/replay replicated."""
+    """Places env state AND per-env replay sub-rings on the mesh
+    (batch-sharded); only the tiny learner state replicates."""
     replicated = NamedSharding(mesh, P())
     shard_batched = _batched_leaf_sharding(mesh)
 
@@ -51,11 +76,12 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
         lambda x: jax.device_put(x, shard_batched(x)), state.env_states
     )
     last_obs = jax.device_put(state.last_obs, NamedSharding(mesh, P(ENV_AXIS)))
+    replay = _shard_replay(state.replay, mesh)
     rest = jax.tree.map(
         lambda x: jax.device_put(x, replicated),
-        (state.replay, state.sac, state.rng, state.env_steps),
+        (state.sac, state.rng, state.env_steps),
     )
-    replay, sac, rng, env_steps = rest
+    sac, rng, env_steps = rest
     return TrainState(
         env_states=env_states,
         last_obs=last_obs,
@@ -92,17 +118,27 @@ def make_distributed_collect_step(trainer: SACTrainer, mesh: Mesh, action_fn):
 
 def _constrain(state: TrainState, mesh: Mesh) -> TrainState:
     """Applies sharding constraints inside jit so GSPMD keeps the env batch
-    partitioned over the mesh."""
+    (and per-env replay sub-rings) partitioned over the mesh."""
+    from sbsim_tpu.agents.replay import ShardedReplayState
+
     batched = lambda x: jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(ENV_AXIS, *([None] * (x.ndim - 1))))
     ) if getattr(x, "ndim", 0) >= 1 else x
     replicated = lambda x: jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P())
     )
+    if isinstance(state.replay, ShardedReplayState):
+        replay = state.replay.replace(
+            data=jax.tree.map(batched, state.replay.data),
+            insert_index=replicated(state.replay.insert_index),
+            size=replicated(state.replay.size),
+        )
+    else:
+        replay = jax.tree.map(replicated, state.replay)
     return TrainState(
         env_states=jax.tree.map(batched, state.env_states),
         last_obs=batched(state.last_obs),
-        replay=jax.tree.map(replicated, state.replay),
+        replay=replay,
         sac=jax.tree.map(replicated, state.sac),
         rng=state.rng,
         env_steps=replicated(state.env_steps),

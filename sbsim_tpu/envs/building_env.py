@@ -408,6 +408,16 @@ class BuildingEnv:
         solver = self.resolve_solver(
             states.temp.shape[0], use_pallas=use_pallas, solver=solver
         )
+        conv = self.convection
+        # Swap convection fuses into the per-env Pallas kernels: the rounds
+        # run on the VMEM-resident solved field with the same packed
+        # decision words the XLA path would use, saving ~R HBM round-trips
+        # of the (B, H, W) field per step.
+        fuse_conv = (
+            solver in ("pallas_env", "pallas_cheby")
+            and conv.enabled
+            and conv.method == "swap"
+        )
         if solver.startswith("pallas"):
             kwargs = dict(
                 convergence_threshold=self.config.convergence_threshold,
@@ -422,6 +432,17 @@ class BuildingEnv:
                         method="chebyshev",
                         spectral_radius=self._spectral_radius,
                     )
+            if fuse_conv:
+                words = jax.vmap(
+                    lambda k: convection_lib.swap_decision_word(
+                        conv, k, self.geom.shape
+                    )
+                )(conv_keys)
+                kwargs.update(
+                    conv_offsets=conv.offsets,
+                    conv_masks=conv.lead_masks,
+                    conv_word=words,
+                )
             new_temp, n_iter = kernel_fn(
                 states.temp,
                 states.input_q,
@@ -439,11 +460,12 @@ class BuildingEnv:
                 pre["h_conv"],
                 kind=solver[len("xla_"):],
             )
-        new_temp = jax.vmap(
-            lambda temp, key: convection_lib.apply_convection(
-                temp, self.convection, key
-            )
-        )(new_temp, conv_keys)
+        if not fuse_conv:
+            new_temp = jax.vmap(
+                lambda temp, key: convection_lib.apply_convection(
+                    temp, self.convection, key
+                )
+            )(new_temp, conv_keys)
         return jax.vmap(self._step_post)(
             states, pre, new_temp, converged, n_iter
         )

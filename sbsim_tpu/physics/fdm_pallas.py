@@ -51,6 +51,34 @@ def _shift_with_fill(x, axis, shift, fill):
     return jnp.where(mask, fill, rolled)
 
 
+def _roll2(x, dy, dx):
+    """roll along both axes, skipping no-op axes (a shift-0 jnp.roll lowers
+    to a zero-size slice that Mosaic rejects)."""
+    if dy:
+        x = jnp.roll(x, dy, 0)
+    if dx:
+        x = jnp.roll(x, dx, 1)
+    return x
+
+
+def _kernel_apply_swaps(x, masks, word, offsets):
+    """In-kernel stochastic convection: the same masked pair-swap rounds as
+    convection.apply_swaps_with_word, on the VMEM-resident solved field,
+    driven by the same packed decision word - so the fused path mixes
+    bitwise-identically to the XLA path. Saves ~R full HBM round-trips of
+    the (B, H, W) field per env step (R=16 at sb1 calibration)."""
+    out = x
+    for r, (dy, dx) in enumerate(offsets):
+        bit = (word >> jnp.uint32(r)) & jnp.uint32(1)
+        lead = jnp.logical_and(masks[r] > 0, bit > 0)
+        from_follower = _roll2(out, -dy, -dx)
+        from_lead = _roll2(out, dy, dx)
+        foll = _roll2(lead.astype(jnp.float32), dy, dx)
+        out = jnp.where(lead, from_follower, out)
+        out = jnp.where(foll > 0, from_lead, out)
+    return out
+
+
 def _fdm_kernel(
     temp_ref,
     const_ref,
@@ -61,11 +89,14 @@ def _fdm_kernel(
     a_b_ref,
     a_t_ref,
     ext_ref,
+    conv_masks_ref,
+    conv_word_ref,
     out_ref,
     iters_ref,
     *,
     threshold: float,
     iteration_limit: int,
+    conv_offsets: Tuple[Tuple[int, int], ...] = (),
 ):
     x0 = temp_ref[0]  # (H, W)
     const = const_ref[0]
@@ -101,6 +132,10 @@ def _fdm_kernel(
     x_final, _, n_iter = jax.lax.while_loop(
         cond, body, (x0, big, jnp.int32(0))
     )
+    if conv_offsets:
+        x_final = _kernel_apply_swaps(
+            x_final, conv_masks_ref[:], conv_word_ref[0], conv_offsets
+        )
     out_ref[0] = x_final
     # Scalar outputs can't tile on Mosaic; broadcast the iteration count
     # over one minimal (8, 128) tile and slice [0, 0] outside.
@@ -117,12 +152,15 @@ def _fdm_cheby_kernel(
     a_b_ref,
     a_t_ref,
     ext_ref,
+    conv_masks_ref,
+    conv_word_ref,
     out_ref,
     iters_ref,
     *,
     threshold: float,
     iteration_limit: int,
     rho2: float,
+    conv_offsets: Tuple[Tuple[int, int], ...] = (),
 ):
     """Chebyshev semi-iterative FDM solve, one env per program.
 
@@ -175,7 +213,12 @@ def _fdm_cheby_kernel(
         cond, body, (x0, x1, delta0, jnp.int32(1), omega0)
     )
     # Emit J(x) for the converged iterate, mirroring fdm.fdm_step_chebyshev.
-    out_ref[0] = jacobi(x_f)
+    x_out = jacobi(x_f)
+    if conv_offsets:
+        x_out = _kernel_apply_swaps(
+            x_out, conv_masks_ref[:], conv_word_ref[0], conv_offsets
+        )
+    out_ref[0] = x_out
     iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
 
 
@@ -388,6 +431,9 @@ def fdm_step_pallas(
     interpret: bool = False,
     method: str = "jacobi",
     spectral_radius: float = 0.0,
+    conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_masks: jnp.ndarray = None,  # (R, H, W) f32 lead-eligibility masks
+    conv_word: jnp.ndarray = None,  # (B, H, W) uint32 packed swap decisions
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """VMEM-resident batched FDM step; one env per grid program.
 
@@ -401,6 +447,12 @@ def fdm_step_pallas(
     "chebyshev" reaches the same residual criterion in ~2.3x fewer
     iterations (requires `spectral_radius` from
     fdm.estimate_spectral_radius).
+
+    When `conv_offsets` is non-empty, the stochastic-convection swap rounds
+    (physics/convection.py) run inside the kernel on the VMEM-resident
+    solved field, driven by the packed per-env decision word - identical
+    mixing to convection.apply_swaps_with_word at zero extra HBM
+    round-trips of the field.
     """
     del block_envs
     b, h, w = temp.shape
@@ -419,18 +471,39 @@ def fdm_step_pallas(
     )
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    if conv_offsets:
+        n_rounds = len(conv_offsets)
+        masks_spec = pl.BlockSpec(
+            (n_rounds, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        word_spec = per_env
+        conv_masks = conv_masks.astype(jnp.float32)
+        conv_word = conv_word.astype(jnp.uint32)
+    else:
+        # Dummy single-tile inputs; the kernel's swap loop is empty.
+        masks_spec = pl.BlockSpec(
+            (1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        word_spec = pl.BlockSpec(
+            (1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        conv_masks = jnp.zeros((1, h, w), jnp.float32)
+        conv_word = jnp.zeros((1, h, w), jnp.uint32)
+
     if method == "chebyshev":
         kernel = functools.partial(
             _fdm_cheby_kernel,
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
             rho2=float(spectral_radius) ** 2,
+            conv_offsets=tuple(conv_offsets),
         )
     else:
         kernel = functools.partial(
             _fdm_kernel,
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
+            conv_offsets=tuple(conv_offsets),
         )
     out, iters = pl.pallas_call(
         kernel,
@@ -447,6 +520,8 @@ def fdm_step_pallas(
             shared,  # a_b
             shared,  # a_t
             shared,  # ext
+            masks_spec,  # convection lead masks
+            word_spec,  # convection decision words
         ],
         out_specs=[
             per_env,
@@ -469,5 +544,7 @@ def fdm_step_pallas(
         coeffs.a_b,
         coeffs.a_t,
         ext,
+        conv_masks,
+        conv_word,
     )
     return out, iters[:, 0, 0]

@@ -56,13 +56,46 @@ def sinusoid_temperature(
     return 0.5 * (math.sin(rad) + 1.0) * (high_t - low_t) + low_t
 
 
+def get_replay_temperatures(observation_responses) -> Mapping[str, float]:
+    """Extracts outside-air temperatures from recorded ObservationResponses.
+
+    Returns {str(timestamp): temperature K}, with -1.0 where the response
+    carries no outside_air_temperature_sensor reading.
+    Parity: weather_controller.get_replay_temperatures
+    (weather_controller.py:135-162).
+    """
+    temps: dict = {}
+    for response in observation_responses:
+        value = -1.0
+        for r in response.single_observation_responses:
+            name = r.single_observation_request.measurement_name
+            if name == "outside_air_temperature_sensor":
+                value = r.continuous_value
+                break
+        ts = pd.Timestamp(
+            response.timestamp.seconds
+            + response.timestamp.nanos / 1e9,
+            unit="s",
+            tz="UTC",
+        )
+        temps[str(ts)] = value
+    return temps
+
+
 class ReplayWeather:
-    """Linear interpolation over a recorded weather CSV (Time, TempF columns).
+    """Linear interpolation over recorded weather.
+
+    Built from a CSV (Time, TempF columns) or, via `from_observations`, from
+    recorded ObservationResponse protos (telemetry-driven replay).
 
     Parity: ReplayWeatherController (weather_controller.py:166-218).
     """
 
-    def __init__(self, csv_path: str):
+    def __init__(self, csv_path: Optional[str] = None):
+        if csv_path is None:
+            self._epoch_seconds = np.zeros((0,))
+            self._temps_kelvin = np.zeros((0,))
+            return
         data = pd.read_csv(csv_path)
         times = pd.to_datetime(data["Time"], utc=True)
         self._epoch_seconds = np.array(
@@ -75,6 +108,26 @@ class ReplayWeather:
         order = np.argsort(self._epoch_seconds)
         self._epoch_seconds = self._epoch_seconds[order]
         self._temps_kelvin = self._temps_kelvin[order]
+
+    @classmethod
+    def from_observations(cls, observation_responses) -> "ReplayWeather":
+        """ReplayWeather driven by recorded building telemetry: the one-call
+        equivalent of get_replay_temperatures + ReplayWeatherController.
+        Responses without an outside-air reading are skipped."""
+        temps = get_replay_temperatures(observation_responses)
+        out = cls(None)
+        seconds, kelvin = [], []
+        for ts, value in temps.items():
+            if value <= 0.0:
+                continue
+            seconds.append(
+                (pd.Timestamp(ts).tz_convert("UTC") - _EPOCH).total_seconds()
+            )
+            kelvin.append(value)
+        order = np.argsort(np.asarray(seconds))
+        out._epoch_seconds = np.asarray(seconds, np.float64)[order]
+        out._temps_kelvin = np.asarray(kelvin, np.float64)[order]
+        return out
 
     @property
     def min_timestamp(self) -> pd.Timestamp:

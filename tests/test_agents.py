@@ -95,7 +95,8 @@ class TestTrainer:
         for _ in range(5):
             state, metrics = train_step(state)
         assert int(state.env_steps) == 20
-        assert int(state.replay.size) == 20
+        # per-env sub-rings: 5 lockstep inserts per env
+        assert int(state.replay.size) == 5
         # Learning kicked in after seed_steps.
         assert int(state.sac.step) > 0
         assert np.isfinite(float(metrics["critic_loss"]))
@@ -110,7 +111,7 @@ class TestTrainer:
         step_fn = jax.jit(trainer.seed_with_actions(state, table))
         for _ in range(3):
             state, _ = step_fn(state)
-        assert int(state.replay.size) == 6
+        assert int(state.replay.size) == 3  # per-env sub-ring fill
 
     def test_evaluate_returns_scalar(self, env):
         trainer = SACTrainer(env, TrainConfig(n_envs=2))
@@ -118,3 +119,53 @@ class TestTrainer:
         ret = trainer.evaluate(state.sac, jax.random.PRNGKey(1), n_steps=4,
                                n_envs=2)
         assert np.isfinite(float(ret))
+
+
+class TestShardedReplay:
+    """Per-env sub-ring replay (agents/replay.py sharded layout)."""
+
+    def test_insert_and_wrap(self):
+        from sbsim_tpu.agents import replay as replay_lib
+
+        st = replay_lib.init_sharded_replay(
+            n_envs=4, per_env_capacity=3, obs_dim=2, action_dim=1
+        )
+        for i in range(5):
+            batch = replay_lib.Transition(
+                obs=jnp.full((4, 2), float(i)),
+                action=jnp.full((4, 1), float(i)),
+                reward=jnp.full((4,), float(i)),
+                discount=jnp.ones((4,)),
+                next_obs=jnp.full((4, 2), float(i)),
+            )
+            st = replay_lib.add_batch_sharded(st, batch)
+        assert int(st.size) == 3
+        assert int(st.insert_index) == 5 % 3
+        # Ring holds the last 3 inserts (2, 3, 4) in wrap order.
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(st.data.reward[0])), [2.0, 3.0, 4.0]
+        )
+
+    def test_sample_is_shard_local_and_uniform(self):
+        from sbsim_tpu.agents import replay as replay_lib
+
+        n_envs, cap = 4, 8
+        st = replay_lib.init_sharded_replay(
+            n_envs=n_envs, per_env_capacity=cap, obs_dim=1, action_dim=1
+        )
+        for i in range(cap):
+            batch = replay_lib.Transition(
+                obs=jnp.arange(n_envs, dtype=jnp.float32)[:, None],
+                action=jnp.zeros((n_envs, 1)),
+                reward=jnp.arange(n_envs, dtype=jnp.float32) * 10 + i,
+                discount=jnp.ones((n_envs,)),
+                next_obs=jnp.zeros((n_envs, 1)),
+            )
+            st = replay_lib.add_batch_sharded(st, batch)
+        out = replay_lib.sample_sharded(st, jax.random.PRNGKey(0), 16)
+        assert out.reward.shape == (16,)
+        # Samples stay within their env's sub-ring: rows 0-3 from env 0
+        # (rewards 0..7), rows 4-7 from env 1 (10..17), etc.
+        rewards = np.asarray(out.reward).reshape(n_envs, 4)
+        for e in range(n_envs):
+            assert ((rewards[e] >= e * 10) & (rewards[e] < e * 10 + cap)).all()

@@ -32,11 +32,16 @@ def test_sharded_train_step(env):
     # Env batch is actually partitioned over the mesh.
     shardings = state.last_obs.sharding
     assert not shardings.is_fully_replicated
+    # The replay sub-rings shard with the envs - NOT replicated
+    # (SURVEY 2.9: replay stays shard-local; only gradients cross chips).
+    assert not state.replay.data.obs.sharding.is_fully_replicated
     step = mesh_lib.make_distributed_train_step(trainer, mesh)
     for _ in range(3):
         state, metrics = step(state)
     assert int(state.env_steps) == 48
-    assert int(state.replay.size) == 48
+    assert int(state.replay.size) == 3  # per-env sub-ring fill level
+    # Replay stays partitioned across steps (GSPMD kept the constraint).
+    assert not state.replay.data.obs.sharding.is_fully_replicated
     assert np.isfinite(float(metrics["reward_mean"]))
 
 

@@ -162,3 +162,47 @@ def test_pallas_per_env_batch_isolation(geom, method):
     )
     np.testing.assert_array_equal(np.asarray(solo[0]), np.asarray(full[2]))
     assert int(solo_iters[0]) == int(full_iters[2])
+
+
+@pytest.mark.parametrize("method", ["jacobi", "chebyshev"])
+def test_pallas_fused_convection_matches_xla_swaps(geom, method):
+    """In-kernel swap rounds == convection.apply_swaps_with_word applied to
+    the kernel's unfused output, given the same packed decision word (the
+    fused path must mix bitwise-identically to the XLA path)."""
+    from sbsim_tpu.physics import convection as convection_lib
+
+    coeffs = fdm.stencil_coefficients(geom, 300.0)
+    rho = fdm.estimate_spectral_radius(coeffs, 12.0)
+    buckets = convection_lib.make_convection_buckets(
+        geom, p=1.0, distance=5, seed=5
+    )
+    assert buckets.enabled and len(buckets.offsets) >= 16
+    rng = np.random.default_rng(4)
+    batch = 4
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+    t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
+    h = jnp.full((batch,), 12.0, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(9), batch)
+    words = jax.vmap(
+        lambda k: convection_lib.swap_decision_word(buckets, k, geom.shape)
+    )(keys)
+    kw = dict(convergence_threshold=0.1, iteration_limit=100, interpret=True,
+              method=method, spectral_radius=rho)
+
+    plain, _ = fdm_pallas.fdm_step_pallas(temp, q, t_inf, h, coeffs, **kw)
+    fused, _ = fdm_pallas.fdm_step_pallas(
+        temp, q, t_inf, h, coeffs,
+        conv_offsets=buckets.offsets,
+        conv_masks=buckets.lead_masks,
+        conv_word=words,
+        **kw,
+    )
+    expected = jax.vmap(
+        lambda x, w: convection_lib.apply_swaps_with_word(x, buckets, w)
+    )(plain, words)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(expected))
+    # The mixing really happened (some cells moved).
+    assert float(jnp.max(jnp.abs(fused - plain))) > 0.0

@@ -69,3 +69,39 @@ class TestRectangularEnv:
         assert np.isfinite(np.asarray(out.observation)).all()
         assert -1.0 <= float(out.reward) <= 0.0
         assert bool(state.fdm_converged)
+
+
+def test_replay_weather_from_recorded_observations():
+    """get_replay_temperatures + ReplayWeather.from_observations on the real
+    recorded sb1 telemetry shard (weather_controller.py:135-162 parity)."""
+    import os
+
+    import pandas as pd
+
+    from sbsim_tpu.io import records
+    from sbsim_tpu.proto import building_pb2
+    from sbsim_tpu.scenario import weather as weather_lib
+
+    shard = os.path.join(
+        "/root/reference/smart_control/configs/resources/sb1",
+        "observation_response_2024.08.29.00",
+    )
+    responses = list(
+        records.read_records(shard, building_pb2.ObservationResponse)
+    )
+    temps = weather_lib.get_replay_temperatures(responses)
+    # Keyed by str(timestamp) exactly as the reference: responses sharing a
+    # timestamp collapse to one entry (weather_controller.py:157-161).
+    assert 1 <= len(temps) <= len(responses)
+    valid = [v for v in temps.values() if v > 0]
+    assert valid, "recorded shard carries outside-air readings"
+    assert all(250.0 < v < 330.0 for v in valid)
+
+    replay = weather_lib.ReplayWeather.from_observations(responses)
+    t0 = replay.min_timestamp
+    got = replay.temperatures([t0])
+    assert 250.0 < float(got[0]) < 330.0
+    # Interpolation at a recorded timestamp reproduces the recorded value.
+    first_key = min(temps, key=lambda k: pd.Timestamp(k))
+    if temps[first_key] > 0:
+        assert abs(float(got[0]) - temps[first_key]) < 1e-6
