@@ -1,0 +1,176 @@
+"""SAC training on the calibrated sb1-scale building (TPU or CPU).
+
+Produces the round's learning artifact (VERDICT r1 item 5): trains SAC with
+the reference recipe (schedule-policy replay seeding, SAC_Demo.ipynb cells
+26-48) on the 12-zone calibrated config (and optionally the 126-room
+--full-scale building), evaluates the greedy policy against the rules-based
+schedule baseline over full days, and writes the learning curve to
+artifacts/.
+
+Train steps are chunked through lax.scan so one device dispatch covers
+--chunk steps (the remote-TPU relay costs ~5 ms per call).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--full-scale", action="store_true",
+                   help="126-room building matching the real sb1 device count")
+    p.add_argument("--n-envs", type=int, default=64)
+    p.add_argument("--train-steps", type=int, default=12_000)
+    p.add_argument("--seed-steps", type=int, default=600)
+    p.add_argument("--chunk", type=int, default=100)
+    p.add_argument("--eval-every", type=int, default=2_000)
+    p.add_argument("--eval-envs", type=int, default=4)
+    p.add_argument("--updates-per-step", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    floor_plan = None
+    label = "sb1_12zone"
+    if args.full_scale:
+        from sbsim_tpu.core.geometry import make_synthetic_office_plan
+
+        floor_plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+        label = "sb1_126room"
+    env = BuildingEnv(
+        presets.sb1_config(num_days_in_episode=1, floor_plan=floor_plan)
+    )
+    n_eval = env.steps_per_episode  # one simulated day
+    print(
+        f"{label}: grid={env.geom.shape} zones={env.n_zones} "
+        f"obs={env.obs_dim} acts={env.n_actions} "
+        f"device={jax.devices()[0].platform}",
+        flush=True,
+    )
+
+    trainer = SACTrainer(
+        env,
+        TrainConfig(
+            n_envs=args.n_envs,
+            replay_capacity=50_000,
+            batch_size=256,
+            updates_per_env_step=args.updates_per_step,
+            seed_steps=0,
+        ),
+    )
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+
+    # --- baselines over one full simulated day -------------------------
+    def schedule_return(key):
+        keys = jax.random.split(key, args.eval_envs)
+        env_states, _ = jax.vmap(env.reset)(keys)
+
+        def body(carry, _):
+            s = carry
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = jax.vmap(env.step)(s, act)
+            return s, out.reward
+
+        _, rewards = jax.lax.scan(body, env_states, None, length=n_eval)
+        return jnp.mean(jnp.sum(rewards, axis=0))
+
+    evaluate = jax.jit(
+        lambda sac, key: trainer.evaluate(
+            sac, key, n_steps=n_eval, n_envs=args.eval_envs
+        )
+    )
+    sched_ret = float(jax.jit(schedule_return)(jax.random.PRNGKey(7)))
+    print(f"schedule-policy baseline return/day: {sched_ret:.3f}", flush=True)
+
+    # --- replay seeding with the schedule policy ------------------------
+    seed_one = trainer.seed_with_actions(state, table)
+
+    def seed_chunk(st):
+        def body(s, _):
+            s, m = seed_one(s)
+            return s, m["reward_mean"]
+
+        return jax.lax.scan(body, st, None, length=args.chunk)
+
+    seed_fn = jax.jit(seed_chunk)
+    t0 = time.time()
+    for _ in range(max(1, args.seed_steps // args.chunk)):
+        state, _ = seed_fn(state)
+    jax.block_until_ready(state.env_steps)
+    print(
+        f"seeded replay: {int(state.replay.size) * args.n_envs} transitions "
+        f"({time.time()-t0:.0f}s)",
+        flush=True,
+    )
+    ret0 = float(evaluate(state.sac, jax.random.PRNGKey(9)))
+    print(f"untrained greedy return/day: {ret0:.3f}", flush=True)
+
+    # --- training loop, chunked ------------------------------------------
+
+    def train_chunk_fixed(st):
+        def body(s, _):
+            s, m = trainer.train_step(s)
+            return s, (m["critic_loss"], m["alpha"])
+
+        st, (cl, al) = jax.lax.scan(body, st, None, length=args.chunk)
+        return st, (cl[-1], al[-1])
+
+    step_fn = jax.jit(train_chunk_fixed)
+    curve = [{"env_steps": 0, "eval_return": ret0}]
+    t0 = time.time()
+    done_steps = 0
+    while done_steps < args.train_steps:
+        state, (critic_loss, alpha) = step_fn(state)
+        done_steps += args.chunk
+        if done_steps % args.eval_every < args.chunk:
+            ret = float(evaluate(state.sac, jax.random.PRNGKey(9)))
+            curve.append({"env_steps": done_steps, "eval_return": ret})
+            print(
+                f"step {done_steps}: eval {ret:.3f} "
+                f"critic {float(critic_loss):.4f} "
+                f"alpha {float(alpha):.3f} ({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+
+    final = curve[-1]["eval_return"]
+    best = max(c["eval_return"] for c in curve)
+    result = {
+        "label": label,
+        "platform": str(jax.devices()[0].platform),
+        "n_envs": args.n_envs,
+        "train_steps": args.train_steps,
+        "eval_days": 1,
+        "schedule_baseline_return": round(sched_ret, 4),
+        "untrained_return": round(ret0, 4),
+        "final_return": round(final, 4),
+        "best_return": round(best, 4),
+        "beats_schedule": bool(best > sched_ret),
+        "curve": curve,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps({k: v for k, v in result.items() if k != "curve"}),
+          flush=True)
+    out = args.out or f"artifacts/sac_{label}_curve.json"
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,11 @@ class TrainConfig:
     # inserts and samples are shard-local and only SAC gradients cross chips
     # (SURVEY 2.9 host-local-replay plan). "flat": single replicated ring.
     replay_layout: str = "per_env"
+    # FDM path for the batched rollout (building_env.step_batched): "auto"
+    # picks the Pallas VMEM kernels on a single TPU chip and the XLA
+    # while_loop elsewhere. Under GSPMD multi-chip sharding keep an "xla_*"
+    # solver - pallas_call is not auto-partitionable by GSPMD.
+    env_solver: str = "auto"
     sac: SACConfig = SACConfig()
 
 
@@ -56,7 +61,9 @@ class SACTrainer:
         self.config = config
         self.learner = SACLearner(env.obs_dim, env.n_actions, config.sac)
         self._reset_v = jax.vmap(env.reset)
-        self._step_v = jax.vmap(env.step)
+        self._step_v = lambda states, actions: env.step_batched(
+            states, actions, solver=config.env_solver
+        )
 
     def init(self, key: jax.Array) -> TrainState:
         k_env, k_sac, k_rng = jax.random.split(key, 3)

@@ -1,0 +1,203 @@
+"""Golden parity at sb1 scale and episode length: one full simulated day
+(288 steps) on the 12-zone calibrated synthetic plan, host mode vs the
+ACTUAL reference implementation, bitwise.
+
+This is the scale/horizon extension the round-1 verdict asked for (the other
+golden suites run 100 steps on the 9x11 two-zone toy): same stochastic
+drivers (convection p=1 distance=5, randomized occupancy), the calibrated
+sb1 materials/HVAC constants, and the TFSimulator Jacobi solver
+(sim_config.gin selects it for sb1).
+"""
+
+import dataclasses
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sbsim_tpu.core.geometry import make_synthetic_office_plan
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.envs.exact_host import ExactHostSimulator
+
+CONV_P = 1.0
+CONV_DISTANCE = 5
+CONV_SEED = 5
+START = pd.Timestamp("2023-07-06 07:00:00")  # naive = UTC semantics
+N_STEPS = 288  # one simulated day at 300 s/step
+
+
+def build_reference(plan):
+    import pytz
+    from smart_buildings.smart_control.simulator import air_handler as ref_ahu
+    from smart_buildings.smart_control.simulator import boiler as ref_boiler
+    from smart_buildings.smart_control.simulator import building as ref_building
+    from smart_buildings.smart_control.simulator import (
+        hvac_floorplan_based as ref_hvac,
+    )
+    from smart_buildings.smart_control.simulator import (
+        randomized_arrival_departure_occupancy as ref_occupancy,
+    )
+    from smart_buildings.smart_control.simulator import (
+        setpoint_schedule as ref_schedule,
+    )
+    from smart_buildings.smart_control.simulator import (
+        simulator_building as ref_simulator_building,
+    )
+    from smart_buildings.smart_control.simulator import (
+        stochastic_convection_simulator as ref_convection,
+    )
+    from smart_buildings.smart_control.simulator import (
+        tf_simulator as ref_tf_simulator,
+    )
+    from smart_buildings.smart_control.simulator import (
+        weather_controller as ref_weather,
+    )
+
+    mp = ref_building.MaterialProperties
+    convection = ref_convection.StochasticConvectionSimulator(
+        p=CONV_P, distance=CONV_DISTANCE, seed=CONV_SEED
+    )
+    bldg = ref_building.FloorPlanBasedBuilding(
+        cv_size_cm=10.0,
+        floor_height_cm=300.0,
+        initial_temp=294.0,
+        inside_air_properties=mp(50.0, 700.0, 1.0),
+        inside_wall_properties=mp(50.0, 1.0, 700.0),
+        building_exterior_properties=mp(0.05, 700.0, 1.0),
+        floor_plan=plan.copy(),
+        zone_map=plan.copy(),
+        buffer_from_walls=3,
+        convection_simulator=convection,
+    )
+    weather = ref_weather.WeatherController(
+        default_low_temp=273.0,
+        default_high_temp=283.0,
+        convection_coefficient=100.0,
+    )
+    schedule = ref_schedule.SetpointSchedule(
+        morning_start_hour=6,
+        evening_start_hour=19,
+        comfort_temp_window=(294.0, 297.0),
+        eco_temp_window=(289.0, 298.0),
+        time_zone=pytz.timezone("UTC"),
+    )
+    ahu = ref_ahu.AirHandler(
+        recirculation=0.3,
+        heating_air_temp_setpoint=285.0,
+        cooling_air_temp_setpoint=298.0,
+        fan_differential_pressure=10000.0,
+        fan_efficiency=0.9,
+        max_air_flow_rate=8.67,
+        device_id="air_handler",
+        sim_weather_controller=weather,
+    )
+    boiler = ref_boiler.Boiler(
+        reheat_water_setpoint=360.0,
+        water_pump_differential_head=6.0,
+        water_pump_efficiency=0.98,
+        device_id="boiler",
+        heating_rate=0.5,
+        cooling_rate=0.1,
+    )
+    hvac = ref_hvac.FloorPlanBasedHvac(
+        air_handler=ahu,
+        boiler=boiler,
+        schedule=schedule,
+        vav_max_air_flow_rate=0.035,
+        vav_reheat_max_water_flow_rate=0.03,
+    )
+    sim = ref_tf_simulator.TFSimulator(
+        building=bldg,
+        hvac=hvac,
+        weather_controller=weather,
+        time_step_sec=300.0,
+        convergence_threshold=0.1,
+        iteration_limit=100,
+        iteration_warning=101,
+        start_timestamp=START,
+    )
+    occupancy = ref_occupancy.RandomizedArrivalDepartureOccupancy(
+        zone_assignment=1,
+        earliest_expected_arrival_hour=7,
+        latest_expected_arrival_hour=12,
+        earliest_expected_departure_hour=13,
+        latest_expected_departure_hour=18,
+        time_step_sec=300,
+        seed=17321,
+        time_zone="UTC",
+    )
+    return ref_simulator_building.SimulatorBuilding(
+        simulator=sim, occupancy=occupancy
+    )
+
+
+def build_exact_host(plan):
+    cfg = presets.sb1_config(num_days_in_episode=1, floor_plan=plan)
+    cfg = dataclasses.replace(
+        cfg,
+        schedule=dataclasses.replace(cfg.schedule, time_zone="UTC"),
+        occupancy=dataclasses.replace(cfg.occupancy, time_zone="UTC"),
+        convection=dataclasses.replace(
+            cfg.convection, p=CONV_P, distance=CONV_DISTANCE, seed=CONV_SEED
+        ),
+        start_timestamp="2023-07-06 07:00:00+00:00",
+    )
+    env = BuildingEnv(cfg)
+    return ExactHostSimulator(env, naive_timestamps=True)
+
+
+def test_full_day_bitwise_at_sb1_scale():
+    plan = make_synthetic_office_plan(3, 4, room_cvs=14)
+    building = build_reference(plan)
+    host = build_exact_host(plan)
+    assert host.geom.n_zones == 12
+    assert host.geom.shape == building._simulator._building.temp.shape
+
+    random.seed(CONV_SEED)
+    host.convection._rand = random.Random(CONV_SEED)
+
+    ref_sim = building._simulator
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+
+    # Reset-time occupancy probe parity (environment.py:1174).
+    ref_occ_reset = building.num_occupants
+    assert ref_occ_reset == int(host.num_occupants_obs)
+
+    for i in range(N_STEPS):
+        ts = ref_sim.current_timestamp
+        ref_sim.setup_step_sim()
+        ref_sim._hvac.boiler.set_action("supply_water_setpoint", 340.0, ts)
+        ref_sim._hvac.air_handler.set_action(
+            "supply_air_heating_temperature_setpoint", 285.0, ts
+        )
+        ref_sim.execute_step_sim()
+        ref_supply = ref_sim._hvac.boiler.get_observation(
+            "supply_water_temperature_sensor", ref_sim.current_timestamp
+        )
+        ref_num_occ = building.num_occupants
+        info = building.reward_info
+
+        out = host.step(setpoints)
+
+        assert ref_num_occ == int(out["num_occupants_obs"]), f"step {i}"
+        assert ref_supply == pytest.approx(
+            out["supply_water_temperature"], abs=1e-9
+        ), f"step {i}"
+        np.testing.assert_array_equal(
+            np.asarray(ref_sim._building.temp), host.temp,
+            err_msg=f"step {i}",
+        )
+        if i % 48 == 0:  # spot-check zone occupancy every 4 sim-hours
+            ref_zone_occ = {
+                zid: z.average_occupancy
+                for zid, z in info.zone_reward_infos.items()
+            }
+            for z, ext_id in enumerate(host.geom.zone_ext_ids):
+                assert ref_zone_occ[ext_id] == pytest.approx(
+                    out["zone_occupancy"][z]
+                ), f"step {i} zone {ext_id}"
