@@ -35,3 +35,23 @@ def test_step_batched_matches_vmap_step(env):
     np.testing.assert_array_equal(
         np.asarray(ov.reward), np.asarray(ob.reward)
     )
+
+
+def test_resolve_solver_contract():
+    """bench.py relies on resolve_solver to name the exact path it times."""
+    import pytest
+
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    env = BuildingEnv(presets.two_zone_test_config())
+    # On CPU, auto resolves to the XLA solver of the configured family.
+    assert env.resolve_solver(1024) == "xla_jacobi"
+    assert env.resolve_solver(8, use_pallas=False) == "xla_jacobi"
+    # Explicit names pass through unchanged.
+    for name in ("pallas_env", "pallas_cheby", "pallas_lanes",
+                 "xla_jacobi", "xla_chebyshev"):
+        assert env.resolve_solver(1024, solver=name) == name
+    assert env.resolve_solver(1024, solver="auto") == "xla_jacobi"
+    with pytest.raises(ValueError, match="unknown solver"):
+        env.resolve_solver(1024, solver="gauss")
