@@ -26,6 +26,16 @@ def main():
     parser.add_argument(
         "--out", default=None, help="write results JSON to this path"
     )
+    parser.add_argument(
+        "--shard-map",
+        action="store_true",
+        help="rollout via shard_map (per-shard Pallas kernels) instead of "
+        "GSPMD sharding constraints",
+    )
+    parser.add_argument(
+        "--solver", default="auto",
+        help="FDM path per shard (shard-map mode)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -90,7 +100,14 @@ def main():
             )
             return states, jnp.mean(rewards)
 
-        rollout_jit = jax.jit(rollout)
+        if args.shard_map:
+            # Per-shard Pallas kernels (GSPMD can't partition pallas_call):
+            # this is the multi-chip production rollout path.
+            rollout_jit = mesh_lib.make_shardmapped_rollout(
+                env, mesh, actions_table, args.steps, solver=args.solver
+            )
+        else:
+            rollout_jit = jax.jit(rollout)
         states, _ = jax.block_until_ready(rollout_jit(states))
         t0 = time.perf_counter()
         states, _ = rollout_jit(states)

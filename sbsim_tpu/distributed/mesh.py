@@ -92,6 +92,46 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     )
 
 
+def make_shardmapped_rollout(
+    env,
+    mesh: Mesh,
+    actions_table,
+    n_steps: int,
+    solver: str = "auto",
+):
+    """Multi-chip env rollout via shard_map: each device runs `step_batched`
+    on its own slice of the env batch, so the Pallas VMEM kernels (which
+    GSPMD cannot auto-partition) execute per-shard at full single-chip
+    throughput. The env step has no cross-env dependencies, so the body
+    needs zero collectives; only the scalar reward mean is pmean-reduced.
+
+    Returns a jitted fn: (sharded EnvState batch) -> (EnvState batch,
+    mean reward). The input batch must be divisible by the mesh size.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    table = jnp.asarray(actions_table)
+
+    def rollout(states):
+        def body(s, _):
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = env.step_batched(s, act, solver=solver)
+            return s, jnp.mean(out.reward)
+
+        states, rewards = jax.lax.scan(body, states, None, length=n_steps)
+        return states, jax.lax.pmean(jnp.mean(rewards), ENV_AXIS)
+
+    wrapped = shard_map(
+        rollout,
+        mesh=mesh,
+        in_specs=(P(ENV_AXIS),),
+        out_specs=(P(ENV_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(wrapped)
+
+
 def make_distributed_train_step(trainer: SACTrainer, mesh: Mesh):
     """Jits the trainer's full step with env-batch sharding constraints.
 

@@ -65,3 +65,46 @@ def test_sharded_matches_single_device_rewards(env):
     np.testing.assert_allclose(
         np.asarray(s1.last_obs), np.asarray(s2.last_obs), atol=1e-4
     )
+
+
+def test_shardmapped_rollout_matches_unsharded(env):
+    """shard_map rollout (the multi-chip Pallas path) == plain batched
+    rollout: per-env physics has no cross-env deps, so sharding must not
+    change anything."""
+    import jax.numpy as jnp
+
+    from sbsim_tpu.agents import schedule_policy
+
+    mesh = mesh_lib.make_mesh()
+    table = schedule_policy.build_schedule_actions(env)
+    batch, n_steps = 16, 4
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+    sharded_fn = mesh_lib.make_shardmapped_rollout(
+        env, mesh, table, n_steps
+    )
+    s_sharded, r_sharded = sharded_fn(states)
+
+    tbl = jnp.asarray(table)
+
+    def plain(states):
+        def body(s, _):
+            act = tbl[jnp.clip(s.step_idx, 0, tbl.shape[0] - 1)]
+            s, out = env.step_batched(s, act)
+            return s, jnp.mean(out.reward)
+
+        s, r = jax.lax.scan(body, states, None, length=n_steps)
+        return s, jnp.mean(r)
+
+    s_plain, r_plain = jax.jit(plain)(states)
+    np.testing.assert_allclose(
+        np.asarray(s_sharded.temp), np.asarray(s_plain.temp), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(r_sharded), float(r_plain), atol=1e-6
+    )
+    assert np.array_equal(
+        np.asarray(s_sharded.fdm_iterations),
+        np.asarray(s_plain.fdm_iterations),
+    )
