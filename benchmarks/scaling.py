@@ -36,6 +36,7 @@ def main():
         "--solver", default="auto",
         help="FDM path per shard (shard-map mode)",
     )
+    parser.add_argument("--repeats", type=int, default=3)
     args = parser.parse_args()
 
     import jax
@@ -109,11 +110,15 @@ def main():
         else:
             rollout_jit = jax.jit(rollout)
         states, _ = jax.block_until_ready(rollout_jit(states))
-        t0 = time.perf_counter()
-        states, _ = rollout_jit(states)
-        jax.block_until_ready(states)
-        dt = time.perf_counter() - t0
-        sps = batch * args.steps / dt
+        sps = 0.0
+        for rep in range(args.repeats):
+            t0 = time.perf_counter()
+            states, _ = rollout_jit(states)
+            jax.block_until_ready(states)
+            dt = time.perf_counter() - t0
+            rate = batch * args.steps / dt
+            print(f"  rep {rep}: {rate:.0f} env-steps/s", flush=True)
+            sps = max(sps, rate)
         results.append(
             {
                 "devices": n_dev,
