@@ -275,3 +275,38 @@ class TestSwapVsExactShuffleStatistics:
         worst_ks, worst_dmean = self._worst_stats(env, swap, exact)
         assert worst_ks <= 0.25, worst_ks
         assert worst_dmean <= 0.5, worst_dmean
+
+
+def test_swap_decision_word_bit_rates():
+    """Each bit lane of the packed decision word is Bernoulli(p_round to
+    1/256 resolution), independent across rounds."""
+    plan = np.full((9, 11), 2.0)
+    plan[1:8, 1:10] = 1.0
+    plan[2:7, 2:5] = 0.0
+    plan[2:7, 6:9] = 0.0
+    geom = geometry.geometry_from_floor_plan(
+        plan, cv_size_cm=20.0, floor_height_cm=250.0, initial_temp=294.0,
+        inside_air=geometry.MaterialProperties(50.0, 700.0, 1.0),
+        inside_wall=geometry.MaterialProperties(2.0, 500.0, 1800.0),
+        exterior_wall=geometry.MaterialProperties(0.05, 700.0, 1.0),
+        buffer_from_walls=0,
+    )
+    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+    n_rounds = len(buckets.offsets)
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+    words = jax.vmap(
+        lambda k: convection.swap_decision_word(buckets, k, geom.shape)
+    )(keys)
+    words = np.asarray(words)  # (64, H, W) uint32
+    expected = round(buckets.p_round * 256.0) / 256.0
+    for r in range(n_rounds):
+        rate = ((words >> r) & 1).mean()
+        # 64*9*11 = 6336 samples per bit: 5-sigma ~ 0.021
+        assert abs(rate - expected) < 0.025, (r, rate, expected)
+    # Bits beyond n_rounds are zero.
+    assert ((words >> n_rounds) == 0).all()
+    # Adjacent rounds' decisions are uncorrelated.
+    b0 = ((words >> 0) & 1).astype(float).ravel()
+    b1 = ((words >> 1) & 1).astype(float).ravel()
+    corr = np.corrcoef(b0, b1)[0, 1]
+    assert abs(corr) < 0.05, corr
