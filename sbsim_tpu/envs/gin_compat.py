@@ -131,6 +131,49 @@ def extract_observation_normalization(
     return out
 
 
+def extract_observation_normalizer_map(
+    bindings: Mapping[str, Any],
+) -> Dict[str, Tuple[float, float]]:
+    """The EFFECTIVE normalization mapping: observation_normalizer_map KEYS
+    -> (mean, variance) of the scope each key references
+    (sim_config.gin:527-583).
+
+    This — not the per-scope field_id — is what the reference's
+    StandardScoreObservationNormalizer exact-matches against
+    (observation_normalizer.py:61-66): the map aliases several keys onto
+    shared scopes (e.g. 'supply_water_setpoint' ->
+    supply_water_temperature_setpoint_normalizer, 'supply_air_cooling/
+    heating_temperature_setpoint' -> supply_air_temperature_setpoint_
+    normalizer, 'cooling_request_count' -> request_count_observation_
+    normalizer) and leaves many gin-declared scopes unwired (their fields
+    pass through raw — including zone_air_temperature_sensor).
+    """
+    scoped: Dict[str, Dict[str, Any]] = {}
+    pattern = re.compile(
+        r"^(?P<scope>[\w/]+)/set_observation_normalization_constants"
+        r"\.(?P<param>\w+)$"
+    )
+    for key, value in bindings.items():
+        m = pattern.match(key)
+        if m:
+            scoped.setdefault(m.group("scope"), {})[m.group("param")] = value
+    mapping_raw = bindings.get("observation_normalizer_map", "")
+    pairs = re.findall(
+        r"['\"](?P<field>[\w]+)['\"]\s*:\s*@(?P<scope>[\w/]+)/"
+        r"set_observation_normalization_constants",
+        str(mapping_raw),
+    )
+    out: Dict[str, Tuple[float, float]] = {}
+    for field, scope in pairs:
+        params = scoped.get(scope)
+        if params:
+            out[str(field)] = (
+                float(params.get("sample_mean", 0.0)),
+                float(params.get("sample_variance", 0.0)),
+            )
+    return out
+
+
 def extract_action_normalizers(
     bindings: Mapping[str, Any],
 ) -> Dict[str, ActionNormalizerConfig]:
@@ -280,7 +323,7 @@ def env_config_from_gin(
         num_days_in_episode=int(get("num_days_in_episode", 14)),
         discount_factor=float(get("discount_factor", 0.9)),
         observation_normalization=(
-            extract_observation_normalization(b)
+            extract_observation_normalizer_map(b)
             or cfg.observation_normalization
         ),
         histogram_parameters=histogram or cfg.histogram_parameters,

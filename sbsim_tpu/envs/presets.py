@@ -9,6 +9,7 @@ plan of comparable scale; pass `floor_plan` to use a real one.
 
 from __future__ import annotations
 
+import os
 from typing import Mapping, Optional, Tuple
 
 import numpy as np
@@ -25,21 +26,29 @@ from sbsim_tpu.envs.config import (
     WeatherConfig,
 )
 
-# The COMPLETE calibrated z-score table from the released sb1 config — all 56
-# field ids of sim_config.gin:252-583, extracted verbatim via
-# gin_compat.parse_gin_bindings so the calibration is self-contained without
-# the reference mounted. Matching is EXACT field-id match, else the value
-# passes through unnormalized (observation_normalizer.py:60-66) — reference
-# quirks preserved: e.g. the sim emits supply_air_heating/
-# cooling_temperature_setpoint and cooling/heating_request_count, which have
-# no exact entry here and therefore reach the agent unnormalized, exactly as
-# in the reference environment.
+# The EFFECTIVE calibrated z-score mapping of the released sb1 config: the
+# 50 keys of observation_normalizer_map (sim_config.gin:527-583) resolved to
+# their scoped (sample_mean, sample_variance) constants, extracted via
+# gin_compat.extract_observation_normalizer_map and pinned against the
+# reference gin by tests/golden/test_golden_misc.py. Matching is EXACT
+# key match, else the value passes through unnormalized
+# (observation_normalizer.py:61-66) — reference quirks preserved:
+# - the map ALIASES keys onto shared scopes: 'supply_water_setpoint' uses the
+#   supply_water_temperature_setpoint constants (gin:573),
+#   'supply_air_cooling/heating_temperature_setpoint' use the
+#   supply_air_temperature_setpoint constants (gin:567-568), and
+#   'cooling_request_count' uses the request_count constants (gin:579);
+# - many gin-declared scopes ('temperature', 'percentage', ...) are NOT wired
+#   into the map, so fields like zone_air_temperature_sensor and
+#   supply_air_flowrate_sensor reach the agent RAW — which is why the
+#   zone-temperature histogram bins below are in plain Kelvin;
+# - heating_request_count and supply_air_damper_percentage_command have no
+#   entry either and also pass through raw.
 SB1_OBSERVATION_NORMALIZATION: Mapping[str, Tuple[float, float]] = {
-    "air_flowrate": (0.5, 4.0),
     "building_air_static_pressure_sensor": (3.779228, 14.599437),
     "building_air_static_pressure_setpoint": (7.472401, 0.0),
     "cooling_percentage_command": (9.658281, 295.833612),
-    "differential_pressure": (10000.0, 100000.0),
+    "cooling_request_count": (100.0, 25.0),
     "differential_pressure_sensor": (31611.814379, 1844378631.487996),
     "differential_pressure_setpoint": (83810.26954, 14889040.603647),
     "discharge_air_temperature_sensor": (69.889025, 541.455462),
@@ -59,22 +68,20 @@ SB1_OBSERVATION_NORMALIZATION: Mapping[str, Tuple[float, float]] = {
     "outside_air_specificenthalpy_sensor": (60711.656343, 25491060.173822),
     "outside_air_temperature_sensor": (291.244931, 12.904175),
     "outside_air_wetbulb_temperature_sensor": (287.709943, 3.59426),
-    "percentage": (0.5, 1.0),
     "program_differential_pressure_setpoint": (83808.578375, 14897544.664858),
     "program_supply_air_static_pressure_setpoint": (163.396282, 1092.073231),
     "program_supply_air_temperature_setpoint": (289.490004, 2.854515),
     "program_supply_water_temperature_setpoint": (341.467705, 74.961483),
-    "request_count": (100.0, 25.0),
     "return_air_temperature_sensor": (295.602164, 11.30993),
     "return_water_temperature_sensor": (326.219913, 497.847788),
     "run_status": (-0.63834, 0.592523),
     "speed_frequency_sensor": (7.003487, 227.751249),
     "speed_percentage_command": (11.330966, 602.718159),
-    "supervisor_run_command": (0.0, 1.0),
     "supervisor_supply_air_static_pressure_setpoint": (179.409052, 352.049768),
     "supervisor_supply_air_temperature_setpoint": (290.2, 9.66245),
     "supervisor_supply_water_temperature_setpoint": (332.164444, 1.534112),
-    "supply_air_flowrate_sensor": (177.520026, 50499.153481),
+    "supply_air_cooling_temperature_setpoint": (289.329414, 3.186769),
+    "supply_air_heating_temperature_setpoint": (289.329414, 3.186769),
     "supply_air_static_pressure_sensor": (128.527912, 6679.599175),
     "supply_air_static_pressure_setpoint": (181.307432, 361.757966),
     "supply_air_temperature_sensor": (289.737939, 6.265837),
@@ -82,15 +89,12 @@ SB1_OBSERVATION_NORMALIZATION: Mapping[str, Tuple[float, float]] = {
     "supply_fan_run_status": (0.439849, 0.806533),
     "supply_fan_speed_frequency_sensor": (15.926249, 207.034194),
     "supply_fan_speed_percentage_command": (26.543748, 575.094979),
-    "supply_water_setpoint": (310.0, 2500.0),
+    "supply_water_setpoint": (320.261985, 240.195517),
     "supply_water_temperature_sensor": (321.520315, 658.413066),
-    "supply_water_temperature_setpoint": (320.261985, 240.195517),
-    "temperature": (310.0, 2500.0),
     "zone_air_co2_concentration_sensor": (432.092062, 962.90384),
     "zone_air_co2_concentration_setpoint": (739.337708, 3618.117781),
     "zone_air_cooling_temperature_setpoint": (82.084227, 402.158853),
     "zone_air_heating_temperature_setpoint": (64.231868, 24.461668),
-    "zone_air_temperature_sensor": (190.0, 408.113303),
 }
 
 # Histogram bins (sim_config.gin:586-590).
@@ -115,31 +119,50 @@ SB1_EXTERIOR = MaterialProperties(
 )
 
 
+# The sb1 Moffett Field weather record (derived from the reference's
+# local_weather_moffett_field_20230701_20231122.csv: epoch seconds + °F,
+# exactly what ReplayWeatherController interpolates over), packaged so the
+# calibrated default works standalone.
+SB1_WEATHER_NPZ = os.path.join(
+    os.path.dirname(__file__), "..", "data", "sb1_weather_moffett.npz"
+)
+
+
 def sb1_config(
     floor_plan: Optional[np.ndarray] = None,
     weather_csv: Optional[str] = None,
     num_days_in_episode: int = 14,
     convection_p: float = 1.0,
     convection_distance: int = 5,
+    weather_kind: str = "replay",
 ) -> EnvConfig:
-    """The calibrated sb1 environment (sim_config.gin:15-614)."""
+    """The calibrated sb1 environment (sim_config.gin:15-614).
+
+    Weather defaults to REPLAY of the real Moffett Field record — the
+    reference's sb1 config wires ReplayWeatherController over this very CSV
+    (sim_config.gin:31-34) — via the packaged npz. Pass `weather_csv` to
+    replay a different record, or `weather_kind="sinusoid"` for the
+    synthetic 273-283 K diurnal profile (WeatherController semantics).
+    """
     if floor_plan is None:
         floor_plan = make_synthetic_office_plan(
             n_rooms_x=3, n_rooms_y=4, room_cvs=14
         )
-    if weather_csv:
+    if weather_csv or weather_kind == "replay":
         weather = WeatherConfig(
             kind="replay",
-            replay_csv_path=weather_csv,
+            replay_csv_path=weather_csv or os.path.abspath(SB1_WEATHER_NPZ),
             convection_coefficient=100.0,
         )
-    else:
+    elif weather_kind == "sinusoid":
         weather = WeatherConfig(
             kind="sinusoid",
             low_temp=273.0,
             high_temp=283.0,
             convection_coefficient=100.0,
         )
+    else:
+        raise ValueError(f"unknown weather_kind: {weather_kind!r}")
     return EnvConfig(
         building=BuildingConfig(
             kind="floor_plan",

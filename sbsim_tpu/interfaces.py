@@ -164,7 +164,16 @@ class StandardScoreObservationNormalizer(BaseObservationNormalizer):
     zero-variance fields collapse to 0."""
 
     def __init__(self, normalization_constants):
-        self._constants = dict(normalization_constants)
+        # The reference receives its constants through
+        # ContinuousVariableInfo protos whose sample_mean/sample_variance
+        # fields are 32-bit floats (smart_control_normalization.proto) — so
+        # it effectively normalizes with f32-ROUNDED constants. Round ours
+        # identically; the arithmetic itself stays f64, like the reference's
+        # math.sqrt pipeline (observation_normalizer.py:86-99).
+        self._constants = {
+            name: (float(np.float32(mean)), float(np.float32(var)))
+            for name, (mean, var) in dict(normalization_constants).items()
+        }
 
     def _transform(self, response, forward: bool):
         out = building_pb2.ObservationResponse()

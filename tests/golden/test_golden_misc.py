@@ -15,6 +15,64 @@ SB1_WEATHER = (
 )
 
 
+def test_sb1_table_normalizes_like_reference():
+    """Normalized values under the REAL sb1 table match the reference
+    normalizer fed the same constants — including the aliased keys
+    (supply_water_setpoint, supply_air_heating_temperature_setpoint,
+    cooling_request_count) and the raw-passthrough fields
+    (zone_air_temperature_sensor, heating_request_count)."""
+    from smart_buildings.smart_control.proto import (
+        smart_control_normalization_pb2 as norm_pb2,
+    )
+    from smart_buildings.smart_control.utils import (
+        observation_normalizer as ref_norm,
+    )
+
+    from sbsim_tpu.envs import presets
+
+    table = presets.SB1_OBSERVATION_NORMALIZATION
+    constants = {
+        name: norm_pb2.ContinuousVariableInfo(
+            id=name, sample_mean=mean, sample_variance=var
+        )
+        for name, (mean, var) in table.items()
+    }
+    reference = ref_norm.StandardScoreObservationNormalizer(constants)
+    ours = interfaces.StandardScoreObservationNormalizer(table)
+    response = testing.observation_response(
+        {
+            ("boiler", "supply_water_setpoint"): 340.0,
+            ("boiler", "heating_request_count"): 3.0,
+            ("boiler", "supply_water_temperature_sensor"): 330.5,
+            ("air_handler", "supply_air_heating_temperature_setpoint"): 292.0,
+            ("air_handler", "supply_air_cooling_temperature_setpoint"): 296.0,
+            ("air_handler", "cooling_request_count"): 7.0,
+            ("air_handler", "supply_air_flowrate_sensor"): 4.2,
+            ("air_handler", "outside_air_temperature_sensor"): 288.7,
+            ("vav_1", "zone_air_temperature_sensor"): 294.2,
+            ("vav_1", "supply_air_damper_percentage_command"): 0.6,
+        }
+    )
+    ref_out = reference.normalize(response)
+    our_out = ours.normalize(response)
+    for a, b in zip(
+        ref_out.single_observation_responses,
+        our_out.single_observation_responses,
+    ):
+        assert a.continuous_value == pytest.approx(
+            b.continuous_value, rel=1e-6
+        ), a.single_observation_request.measurement_name
+    # Spot-check the quirks: zone temps raw, aliased water setpoint scaled.
+    by_name = {
+        r.single_observation_request.measurement_name: r.continuous_value
+        for r in our_out.single_observation_responses
+    }
+    assert by_name["zone_air_temperature_sensor"] == pytest.approx(294.2)
+    assert by_name["supply_water_setpoint"] == pytest.approx(
+        (340.0 - 320.261985) / np.sqrt(240.195517)
+    )
+
+
 def test_observation_normalizer_matches_reference():
     from smart_buildings.smart_control.proto import (
         smart_control_normalization_pb2 as norm_pb2,

@@ -24,6 +24,7 @@ def test_parse_macros():
 
 
 def test_observation_normalization_constants():
+    # Per-scope field_id extraction (the raw gin declarations).
     b = gin_compat.parse_gin_bindings(SB1_GIN)
     norms = gin_compat.extract_observation_normalization(b)
     assert norms["zone_air_temperature_sensor"] == (190.0, 408.113303)
@@ -35,6 +36,40 @@ def test_observation_normalization_constants():
         291.244931
     )
     assert len(norms) > 40
+
+
+def test_observation_normalizer_map():
+    """The EFFECTIVE mapping = observation_normalizer_map keys resolved to
+    their scope constants (sim_config.gin:527-583) — what the reference's
+    StandardScoreObservationNormalizer actually exact-matches."""
+    b = gin_compat.parse_gin_bindings(SB1_GIN)
+    effective = gin_compat.extract_observation_normalizer_map(b)
+    assert len(effective) == 50
+    # Aliased keys resolve to their shared scopes.
+    assert effective["supply_water_setpoint"] == (320.261985, 240.195517)
+    assert effective["supply_air_cooling_temperature_setpoint"] == (
+        289.329414, 3.186769,
+    )
+    assert effective["supply_air_heating_temperature_setpoint"] == (
+        289.329414, 3.186769,
+    )
+    assert effective["cooling_request_count"] == (100.0, 25.0)
+    # Declared-but-unwired scopes are absent: these fields pass through RAW.
+    assert "zone_air_temperature_sensor" not in effective
+    assert "supply_air_flowrate_sensor" not in effective
+    assert "temperature" not in effective
+    assert "heating_request_count" not in effective
+
+
+def test_presets_table_is_reference_effective_map():
+    """presets.SB1_OBSERVATION_NORMALIZATION must equal the reference's
+    effective normalizer map exactly (it is that map, inlined so the
+    calibration is self-contained without the reference mounted)."""
+    from sbsim_tpu.envs import presets
+
+    b = gin_compat.parse_gin_bindings(SB1_GIN)
+    effective = gin_compat.extract_observation_normalizer_map(b)
+    assert dict(presets.SB1_OBSERVATION_NORMALIZATION) == effective
 
 
 def test_action_normalizers():
