@@ -63,11 +63,22 @@ class TanhGaussianActor(nn.Module):
 
 
 def sample_action(
-    mean: jnp.ndarray, log_std: jnp.ndarray, key: jax.Array
+    mean: jnp.ndarray,
+    log_std: jnp.ndarray,
+    key: jax.Array | None = None,
+    *,
+    eps: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Reparameterized sample + log-prob under the tanh-squashed Gaussian."""
+    """Reparameterized sample + log-prob under the tanh-squashed Gaussian.
+
+    Pass `eps` to supply the N(0,1) noise explicitly (shard_map shards draw
+    noise at the GLOBAL batch shape and slice their rows so per-shard
+    sampling is bitwise-consistent with the global-batch draw,
+    distributed/mesh.py); otherwise it is drawn from `key`.
+    """
     std = jnp.exp(log_std)
-    eps = jax.random.normal(key, mean.shape)
+    if eps is None:
+        eps = jax.random.normal(key, mean.shape)
     pre_tanh = mean + std * eps
     action = jnp.tanh(pre_tanh)
     # Gaussian log prob + tanh change-of-variables correction.

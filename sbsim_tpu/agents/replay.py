@@ -146,12 +146,32 @@ def sample_sharded(
     sub-ring (shard-local gather along axis 1), flattened to
     (n_envs * k, ...). With lockstep fill levels this matches uniform
     sampling over the union; the flattened batch keeps its major-axis
-    sharding so the learner's loss mean psums gradients across shards."""
+    sharding so the learner's loss mean psums gradients across shards.
+
+    Requires n_envs to divide batch_size (validated at trainer init) so the
+    effective batch is exactly batch_size, not silently rounded.
+    """
     n_envs = state.data.reward.shape[0]
-    k = max(1, batch_size // n_envs)
+    if batch_size % n_envs != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be a multiple of "
+            f"n_envs={n_envs} for the stratified per-env sample"
+        )
+    k = batch_size // n_envs
     slots = jax.random.randint(
         key, (n_envs, k), 0, jnp.maximum(state.size, 1)
     )
+    return sample_sharded_at(state, slots)
+
+
+def sample_sharded_at(
+    state: ShardedReplayState, slots: jnp.ndarray
+) -> Transition:
+    """Gathers the given (n_envs, k) ring slots, flattened env-major to
+    (n_envs * k, ...). Split out so shard_map shards can draw `slots` at the
+    GLOBAL env count and slice their rows (distributed/mesh.py), making the
+    per-shard sample bitwise-consistent with the single-program draw."""
+    n_envs, k = slots.shape
 
     def take(buf):
         idx = slots.reshape(slots.shape + (1,) * (buf.ndim - 2))

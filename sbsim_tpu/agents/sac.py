@@ -130,16 +130,45 @@ class SACLearner:
     # ------------------------------------------------------------------
 
     def update(
-        self, state: SACState, batch: Transition, key: jax.Array
+        self,
+        state: SACState,
+        batch: Transition,
+        key: jax.Array,
+        *,
+        axis_name: str | None = None,
+        noise_block: Tuple[Any, int] | None = None,
     ) -> Tuple[SACState, Dict[str, jnp.ndarray]]:
-        """One SAC gradient step on a batch of transitions."""
+        """One SAC gradient step on a batch of transitions.
+
+        Distributed mode (both optional args set, used by
+        distributed/mesh.make_shardmapped_train_step): `batch` is this
+        shard's slice of a global batch. `noise_block=(offset, total)` draws
+        the reparameterization noise at the GLOBAL (total, action_dim) shape
+        and uses rows [offset, offset+local_batch), and `axis_name` pmeans
+        the gradients (and scalar statistics) over that mesh axis — so N
+        shards each updating on 1/N of the batch apply exactly the update
+        the single-program path computes on the full batch.
+        """
         cfg = self.config
         k_next, k_actor = jax.random.split(key)
         alpha = jnp.exp(state.log_alpha)
+        local_b = batch.reward.shape[0]
+
+        def draw_eps(k):
+            if noise_block is None:
+                return jax.random.normal(k, (local_b, self.action_dim))
+            offset, total = noise_block
+            eps_all = jax.random.normal(k, (total, self.action_dim))
+            return jax.lax.dynamic_slice_in_dim(eps_all, offset, local_b, 0)
+
+        def pmean(x):
+            return jax.lax.pmean(x, axis_name) if axis_name else x
 
         # --- Critic update -------------------------------------------------
         mean_n, log_std_n = self.actor.apply(state.actor_params, batch.next_obs)
-        next_action, next_logp = networks.sample_action(mean_n, log_std_n, k_next)
+        next_action, next_logp = networks.sample_action(
+            mean_n, log_std_n, eps=draw_eps(k_next)
+        )
         tq1, tq2 = self.critic.apply(
             state.target_critic_params, batch.next_obs, next_action
         )
@@ -158,15 +187,19 @@ class SACLearner:
         (critic_loss, (q1m, q2m)), critic_grads = jax.value_and_grad(
             critic_loss_fn, has_aux=True
         )(state.critic_params)
+        critic_grads = pmean(critic_grads)
+        critic_loss, q1m, q2m = pmean(critic_loss), pmean(q1m), pmean(q2m)
         critic_updates, critic_opt = self.critic_tx.update(
             critic_grads, state.critic_opt, state.critic_params
         )
         critic_params = optax.apply_updates(state.critic_params, critic_updates)
 
         # --- Actor update --------------------------------------------------
+        eps_actor = draw_eps(k_actor)
+
         def actor_loss_fn(params):
             mean, log_std = self.actor.apply(params, batch.obs)
-            action, logp = networks.sample_action(mean, log_std, k_actor)
+            action, logp = networks.sample_action(mean, log_std, eps=eps_actor)
             q1, q2 = self.critic.apply(critic_params, batch.obs, action)
             q = jnp.minimum(q1, q2)
             loss = jnp.mean(alpha * logp - q)
@@ -175,6 +208,10 @@ class SACLearner:
         (actor_loss, entropy_neg), actor_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True
         )(state.actor_params)
+        actor_grads = pmean(actor_grads)
+        # entropy_neg feeds the alpha loss below: pmean it first so the
+        # temperature update is replicated across shards.
+        actor_loss, entropy_neg = pmean(actor_loss), pmean(entropy_neg)
         actor_updates, actor_opt = self.actor_tx.update(
             actor_grads, state.actor_opt, state.actor_params
         )

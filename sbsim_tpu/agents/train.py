@@ -59,6 +59,16 @@ class SACTrainer:
     def __init__(self, env: BuildingEnv, config: TrainConfig = TrainConfig()):
         self.env = env
         self.config = config
+        if (
+            config.replay_layout == "per_env"
+            and config.batch_size % config.n_envs != 0
+        ):
+            raise ValueError(
+                f"batch_size={config.batch_size} must be a multiple of "
+                f"n_envs={config.n_envs} under the per_env replay layout "
+                "(stratified sampling draws batch_size//n_envs slots per "
+                "env); otherwise the effective batch would silently differ"
+            )
         self.learner = SACLearner(env.obs_dim, env.n_actions, config.sac)
         self._reset_v = jax.vmap(env.reset)
         self._step_v = lambda states, actions: env.step_batched(

@@ -109,7 +109,7 @@ def make_shardmapped_rollout(
     mean reward). The input batch must be divisible by the mesh size.
     """
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     table = jnp.asarray(actions_table)
 
@@ -127,9 +127,41 @@ def make_shardmapped_rollout(
         mesh=mesh,
         in_specs=(P(ENV_AXIS),),
         out_specs=(P(ENV_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(wrapped)
+
+
+def _gspmd_safe_trainer(trainer: SACTrainer, mesh: Mesh) -> SACTrainer:
+    """GSPMD cannot auto-partition pallas_call: on a multi-device mesh,
+    force the trainer's env step onto the XLA solver whenever its configured
+    solver would resolve to a Pallas kernel. Callers that want the Pallas
+    solvers on multiple chips use make_shardmapped_train_step instead."""
+    if mesh.devices.size <= 1:
+        return trainer
+    resolved = trainer.env.resolve_solver(
+        trainer.config.n_envs, solver=trainer.config.env_solver
+    )
+    if not resolved.startswith("pallas"):
+        return trainer
+    import copy
+    import logging
+
+    env = trainer.env
+    xla = "xla_" + env.config.fdm_solver
+    logging.getLogger(__name__).warning(
+        "GSPMD mesh with %d devices: forcing env solver %r -> %r "
+        "(pallas_call is not GSPMD-partitionable); use "
+        "make_shardmapped_train_step to run the Pallas solvers per shard",
+        mesh.devices.size,
+        resolved,
+        xla,
+    )
+    safe = copy.copy(trainer)
+    safe._step_v = lambda states, actions: env.step_batched(
+        states, actions, solver=xla
+    )
+    return safe
 
 
 def make_distributed_train_step(trainer: SACTrainer, mesh: Mesh):
@@ -138,6 +170,7 @@ def make_distributed_train_step(trainer: SACTrainer, mesh: Mesh):
     Returns a function TrainState -> (TrainState, metrics) whose env leaves
     stay sharded over the mesh across calls.
     """
+    trainer = _gspmd_safe_trainer(trainer, mesh)
 
     def step(state: TrainState):
         state = _constrain(state, mesh)
@@ -148,12 +181,230 @@ def make_distributed_train_step(trainer: SACTrainer, mesh: Mesh):
 
 
 def make_distributed_collect_step(trainer: SACTrainer, mesh: Mesh, action_fn):
+    trainer = _gspmd_safe_trainer(trainer, mesh)
+
     def step(state: TrainState):
         state = _constrain(state, mesh)
         new_state, metrics = trainer.collect_step(state, action_fn)
         return _constrain(new_state, mesh), metrics
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# shard_map training: per-shard Pallas env step + psum'd SAC gradients
+# ---------------------------------------------------------------------------
+
+
+def _train_state_specs(replay) -> TrainState:
+    """PartitionSpec tree prefix for a TrainState: env batch + per-env replay
+    sub-rings shard on their leading axis, everything else replicates."""
+    from sbsim_tpu.agents.replay import ShardedReplayState
+
+    if not isinstance(replay, ShardedReplayState):
+        raise ValueError(
+            "make_shardmapped_train_step requires the per_env replay layout "
+            "(TrainConfig.replay_layout='per_env'): the flat ring cannot "
+            "shard with the envs"
+        )
+    replay_spec = ShardedReplayState(
+        data=P(ENV_AXIS),
+        insert_index=P(),
+        size=P(),
+        per_env_capacity=replay.per_env_capacity,
+    )
+    return TrainState(
+        env_states=P(ENV_AXIS),
+        last_obs=P(ENV_AXIS),
+        replay=replay_spec,
+        sac=P(),
+        rng=P(),
+        env_steps=P(),
+    )
+
+
+def make_shardmapped_train_step(
+    trainer: SACTrainer,
+    mesh: Mesh,
+    replay_template,
+    solver: str = "auto",
+):
+    """The production multi-chip training step: shard_map over the env axis.
+
+    Each device runs the FULL collect phase on its own env slice — including
+    the Pallas VMEM FDM kernels, which GSPMD cannot auto-partition — inserts
+    into its shard-local replay sub-rings, samples its rows of the global
+    batch, and computes SAC gradients that are pmean-reduced across shards
+    before the (replicated) optimizer update. This is the training analogue
+    of make_shardmapped_rollout, covering SAC_Demo.ipynb cells 26-48's
+    collect+update loop.
+
+    Bitwise consistency with the single-program train_step: every stochastic
+    draw (action noise, reset keys, replay slots, reparameterization noise)
+    is made at the GLOBAL shape from the replicated rng and sliced to the
+    shard's rows, and gradients/statistics are pmean'd — so N shards apply
+    exactly the update one program computes on the full batch (up to float
+    reduction order). Validated by tests/test_distributed.py.
+
+    `replay_template` is the TrainState.replay value (or the TrainState —
+    its .replay is used) that provides the static ring layout for the spec
+    tree. `solver` resolves per-shard at trace time: "auto" picks the Pallas
+    kernels on TPU and the XLA while_loop on CPU meshes.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from sbsim_tpu.agents import networks
+    from sbsim_tpu.agents import replay as replay_lib
+    from sbsim_tpu.agents.replay import Transition
+
+    if hasattr(replay_template, "replay"):
+        replay_template = replay_template.replay
+
+    cfg = trainer.config
+    env = trainer.env
+    learner = trainer.learner
+    n_shards = mesh.devices.size
+    if cfg.n_envs % n_shards != 0:
+        raise ValueError(
+            f"n_envs={cfg.n_envs} must be a multiple of the mesh size "
+            f"{n_shards}"
+        )
+    n_local = cfg.n_envs // n_shards
+    if cfg.batch_size % cfg.n_envs != 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must be a multiple of "
+            f"n_envs={cfg.n_envs}"
+        )
+    k_per_env = cfg.batch_size // cfg.n_envs
+    local_batch = n_local * k_per_env
+    act_dim = env.n_actions
+    specs = _train_state_specs(replay_template)
+
+    def slice_rows(x, i, rows):
+        return jax.lax.dynamic_slice_in_dim(x, i * rows, rows, axis=0)
+
+    def body(state: TrainState):
+        i = jax.lax.axis_index(ENV_AXIS)
+        done_gamma = jnp.float32(env.config.discount_factor)
+
+        # ---- collect: policy action, env step, replay insert -------------
+        # Identical rng schedule to SACTrainer.collect_step/train_step.
+        rng, k_act, k_reset = jax.random.split(state.rng, 3)
+        mean, log_std = learner.actor.apply(
+            state.sac.actor_params, state.last_obs
+        )
+        eps_all = jax.random.normal(k_act, (cfg.n_envs, act_dim))
+        actions, _ = networks.sample_action(
+            mean, log_std, eps=slice_rows(eps_all, i, n_local)
+        )
+        env_states, out = env.step_batched(
+            state.env_states, actions, solver=solver
+        )
+        discount = jnp.where(out.done, 0.0, done_gamma)
+        batch = Transition(
+            obs=state.last_obs,
+            action=actions,
+            reward=out.reward,
+            discount=discount,
+            next_obs=out.observation,
+        )
+        replay = replay_lib.add_batch_sharded(state.replay, batch)
+
+        def do_reset(operands):
+            env_states, obs = operands
+            keys = slice_rows(
+                jax.random.split(k_reset, cfg.n_envs), i, n_local
+            )
+            fresh_states, fresh_obs = jax.vmap(env.reset)(keys)
+
+            def select(new, old):
+                mask = out.done.reshape(
+                    out.done.shape + (1,) * (new.ndim - 1)
+                )
+                return jnp.where(mask, new, old)
+
+            states = jax.tree.map(select, fresh_states, env_states)
+            return states, jnp.where(out.done[:, None], fresh_obs, obs)
+
+        env_states, obs = jax.lax.cond(
+            jnp.any(out.done), do_reset, lambda operands: operands,
+            (env_states, out.observation),
+        )
+        env_steps = state.env_steps + cfg.n_envs
+        metrics = {
+            "reward_mean": jax.lax.pmean(jnp.mean(out.reward), ENV_AXIS)
+        }
+
+        # ---- SAC updates: local batch rows, pmean'd gradients ------------
+        rng, k_updates = jax.random.split(rng)
+        update_keys = jax.random.split(
+            k_updates, cfg.updates_per_env_step
+        )
+
+        def do_update(carry, key):
+            sac, replay = carry
+            k_sample, k_update = jax.random.split(key)
+            slots_all = jax.random.randint(
+                k_sample,
+                (cfg.n_envs, k_per_env),
+                0,
+                jnp.maximum(replay.size, 1),
+            )
+            sample = replay_lib.sample_sharded_at(
+                replay, slice_rows(slots_all, i, n_local)
+            )
+            sac, m = learner.update(
+                sac,
+                sample,
+                k_update,
+                axis_name=ENV_AXIS,
+                noise_block=(i * local_batch, cfg.batch_size),
+            )
+            return (sac, replay), m
+
+        can_learn = env_steps >= cfg.seed_steps
+
+        def run_updates(sac):
+            (sac, _), ms = jax.lax.scan(
+                do_update, (sac, replay), update_keys
+            )
+            return sac, jax.tree.map(lambda x: x[-1], ms)
+
+        def skip_updates(sac):
+            zero_metrics = {
+                "critic_loss": jnp.float32(0),
+                "actor_loss": jnp.float32(0),
+                "alpha_loss": jnp.float32(0),
+                "alpha": jnp.exp(state.sac.log_alpha),
+                "q1_mean": jnp.float32(0),
+                "q2_mean": jnp.float32(0),
+                "entropy": jnp.float32(0),
+            }
+            return sac, zero_metrics
+
+        sac, update_metrics = jax.lax.cond(
+            can_learn, run_updates, skip_updates, state.sac
+        )
+        metrics.update(update_metrics)
+        new_state = TrainState(
+            env_states=env_states,
+            last_obs=obs,
+            replay=replay,
+            sac=sac,
+            rng=rng,
+            env_steps=env_steps,
+        )
+        return new_state, metrics
+
+    wrapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(wrapped)
 
 
 def _constrain(state: TrainState, mesh: Mesh) -> TrainState:
