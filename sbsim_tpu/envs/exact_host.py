@@ -166,6 +166,7 @@ class ExactHostSimulator:
         self._scalar_materials = (
             self._materials64() if solver == "gauss_seidel" else None
         )
+        self._replay_weather = None  # lazy ReplayWeather cache
 
         start = pd.Timestamp(self.cfg.start_timestamp)
         if naive_timestamps:
@@ -345,17 +346,27 @@ class ExactHostSimulator:
         )
         return comfort, float(window[0]), float(window[1])
 
-    def _weather(self, ts: pd.Timestamp) -> float:
+    def _weather(self, ts: pd.Timestamp):
         from sbsim_tpu.scenario import weather as weather_lib
 
         w = self.cfg.weather
         if w.kind == "sinusoid":
+            # Python float, exactly like WeatherController.get_current_temp's
+            # math.sin pipeline — a WEAK scalar under NumPy 2 promotion.
             return weather_lib.sinusoid_temperature(
                 ts, w.low_temp, w.high_temp, w.special_days
             )
-        return float(
-            weather_lib.ReplayWeather(w.replay_csv_path).temperatures([ts])[0]
-        )
+        if self._replay_weather is None:
+            self._replay_weather = weather_lib.ReplayWeather(
+                w.replay_csv_path
+            )
+        # np.float64, exactly like ReplayWeatherController.get_current_temp's
+        # np.interp scalar — a STRONG scalar: the downstream mixed-air blend
+        # with the float32 recirculation mean promotes to float64 here but
+        # stays float32 under the sinusoid's python float. Wrapping this in
+        # float() would round the supply-air temp to f32 and break bitwise
+        # parity (caught by the replay-weather golden day test).
+        return self._replay_weather.temperatures([ts])[0]
 
     def _zone_average_temps(self) -> np.ndarray:
         return np.array(

@@ -85,29 +85,43 @@ def get_replay_temperatures(observation_responses) -> Mapping[str, float]:
 class ReplayWeather:
     """Linear interpolation over recorded weather.
 
-    Built from a CSV (Time, TempF columns) or, via `from_observations`, from
-    recorded ObservationResponse protos (telemetry-driven replay).
+    Built from a CSV (Time, TempF columns), a packaged .npz of the same data
+    (epoch_seconds + temps_fahrenheit arrays — sbsim_tpu/data/
+    sb1_weather_moffett.npz carries the sb1 Moffett Field record so the
+    calibrated default works without the reference mounted), or, via
+    `from_observations`, from recorded ObservationResponse protos
+    (telemetry-driven replay).
 
-    Parity: ReplayWeatherController (weather_controller.py:166-218).
+    Parity: ReplayWeatherController (weather_controller.py:166-218). Like
+    the reference, interpolation runs in the recorded unit (°F for weather
+    files) and converts to Kelvin AFTER interpolating — the two orders agree
+    in real arithmetic but not bitwise.
     """
 
-    def __init__(self, csv_path: Optional[str] = None):
-        if csv_path is None:
+    def __init__(self, path: Optional[str] = None):
+        self._fahrenheit = True
+        if path is None:
             self._epoch_seconds = np.zeros((0,))
-            self._temps_kelvin = np.zeros((0,))
+            self._temps_raw = np.zeros((0,))
             return
-        data = pd.read_csv(csv_path)
-        times = pd.to_datetime(data["Time"], utc=True)
-        self._epoch_seconds = np.array(
-            [(t - _EPOCH).total_seconds() for t in times]
-        )
-        self._temps_kelvin = (
-            (np.asarray(data["TempF"], dtype=np.float64) - 32.0) * 5.0 / 9.0
-            + 273.15
-        )
-        order = np.argsort(self._epoch_seconds)
+        if str(path).endswith(".npz"):
+            blob = np.load(path)
+            self._epoch_seconds = np.asarray(
+                blob["epoch_seconds"], np.float64
+            )
+            self._temps_raw = np.asarray(
+                blob["temps_fahrenheit"], np.float64
+            )
+        else:
+            data = pd.read_csv(path)
+            times = pd.to_datetime(data["Time"], utc=True)
+            self._epoch_seconds = np.array(
+                [(t - _EPOCH).total_seconds() for t in times]
+            )
+            self._temps_raw = np.asarray(data["TempF"], dtype=np.float64)
+        order = np.argsort(self._epoch_seconds, kind="stable")
         self._epoch_seconds = self._epoch_seconds[order]
-        self._temps_kelvin = self._temps_kelvin[order]
+        self._temps_raw = self._temps_raw[order]
 
     @classmethod
     def from_observations(cls, observation_responses) -> "ReplayWeather":
@@ -116,6 +130,7 @@ class ReplayWeather:
         Responses without an outside-air reading are skipped."""
         temps = get_replay_temperatures(observation_responses)
         out = cls(None)
+        out._fahrenheit = False  # telemetry readings are already Kelvin
         seconds, kelvin = [], []
         for ts, value in temps.items():
             if value <= 0.0:
@@ -126,7 +141,7 @@ class ReplayWeather:
             kelvin.append(value)
         order = np.argsort(np.asarray(seconds))
         out._epoch_seconds = np.asarray(seconds, np.float64)[order]
-        out._temps_kelvin = np.asarray(kelvin, np.float64)[order]
+        out._temps_raw = np.asarray(kelvin, np.float64)[order]
         return out
 
     @property
@@ -148,7 +163,12 @@ class ReplayWeather:
                 "Requested weather outside the recorded range "
                 f"[{self.min_timestamp}, {self.max_timestamp}]"
             )
-        return np.interp(targets, self._epoch_seconds, self._temps_kelvin)
+        values = np.interp(targets, self._epoch_seconds, self._temps_raw)
+        if self._fahrenheit:
+            # conversion_utils.fahrenheit_to_kelvin, applied post-interp
+            # exactly as ReplayWeatherController.get_current_temp does.
+            return (values - 32.0) * 5.0 / 9.0 + 273.15
+        return values
 
 
 def ambient_temperature_table(

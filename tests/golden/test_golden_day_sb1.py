@@ -24,11 +24,21 @@ from sbsim_tpu.envs.exact_host import ExactHostSimulator
 CONV_P = 1.0
 CONV_DISTANCE = 5
 CONV_SEED = 5
-START = pd.Timestamp("2023-07-06 07:00:00")  # naive = UTC semantics
+# Sinusoid runs naive (= UTC semantics, matching the original round-2 test);
+# replay weather needs tz-aware stamps because ReplayWeatherController
+# tz_convert()s them — the gin start_timestamp is aware too (gin:164).
+START_NAIVE = pd.Timestamp("2023-07-06 07:00:00")
+START_AWARE = pd.Timestamp("2023-07-06 07:00:00+00:00")
 N_STEPS = 288  # one simulated day at 300 s/step
 
 
-def build_reference(plan):
+SB1_WEATHER_CSV = (
+    "/root/reference/smart_control/configs/resources/sb1/"
+    "local_weather_moffett_field_20230701_20231122.csv"
+)
+
+
+def build_reference(plan, weather_kind="sinusoid"):
     import pytz
     from smart_buildings.smart_control.simulator import air_handler as ref_ahu
     from smart_buildings.smart_control.simulator import boiler as ref_boiler
@@ -71,11 +81,18 @@ def build_reference(plan):
         buffer_from_walls=3,
         convection_simulator=convection,
     )
-    weather = ref_weather.WeatherController(
-        default_low_temp=273.0,
-        default_high_temp=283.0,
-        convection_coefficient=100.0,
-    )
+    if weather_kind == "replay":
+        # The reference's own sb1 wiring: ReplayWeatherController over the
+        # Moffett Field record (sim_config.gin:31-34).
+        weather = ref_weather.ReplayWeatherController(
+            SB1_WEATHER_CSV, convection_coefficient=100.0
+        )
+    else:
+        weather = ref_weather.WeatherController(
+            default_low_temp=273.0,
+            default_high_temp=283.0,
+            convection_coefficient=100.0,
+        )
     schedule = ref_schedule.SetpointSchedule(
         morning_start_hour=6,
         evening_start_hour=19,
@@ -116,7 +133,9 @@ def build_reference(plan):
         convergence_threshold=0.1,
         iteration_limit=100,
         iteration_warning=101,
-        start_timestamp=START,
+        start_timestamp=(
+            START_AWARE if weather_kind == "replay" else START_NAIVE
+        ),
     )
     occupancy = ref_occupancy.RandomizedArrivalDepartureOccupancy(
         zone_assignment=1,
@@ -133,8 +152,10 @@ def build_reference(plan):
     )
 
 
-def build_exact_host(plan):
-    cfg = presets.sb1_config(num_days_in_episode=1, floor_plan=plan)
+def build_exact_host(plan, weather_kind="sinusoid"):
+    cfg = presets.sb1_config(
+        num_days_in_episode=1, floor_plan=plan, weather_kind=weather_kind
+    )
     cfg = dataclasses.replace(
         cfg,
         schedule=dataclasses.replace(cfg.schedule, time_zone="UTC"),
@@ -145,13 +166,16 @@ def build_exact_host(plan):
         start_timestamp="2023-07-06 07:00:00+00:00",
     )
     env = BuildingEnv(cfg)
-    return ExactHostSimulator(env, naive_timestamps=True)
+    return ExactHostSimulator(
+        env, naive_timestamps=(weather_kind != "replay")
+    )
 
 
-def test_full_day_bitwise_at_sb1_scale():
+@pytest.mark.parametrize("weather_kind", ["replay", "sinusoid"])
+def test_full_day_bitwise_at_sb1_scale(weather_kind):
     plan = make_synthetic_office_plan(3, 4, room_cvs=14)
-    building = build_reference(plan)
-    host = build_exact_host(plan)
+    building = build_reference(plan, weather_kind)
+    host = build_exact_host(plan, weather_kind)
     assert host.geom.n_zones == 12
     assert host.geom.shape == building._simulator._building.temp.shape
 
