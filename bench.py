@@ -175,6 +175,7 @@ def main():
                 "vs_baseline": round(best / PER_CHIP_TARGET, 3),
                 "solver": solver,
                 "batch": batch,
+                "weather": env.config.weather.kind,
             }
         )
     )

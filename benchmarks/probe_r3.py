@@ -1,0 +1,254 @@
+"""Round-3 TPU measurement batch — ONE long-lived process (CLAUDE.md chip
+discipline: never chain short-lived TPU processes).
+
+Covers, in order (each section prints + appends JSON to artifacts/):
+  1. throughput re-baseline at batch 2048 under the new calibrated defaults
+     (replay weather + reference-exact normalization): pallas_cheby,
+     pallas_env, xla_jacobi — with numeric + isolation checks
+  2. non-FDM step-cost floor: iteration_limit=1 variant (VERDICT r2 #5)
+  3. pallas_lanes compile re-test on this image's libtpu (VERDICT r2 #8)
+  4. Chebyshev trajectory divergence: 288-step pallas_cheby vs xla_jacobi
+     episode on the sb1 plan under schedule actions (VERDICT r2 #6)
+  5. shard_map TRAIN-step throughput on the 1-chip mesh with the Pallas
+     solver in the loop (VERDICT r2 #1 "recorded single-chip shard_map
+     train-step throughput")
+
+Usage: python benchmarks/probe_r3.py [--skip 1,4] [--quick]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    path = os.path.join(ART, "PROBE_r03.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="", help="comma-list of section numbers")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--cpu-smoke", action="store_true",
+        help="CPU dry run: xla solvers stand in for the pallas kernels",
+    )
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))
+    import tpu_probe
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    cfg = presets.sb1_config(num_days_in_episode=1)
+    env = BuildingEnv(cfg)
+    log(f"grid={env.geom.shape} zones={env.n_zones} "
+        f"device={jax.devices()[0]} weather={cfg.weather.kind}")
+
+    batch = 512 if args.quick else 2048
+    scan = 8 if args.quick else 16
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    t0 = time.time()
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    jax.block_until_ready(obs)
+    log(f"reset batch={batch}: {time.time()-t0:.1f}s")
+    actions = jnp.zeros((batch, env.n_actions))
+
+    # ---- 1. throughput re-baseline ------------------------------------
+    if 1 not in skip:
+        log("== section 1: throughput at new calibrated defaults ==")
+        for solver in (cheby, "pallas_env", "xla_jacobi") if not args.cpu_smoke else (cheby, "xla_jacobi"):
+            try:
+                rate, _ = tpu_probe.time_solver(
+                    env, states, actions, solver, scan
+                )
+                dt, dr, di = tpu_probe.check_numerics(
+                    env, states, actions, solver
+                )
+                iso = tpu_probe.check_isolation(
+                    env, states, actions, solver
+                )
+                record("baseline", dict(
+                    solver=solver, batch=batch, env_steps_per_s=rate,
+                    max_dT_vs_jacobi=dt, max_dR=dr, max_diters=di,
+                    isolation_bitwise=iso, weather=cfg.weather.kind,
+                ))
+            except Exception as e:
+                log(f"  {solver} FAILED: {type(e).__name__}: {e}")
+                record("baseline", dict(solver=solver, batch=batch,
+                                        error=str(e)[:300]))
+
+    # ---- 2. non-FDM step-cost floor -----------------------------------
+    if 2 not in skip:
+        log("== section 2: non-FDM floor (iteration_limit=1) ==")
+        cfg1 = dataclasses.replace(cfg, iteration_limit=1)
+        env1 = BuildingEnv(cfg1)
+        s1, o1 = jax.jit(jax.vmap(env1.reset))(keys)
+        jax.block_until_ready(o1)
+        for solver in ((cheby, "xla_jacobi") if not args.cpu_smoke else (cheby,)):
+            try:
+                rate, _ = tpu_probe.time_solver(
+                    env1, s1, actions, solver, scan
+                )
+                record("floor", dict(solver=solver, batch=batch,
+                                     env_steps_per_s=rate))
+            except Exception as e:
+                log(f"  {solver} FAILED: {type(e).__name__}: {e}")
+                record("floor", dict(solver=solver, error=str(e)[:300]))
+
+    # ---- 3. pallas_lanes re-test --------------------------------------
+    if 3 not in skip:
+        log("== section 3: pallas_lanes compile re-test ==")
+        small = jax.tree.map(lambda x: x[:256], states)
+        try:
+            rate, _ = tpu_probe.time_solver(
+                env, small, actions[:256], "pallas_lanes", 4
+            )
+            record("lanes", dict(batch=256, env_steps_per_s=rate, ok=True))
+        except Exception as e:
+            log(f"  pallas_lanes FAILED: {type(e).__name__}: "
+                f"{str(e)[:500]}")
+            record("lanes", dict(batch=256, ok=False,
+                                 error=f"{type(e).__name__}: {str(e)[:300]}"))
+
+    # ---- 4. Chebyshev trajectory divergence over an episode -----------
+    if 4 not in skip:
+        log("== section 4: 288-step cheby-vs-jacobi divergence ==")
+        from sbsim_tpu.agents import schedule_policy
+
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+        nb = 8
+        kd = jax.random.split(jax.random.PRNGKey(7), nb)
+        sd0, _ = jax.jit(jax.vmap(env.reset))(kd)
+
+        def rollout(solver):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, (out.reward, s.temp)
+
+            def run(s):
+                return jax.lax.scan(body, s, None, length=288)
+
+            s, (rw, temps) = jax.jit(run)(sd0)
+            jax.block_until_ready(rw)
+            return np.asarray(rw), np.asarray(temps)
+
+        rw_c, temps_c = rollout(cheby)
+        rw_j, temps_j = rollout("xla_jacobi")
+        # Chaos control: the same jacobi solver from an init perturbed by
+        # 1 mK. The env has genuine sensitive dependence (thermostat
+        # deadband hysteresis bifurcates trajectories), so solver-choice
+        # divergence must be judged against this Lyapunov null, not zero.
+        sd0p = sd0.replace(temp=sd0.temp + 1e-3)
+
+        def rollout_from(solver, s0):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, (out.reward, s.temp)
+
+            s, (rw, temps) = jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=288)
+            )(s0)
+            jax.block_until_ready(rw)
+            return np.asarray(rw), np.asarray(temps)
+
+        rw_n, temps_n = rollout_from("xla_jacobi", sd0p)
+        per_step_field = np.abs(temps_c - temps_j).max(axis=(1, 2, 3))
+        per_step_reward = np.abs(rw_c - rw_j).max(axis=1)
+        ret_c = rw_c.sum(axis=0)
+        ret_j = rw_j.sum(axis=0)
+        null_field = np.abs(temps_n - temps_j).max(axis=(1, 2, 3))
+        ret_n = rw_n.sum(axis=0)
+        payload = dict(
+            n_envs=nb,
+            max_field_drift_K=float(per_step_field.max()),
+            final_field_drift_K=float(per_step_field[-1]),
+            mean_abs_step_reward_delta=float(per_step_reward.mean()),
+            max_abs_step_reward_delta=float(per_step_reward.max()),
+            max_abs_return_delta=float(np.abs(ret_c - ret_j).max()),
+            return_jacobi_mean=float(ret_j.mean()),
+            return_cheby_mean=float(ret_c.mean()),
+            chaos_null_max_field_drift_K=float(null_field.max()),
+            chaos_null_max_abs_return_delta=float(
+                np.abs(ret_n - ret_j).max()
+            ),
+            chaos_null_return_mean=float(ret_n.mean()),
+        )
+        log(f"  divergence: {payload}")
+        record("cheby_divergence", payload)
+
+    # ---- 5. shard_map train-step throughput (1-chip mesh) -------------
+    if 5 not in skip:
+        log("== section 5: shard_map train step, Pallas in loop ==")
+        from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        for n_envs in ((256,) if args.quick else (1024, 2048)):
+            trainer = SACTrainer(
+                env,
+                TrainConfig(
+                    n_envs=n_envs,
+                    replay_capacity=16 * n_envs,
+                    batch_size=n_envs,  # k=1 per env
+                    updates_per_env_step=1,
+                    seed_steps=0,
+                ),
+            )
+            mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+            st = mesh_lib.shard_train_state(
+                trainer.init(jax.random.PRNGKey(0)), mesh
+            )
+            step = mesh_lib.make_shardmapped_train_step(
+                trainer, mesh, st.replay, solver=cheby
+            )
+            t0 = time.time()
+            st, m = step(st)
+            jax.block_until_ready(m["reward_mean"])
+            log(f"  n_envs={n_envs} compile+run: {time.time()-t0:.1f}s")
+            reps = 3 if args.quick else 5
+            n_iter = 4
+            best = 0.0
+            for _ in range(reps):
+                t0 = time.time()
+                for _ in range(n_iter):
+                    st, m = step(st)
+                jax.block_until_ready(m["reward_mean"])
+                dt = time.time() - t0
+                best = max(best, n_iter * n_envs / dt)
+            log(f"  shard_map train: {best:.0f} env-steps/s (n_envs={n_envs},"
+                f" SAC update fused, solver=" + cheby + ")")
+            record("shardmap_train", dict(
+                n_envs=n_envs, env_steps_per_s=best,
+                solver=cheby, updates_per_env_step=1,
+                sac_batch=n_envs,
+            ))
+
+    log("probe_r3 done")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,15 @@ def main():
     p.add_argument("--updates-per-step", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    # SAC stability knobs (VERDICT r2 #4: alpha collapse ablation).
+    p.add_argument("--target-entropy", type=float, default=None,
+                   help="override the -|A| default")
+    p.add_argument("--min-alpha", type=float, default=0.0,
+                   help="temperature floor (0 = off, the reference default)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="global-norm gradient clipping")
+    p.add_argument("--label-suffix", default="",
+                   help="appended to the artifact label/filename")
     args = p.parse_args()
 
     if args.cpu:
@@ -51,6 +60,7 @@ def main():
 
         floor_plan = make_synthetic_office_plan(9, 14, room_cvs=12)
         label = "sb1_126room"
+    label += args.label_suffix
     env = BuildingEnv(
         presets.sb1_config(num_days_in_episode=1, floor_plan=floor_plan)
     )
@@ -62,6 +72,8 @@ def main():
         flush=True,
     )
 
+    from sbsim_tpu.agents.sac import SACConfig
+
     trainer = SACTrainer(
         env,
         TrainConfig(
@@ -70,6 +82,11 @@ def main():
             batch_size=256,
             updates_per_env_step=args.updates_per_step,
             seed_steps=0,
+            sac=SACConfig(
+                target_entropy=args.target_entropy,
+                min_alpha=args.min_alpha,
+                gradient_clipping=args.grad_clip,
+            ),
         ),
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))
@@ -178,6 +195,11 @@ def main():
         "best_return_holdout_seed": round(best_holdout, 4),
         "schedule_return_holdout_seed": round(sched_holdout, 4),
         "beats_schedule": bool(best_holdout > sched_holdout),
+        "final_beats_schedule": bool(final > sched_ret),
+        "target_entropy": args.target_entropy,
+        "min_alpha": args.min_alpha,
+        "grad_clip": args.grad_clip,
+        "seed": args.seed,
         "curve": curve,
         "wall_sec": round(time.time() - t0, 1),
     }

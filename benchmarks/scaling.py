@@ -86,6 +86,15 @@ def main():
                 tree,
             )
 
+        # GSPMD cannot partition pallas_call: on a multi-device mesh the
+        # GSPMD rows force the XLA solver (the shard_map mode is the one
+        # that runs the Pallas kernels per shard).
+        gspmd_solver = args.solver
+        if n_dev > 1 and env.resolve_solver(
+            batch, solver=args.solver
+        ).startswith("pallas"):
+            gspmd_solver = "xla_" + env.config.fdm_solver
+
         def rollout(states):
             states = constrain(states)
 
@@ -93,7 +102,7 @@ def main():
                 act = actions_table[
                     jnp.clip(s.step_idx, 0, actions_table.shape[0] - 1)
                 ]
-                s, out = env.step_batched(s, act)
+                s, out = env.step_batched(s, act, solver=gspmd_solver)
                 return constrain(s), out.reward
 
             states, rewards = jax.lax.scan(

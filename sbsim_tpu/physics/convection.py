@@ -184,6 +184,13 @@ def make_convection_buckets(
             for o in schedule
             if (o, ph) not in core
         ]
+        if rounds > 32:
+            raise ValueError(
+                f"ConvectionConfig rounds={rounds} exceeds 32: swap "
+                "decisions pack one bit per round into a uint32 word "
+                "(swap_decision_word), so rounds beyond 32 would silently "
+                "never swap"
+            )
         if rounds <= 0:
             # participations/CV/step = rounds * p_round ~= the reference's
             # 2p (one initiated + one expected received swap). Auto-sizing
@@ -238,7 +245,12 @@ def swap_decision_word(
     n_rounds = len(buckets.offsets)
     n_planes = (n_rounds + 3) // 4
     bits = jax.random.bits(key, (n_planes,) + shape, dtype=jnp.uint32)
-    threshold = jnp.uint32(int(round(buckets.p_round * 256.0)))
+    # Round the 8-bit threshold but never quantize a positive p_round to 0
+    # (p_round < 1/512 would otherwise disable swapping entirely).
+    q = int(round(buckets.p_round * 256.0))
+    if buckets.p_round > 0.0:
+        q = max(q, 1)
+    threshold = jnp.uint32(q)
     word = jnp.zeros(shape, jnp.uint32)
     for r in range(n_rounds):
         byte = (bits[r // 4] >> jnp.uint32(8 * (r % 4))) & jnp.uint32(0xFF)
