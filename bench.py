@@ -55,7 +55,7 @@ def main():
     parser.add_argument(
         "--solver",
         default="auto",
-        choices=["auto", "pallas_env", "pallas_cheby", "pallas_lanes",
+        choices=["auto", "pallas_env", "pallas_cheby",
                  "xla_jacobi", "xla_chebyshev"],
         help="FDM path to benchmark; auto = measured-best for the platform",
     )

@@ -6,7 +6,7 @@ Covers, in order (each section prints + appends JSON to artifacts/):
      (replay weather + reference-exact normalization): pallas_cheby,
      pallas_env, xla_jacobi — with numeric + isolation checks
   2. non-FDM step-cost floor: iteration_limit=1 variant (VERDICT r2 #5)
-  3. pallas_lanes compile re-test on this image's libtpu (VERDICT r2 #8)
+  3. (retired) pallas_lanes re-test: failed Mosaic again; kernel deleted
   4. Chebyshev trajectory divergence: 288-step pallas_cheby vs xla_jacobi
      episode on the sb1 plan under schedule actions (VERDICT r2 #6)
   5. shard_map TRAIN-step throughput on the 1-chip mesh with the Pallas
@@ -118,20 +118,9 @@ def main():
                 log(f"  {solver} FAILED: {type(e).__name__}: {e}")
                 record("floor", dict(solver=solver, error=str(e)[:300]))
 
-    # ---- 3. pallas_lanes re-test --------------------------------------
-    if 3 not in skip:
-        log("== section 3: pallas_lanes compile re-test ==")
-        small = jax.tree.map(lambda x: x[:256], states)
-        try:
-            rate, _ = tpu_probe.time_solver(
-                env, small, actions[:256], "pallas_lanes", 4
-            )
-            record("lanes", dict(batch=256, env_steps_per_s=rate, ok=True))
-        except Exception as e:
-            log(f"  pallas_lanes FAILED: {type(e).__name__}: "
-                f"{str(e)[:500]}")
-            record("lanes", dict(batch=256, ok=False,
-                                 error=f"{type(e).__name__}: {str(e)[:300]}"))
+    # ---- 3. (retired) pallas_lanes re-test -----------------------------
+    # Re-confirmed failing Mosaic lowering on this image's libtpu
+    # (PROBE_r03.jsonl "lanes"); the kernel and its flag paths were removed.
 
     # ---- 4. Chebyshev trajectory divergence over an episode -----------
     if 4 not in skip:

@@ -1,0 +1,135 @@
+"""Round-3 TPU batch #2 — ONE long-lived process.
+
+  1. isolation re-check after the deterministic-reduction fix (zone/grid
+     means now pairwise-tree sums) + throughput delta at batch 2048
+  2. non-FDM floor decomposition at iteration_limit=1: baseline vs
+     no-convection vs step-function occupancy (isolates the swap-word
+     threefry cost and the occupancy draws)
+  3. SAC alpha-collapse ablation grid on the 12-zone calibrated config
+     (new observation contract): default vs target-entropy/min-alpha
+     variants, 60k steps each (VERDICT r2 #4)
+
+Usage: python benchmarks/probe_r3b.py [--skip 1,2] [--quick]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    with open(os.path.join(ART, "PROBE_r03.jsonl"), "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import tpu_probe
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    cfg = presets.sb1_config(num_days_in_episode=1)
+    env = BuildingEnv(cfg)
+    log(f"grid={env.geom.shape} device={jax.devices()[0]}")
+    batch = 256 if args.quick else 2048
+    scan = 4 if args.quick else 16
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    jax.block_until_ready(obs)
+    actions = jnp.zeros((batch, env.n_actions))
+
+    if 1 not in skip:
+        log("== r3b section 1: isolation after deterministic reductions ==")
+        for solver in (cheby, "pallas_env") if not args.cpu_smoke else (cheby,):
+            rate, _ = tpu_probe.time_solver(env, states, actions, solver, scan)
+            iso = tpu_probe.check_isolation(env, states, actions, solver)
+            record("iso_fix", dict(solver=solver, batch=batch,
+                                   env_steps_per_s=rate,
+                                   isolation_bitwise=iso))
+
+    if 2 not in skip:
+        log("== r3b section 2: floor decomposition (iteration_limit=1) ==")
+        variants = {
+            "base": dict(),
+            "no_convection": dict(convection_p=0.0),
+            "step_occupancy": dict(),
+            "no_conv_step_occ": dict(convection_p=0.0),
+        }
+        for name, kw in variants.items():
+            c = presets.sb1_config(num_days_in_episode=1, **kw)
+            c = dataclasses.replace(c, iteration_limit=1)
+            if "step_occ" in name or name == "step_occupancy":
+                c = dataclasses.replace(
+                    c,
+                    occupancy=dataclasses.replace(
+                        c.occupancy, kind="step_function"
+                    ),
+                )
+            e = BuildingEnv(c)
+            s, o = jax.jit(jax.vmap(e.reset))(keys)
+            jax.block_until_ready(o)
+            rate, _ = tpu_probe.time_solver(
+                e, s, actions, cheby, scan
+            )
+            record("floor_decomp", dict(variant=name, solver=cheby,
+                                        batch=batch, env_steps_per_s=rate))
+
+    if 3 not in skip:
+        log("== r3b section 3: SAC ablation grid ==")
+        import sac_sb1_train
+
+        steps = "2000" if args.quick else "60000"
+        grid = [
+            ("_r3default", []),
+            ("_te1", ["--target-entropy", "-1.0"]),
+            ("_afloor", ["--min-alpha", "0.05"]),
+            ("_te1clip", ["--target-entropy", "-1.0", "--grad-clip", "1.0"]),
+        ]
+        for suffix, extra in grid:
+            argv = [
+                "sac_sb1_train.py",
+                "--train-steps", steps,
+                "--chunk", "200",
+                "--eval-envs", "8",
+                "--label-suffix", suffix,
+            ] + extra + (["--cpu"] if args.cpu_smoke else [])
+            log(f"--- SAC run {suffix}: {' '.join(extra) or 'defaults'} ---")
+            old = sys.argv
+            sys.argv = argv
+            try:
+                t0 = time.time()
+                sac_sb1_train.main()
+                log(f"--- {suffix} done in {time.time()-t0:.0f}s ---")
+            finally:
+                sys.argv = old
+
+    log("probe_r3b done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,6 @@
 """Incremental TPU timing probe for the batched env step (dev tool).
 
-Times any subset of the FDM solver paths ("pallas_env", "pallas_lanes",
+Times any subset of the FDM solver paths ("pallas_env", "pallas_cheby",
 "xla_jacobi", "xla_chebyshev") at one or more batch sizes in a single
 process, so kernel choices are made by measurement on the real chip
 (VERDICT round-1 item 1). Also cross-checks each timed path's numerics
@@ -91,8 +91,8 @@ def main():
     p.add_argument(
         "--solver",
         nargs="+",
-        default=["pallas_env", "pallas_lanes", "xla_jacobi"],
-        choices=["pallas_env", "pallas_cheby", "pallas_lanes", "xla_jacobi", "xla_chebyshev"],
+        default=["pallas_env", "pallas_cheby", "xla_jacobi"],
+        choices=["pallas_env", "pallas_cheby", "xla_jacobi", "xla_chebyshev"],
     )
     p.add_argument("--pallas", action="store_true",
                    help="legacy alias: probe both pallas kernels only")
@@ -137,7 +137,7 @@ def main():
     print(f"grid={env.geom.shape} zones={env.n_zones} "
           f"device={jax.devices()[0].platform}", flush=True)
 
-    solvers = ["pallas_env", "pallas_lanes"] if args.pallas else args.solver
+    solvers = ["pallas_env", "pallas_cheby"] if args.pallas else args.solver
     results = {}
     for batch in args.batch:
         keys = jax.random.split(jax.random.PRNGKey(0), batch)

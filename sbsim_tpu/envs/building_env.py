@@ -44,7 +44,6 @@ from sbsim_tpu.scenario import tables as tables_lib
 _SOLVERS = (
     "pallas_env",
     "pallas_cheby",
-    "pallas_lanes",
     "xla_jacobi",
     "xla_chebyshev",
 )
@@ -71,30 +70,6 @@ class StepOutput:
     reward: Any  # f32 scalar
     done: Any  # bool scalar
     reward_breakdown: reward_lib.RewardBreakdown
-
-
-def _zone_means(
-    temp: jnp.ndarray, geom: BuildingGeometry
-) -> jnp.ndarray:
-    """Average temperature of each zone's CVs (building.py:863-871)."""
-    sums = jax.ops.segment_sum(
-        temp.ravel(),
-        geom.zone_ids.ravel(),
-        num_segments=geom.n_zones + 1,
-    )
-    return (sums[: geom.n_zones] / geom.zone_sizes).astype(jnp.float32)
-
-
-def zone_mean_matrix(geom: BuildingGeometry) -> np.ndarray:
-    """(n_zones, H*W) averaging matrix: zone means become one matmul, which
-    maps onto the MXU instead of a scatter-add."""
-    zone_ids = np.asarray(geom.zone_ids).ravel()
-    sizes = np.asarray(geom.zone_sizes)
-    matrix = np.zeros((geom.n_zones, zone_ids.shape[0]), np.float32)
-    for z in range(geom.n_zones):
-        members = zone_ids == z
-        matrix[z, members] = 1.0 / sizes[z]
-    return matrix
 
 
 class BuildingEnv:
@@ -153,7 +128,29 @@ class BuildingEnv:
             seed=config.convection.seed,
         )
         self.reward_params = reward_lib.make_reward_params(config.reward)
-        self._zone_mean_matrix = jnp.asarray(zone_mean_matrix(self.geom))
+        # Deterministic zone-mean gather layout: per zone, the flat CV
+        # indices padded to a power of two. Zone means (and the grid mean)
+        # reduce by explicit pairwise halving instead of a matmul/jnp.mean
+        # whose f32 reduction order changes with the XLA batch tiling -
+        # batch-size-dependent last-ulp differences there broke the bitwise
+        # per-env isolation of the OBSERVATION vector on real TPUs
+        # (artifacts/PROBE_r03.jsonl baseline.isolation_bitwise=false).
+        zone_ids_np = np.asarray(self.geom.zone_ids)
+        n_zones = self.geom.n_zones
+        cells = [
+            np.flatnonzero(zone_ids_np.ravel() == z) for z in range(n_zones)
+        ]
+        cmax = 1 << int(np.ceil(np.log2(max(len(c) for c in cells))))
+        idx = np.zeros((n_zones, cmax), np.int32)
+        w = np.zeros((n_zones, cmax), np.float32)
+        for z, c in enumerate(cells):
+            idx[z, : len(c)] = c
+            w[z, : len(c)] = 1.0
+        self._zone_cell_idx = jnp.asarray(idx)
+        self._zone_cell_weight = jnp.asarray(w)
+        hw = zone_ids_np.size
+        self._grid_pad = (1 << int(np.ceil(np.log2(hw)))) - hw
+        self._grid_n = jnp.float32(hw)
         self.obs_layout = obs_lib.build_obs_layout(
             self.geom.zone_names,
             config.observation_normalization,
@@ -322,13 +319,29 @@ class BuildingEnv:
             return tables_lib.tables_for_window(self.tables, state.window)
         return self.tables
 
+    @staticmethod
+    def _tree_sum(x: jnp.ndarray) -> jnp.ndarray:
+        """Pairwise sum over the last axis (power-of-two length): a fixed
+        sequence of elementwise adds, so the f32 result is identical at any
+        batch size/tiling - unlike matmul/jnp.sum reductions."""
+        while x.shape[-1] > 1:
+            x = x[..., ::2] + x[..., 1::2]
+        return x[..., 0]
+
     def _zone_means_fast(self, temp: jnp.ndarray) -> jnp.ndarray:
-        """Zone averages as one (Z, HW) x (HW,) matmul (MXU-friendly)."""
-        return jnp.matmul(
-            self._zone_mean_matrix,
-            temp.ravel(),
-            preferred_element_type=jnp.float32,
-        )
+        """Zone averages via gather + deterministic pairwise reduction."""
+        vals = temp.ravel()[self._zone_cell_idx] * self._zone_cell_weight
+        return self._tree_sum(vals) / self.geom.zone_sizes
+
+    def _grid_mean(self, temp: jnp.ndarray) -> jnp.ndarray:
+        """Whole-grid mean (AHU recirculation temperature, simulator.py:408)
+        with a batch-size-independent reduction order."""
+        flat = temp.ravel()
+        if self._grid_pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((self._grid_pad,), flat.dtype)]
+            )
+        return self._tree_sum(flat) / self._grid_n
 
     def _occupancy_peek_randomized(
         self, occupants, key, local_hour, workday
@@ -400,7 +413,7 @@ class BuildingEnv:
 
         The control/observation/reward phases vmap over envs; the FDM hot
         loop runs as one batched call. `solver` selects the FDM path
-        explicitly ("pallas_env", "pallas_lanes", "xla_jacobi",
+        explicitly ("pallas_env", "pallas_cheby", "xla_jacobi",
         "xla_chebyshev"); None/"auto" picks the Pallas VMEM-resident kernel
         on TPU (physics/fdm_pallas.py) and the XLA while_loop elsewhere.
         """
@@ -423,15 +436,12 @@ class BuildingEnv:
                 convergence_threshold=self.config.convergence_threshold,
                 iteration_limit=self.config.iteration_limit,
             )
-            if solver == "pallas_lanes":
-                kernel_fn = fdm_pallas.fdm_step_pallas_lanes
-            else:
-                kernel_fn = fdm_pallas.fdm_step_pallas
-                if solver == "pallas_cheby":
-                    kwargs.update(
-                        method="chebyshev",
-                        spectral_radius=self._spectral_radius,
-                    )
+            kernel_fn = fdm_pallas.fdm_step_pallas
+            if solver == "pallas_cheby":
+                kwargs.update(
+                    method="chebyshev",
+                    spectral_radius=self._spectral_radius,
+                )
             if fuse_conv:
                 words = jax.vmap(
                     lambda k: convection_lib.swap_decision_word(
@@ -559,7 +569,7 @@ class BuildingEnv:
         # ---- Phase 2 (pre-FDM): demand accumulation ----------------------
         ambient = tables.ambient_temp[t]
         h_conv = tables.convection_coeff[t]
-        recirculation_temp = jnp.mean(state.temp)
+        recirculation_temp = self._grid_mean(state.temp)
         supply_air_temp = hvac_ops.ahu_supply_air_temp(
             recirculation_temp,
             ambient,
@@ -695,7 +705,7 @@ class BuildingEnv:
         dt = jnp.float32(cfg.time_step_sec)
 
         ambient = tables.ambient_temp[t]
-        recirculation_temp = jnp.mean(state.temp)
+        recirculation_temp = self._grid_mean(state.temp)
         blower = hvac_ops.ahu_blower_power(hvac, params)
         ac = hvac_ops.ahu_thermal_energy_rate(
             hvac, recirculation_temp, ambient, params

@@ -222,200 +222,11 @@ def _fdm_cheby_kernel(
     iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
 
 
-def _fdm_lanes_kernel(
-    x_ref,  # (HW, L) f32: start-of-step temps, envs in lanes
-    const_ref,  # (HW, L) f32: per-env constant field (edge fills folded in)
-    alpha_ref,  # (1, L) f32: per-env convection coefficient
-    tinf_ref,  # (1, L) f32: per-env ambient temperature
-    a_r_ref,  # (HW, 1) f32 shared, zeroed where the hop leaves the row/grid
-    a_l_ref,
-    a_b_ref,
-    a_t_ref,
-    d0_ref,  # (HW, 1) f32: cond_sum + absorb
-    d1_ref,  # (HW, 1) f32: conv_area
-    ext_ref,  # (HW, 1) f32: 1.0 on exterior CVs
-    out_ref,  # (HW, L) f32
-    iters_ref,  # (1, L) i32
-    *,
-    w: int,
-    threshold: float,
-    iteration_limit: int,
-):
-    x0 = x_ref[:]
-    const = const_ref[:]
-    alpha = alpha_ref[:]  # (1, L)
-    tinf = tinf_ref[:]
-    a_r = a_r_ref[:]
-    a_l = a_l_ref[:]
-    a_b = a_b_ref[:]
-    a_t = a_t_ref[:]
-    ext = ext_ref[:]
-    not_ext = 1.0 - ext
-    denom = d0_ref[:] + d1_ref[:] * alpha  # (HW, L), materialized once
-    pin = ext * tinf  # (HW, L) ambient on exterior CVs, 0 elsewhere
-
-    hw = x0.shape[0]
-
-    def nbr(x, shift):
-        # out[f] = x[f + shift] with circular wrap; pltpu.roll wants a
-        # non-negative roll amount (out[f] = x[f - amount]).
-        return pltpu.roll(x, (-shift) % hw, 0)
-
-    def body(carry):
-        x, done, iters, it = carry
-        # Flattened-grid neighbor shifts: column hops are +-1 sublanes, row
-        # hops are +-W sublanes. Wraparound rows are harmless because the
-        # corresponding a_* coefficients are zeroed host-side and the
-        # ambient fill contribution is folded into `const`.
-        num = (
-            a_r * nbr(x, 1)
-            + a_l * nbr(x, -1)
-            + a_b * nbr(x, w)
-            + a_t * nbr(x, -w)
-            + const
-        )
-        x_new = (num / denom) * not_ext + pin
-        delta = jnp.max(jnp.abs(x_new - x), axis=0, keepdims=True)  # (1, L)
-        active = (done < 0.5).astype(jnp.float32)  # (1, L)
-        x = x + (x_new - x) * active
-        iters = iters + active
-        done = jnp.maximum(
-            done, active * (delta <= threshold).astype(jnp.float32)
-        )
-        return x, done, iters, it + 1
-
-    def cond(carry):
-        _, done, _, it = carry
-        return jnp.logical_and(it < iteration_limit, jnp.min(done) < 0.5)
-
-    zeros = jnp.zeros_like(alpha)
-    x_final, _, n_iter, _ = jax.lax.while_loop(
-        cond, body, (x0, zeros, zeros, jnp.int32(0))
-    )
-    out_ref[:] = x_final
-    iters_ref[:] = n_iter.astype(jnp.int32)
-
-
-def fdm_step_pallas_lanes(
-    temp: jnp.ndarray,  # (B, H, W)
-    input_q: jnp.ndarray,  # (B, H, W)
-    t_inf: jnp.ndarray,  # (B,)
-    h_conv: jnp.ndarray,  # (B,)
-    coeffs: StencilCoefficients,
-    *,
-    convergence_threshold: float,
-    iteration_limit: int,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Envs-in-lanes batched FDM step: 128 envs per grid program.
-
-    The (H, W) field is flattened to (H*W,) sublanes and the env batch fills
-    the 128 lanes, so every Jacobi iteration runs the VPU at full lane
-    occupancy (vs ~52% for the (H, W)-per-program layout) and one program
-    amortizes loop overhead over 128 envs. Per-env convergence freezing is a
-    lane mask, preserving exact per-env trajectory isolation. The batch is
-    padded to a multiple of 128 with replicas of env 0.
-
-    Numerics match fdm.jacobi_iteration except for summation-order folding
-    of the boundary ambient fills into the constant field (same one-divide
-    rounding; bench.py cross-checks against the XLA solver on device).
-    """
-    b, h, w = temp.shape
-    lanes = 128
-    pad = (-b) % lanes
-    if pad:
-        rep = lambda a: jnp.concatenate(
-            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
-        )
-        temp, input_q = rep(temp), rep(input_q)
-        t_inf, h_conv = rep(t_inf), rep(h_conv)
-    bp = b + pad
-    n_blocks = bp // lanes
-    hw = h * w
-
-    ii, jj = np.indices((h, w))
-    right_ok = jnp.asarray((jj < w - 1).reshape(hw, 1), jnp.float32)
-    left_ok = jnp.asarray((jj > 0).reshape(hw, 1), jnp.float32)
-    below_ok = jnp.asarray((ii < h - 1).reshape(hw, 1), jnp.float32)
-    above_ok = jnp.asarray((ii > 0).reshape(hw, 1), jnp.float32)
-    a_r = coeffs.a_r.reshape(hw, 1)
-    a_l = coeffs.a_l.reshape(hw, 1)
-    a_b = coeffs.a_b.reshape(hw, 1)
-    a_t = coeffs.a_t.reshape(hw, 1)
-    edge_coef = (
-        a_r * (1.0 - right_ok)
-        + a_l * (1.0 - left_ok)
-        + a_b * (1.0 - below_ok)
-        + a_t * (1.0 - above_ok)
-    )  # (HW, 1): out-of-grid neighbors contribute a_* times ambient
-
-    hT = h_conv[:, None, None]
-    tinf3 = t_inf[:, None, None]
-    const3 = (
-        coeffs.absorb * temp.astype(jnp.float32)
-        + input_q
-        + hT * tinf3 * coeffs.conv_area
-    )
-    # (B, H, W) -> (HW, B): envs into lanes.
-    const_t = const3.reshape(bp, hw).T + edge_coef * t_inf[None, :]
-    temp_t = temp.astype(jnp.float32).reshape(bp, hw).T
-
-    env_block = pl.BlockSpec(
-        (hw, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    row_block = pl.BlockSpec(
-        (1, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    col_shared = pl.BlockSpec(
-        (hw, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
-
-    kernel = functools.partial(
-        _fdm_lanes_kernel,
-        w=w,
-        threshold=convergence_threshold,
-        iteration_limit=iteration_limit,
-    )
-    out_t, iters = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            env_block,  # x
-            env_block,  # const
-            row_block,  # alpha
-            row_block,  # tinf
-            col_shared,  # a_r (masked)
-            col_shared,  # a_l
-            col_shared,  # a_b
-            col_shared,  # a_t
-            col_shared,  # d0
-            col_shared,  # d1
-            col_shared,  # ext
-        ],
-        out_specs=[
-            env_block,
-            row_block,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((hw, bp), jnp.float32),
-            jax.ShapeDtypeStruct((1, bp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
-        temp_t,
-        const_t,
-        h_conv[None, :].astype(jnp.float32),
-        t_inf[None, :].astype(jnp.float32),
-        a_r * right_ok,
-        a_l * left_ok,
-        a_b * below_ok,
-        a_t * above_ok,
-        (coeffs.cond_sum + coeffs.absorb).reshape(hw, 1),
-        coeffs.conv_area.reshape(hw, 1),
-        coeffs.exterior_mask.astype(jnp.float32).reshape(hw, 1),
-    )
-    new_temp = out_t.T.reshape(bp, h, w)[:b]
-    return new_temp, iters[0, :b]
+# The former envs-in-lanes kernel (_fdm_lanes_kernel / fdm_step_pallas_lanes)
+# was removed in round 3: it stopped compiling on current libtpu (Mosaic
+# relayout regression, re-confirmed via benchmarks/probe_r3.py section 3 -
+# artifacts/PROBE_r03.jsonl "lanes"), and the per-env-program kernels below
+# are the measured winners anyway (TPU_PROBE_r02.md).
 
 
 def fdm_step_pallas(

@@ -309,3 +309,31 @@ class TestGenericActionTuples:
         np.testing.assert_allclose(
             np.asarray(s1.hvac.damper), np.full(126, 0.5), atol=1e-6
         )
+
+
+def test_deterministic_zone_and_grid_means():
+    """Zone/grid means use explicit pairwise reductions (batch-tiling
+    independent); values agree with the straightforward numpy means."""
+    import numpy as np
+
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+    rng = np.random.default_rng(0)
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 3.0, env.geom.shape), jnp.float32
+    )
+    zm = np.asarray(env._zone_means_fast(temp))
+    zone_ids = np.asarray(env.geom.zone_ids)
+    tn = np.asarray(temp, np.float64)
+    for z in range(env.geom.n_zones):
+        expect = tn[zone_ids == z].mean()
+        assert abs(zm[z] - expect) < 1e-3, (z, zm[z], expect)
+    gm = float(env._grid_mean(temp))
+    assert abs(gm - tn.mean()) < 1e-3
+    # identical results under vmap at different batch sizes (the property
+    # the matmul version violated on real TPUs)
+    b8 = jax.vmap(env._zone_means_fast)(jnp.stack([temp] * 8))
+    b1 = jax.vmap(env._zone_means_fast)(temp[None])
+    assert np.array_equal(np.asarray(b8[0]), np.asarray(b1[0]))

@@ -49,7 +49,7 @@ def test_resolve_solver_contract():
     assert env.resolve_solver(1024) == "xla_jacobi"
     assert env.resolve_solver(8, use_pallas=False) == "xla_jacobi"
     # Explicit names pass through unchanged.
-    for name in ("pallas_env", "pallas_cheby", "pallas_lanes",
+    for name in ("pallas_env", "pallas_cheby",
                  "xla_jacobi", "xla_chebyshev"):
         assert env.resolve_solver(1024, solver=name) == name
     assert env.resolve_solver(1024, solver="auto") == "xla_jacobi"
