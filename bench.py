@@ -118,12 +118,23 @@ def main():
         Jacobi-family paths must reproduce the reference iterates (tight);
         Chebyshev solves the same system under the same residual stopping
         rule but follows different iterates, so the two converged fields
-        agree only within the rule's slack (measured 0.63 K on the sb1 plan,
-        reward within 4e-6 - artifacts/TPU_PROBE_r02.md).
+        agree only within the rule's slack (measured single-step max 0.42 K
+        under replay weather, 0.63 K under the sinusoid; reward within 4e-6).
+        The gate is a breakage detector, not a drift bound: over a full
+        288-step episode the cheby-vs-jacobi field drift (22.8 K max) is the
+        same order as the chaos null (20.2 K from a 1e-3 K perturbation of
+        the Jacobi path itself), while the systematic effect on the reward
+        stream is a 0.105/day return shift (~2% of |return|, vs 0.006 for
+        the chaos null) - artifacts/PROBE_r03.jsonl cheby_divergence.
+        Solver policy: Jacobi paths (bitwise-equal to the reference
+        semantics) for parity/eval artifacts; Chebyshev for throughput-
+        critical rollout/training where a ~2% reward-model shift is far
+        inside the sim-to-real calibration error the reference itself
+        accepts.
         """
         if solver == "xla_jacobi":
             return True
-        temp_tol = 1.0 if "cheby" in solver else 1e-2
+        temp_tol = 0.8 if "cheby" in solver else 1e-2
         try:
             acts = jnp.zeros((batch, env.n_actions), jnp.float32)
             sp, op = jax.jit(

@@ -98,6 +98,14 @@ class ConvectionConfig:
     method: str = "swap"
     rounds: int = 0
     variants: int = 0
+    # PRNG for the per-round swap decisions: "mix32" (default) expands the
+    # per-env step key to per-cell Bernoulli bits with a murmur3-finalizer
+    # counter hash - an order of magnitude cheaper than "threefry" on TPU,
+    # where generating the decision planes with jax.random.bits cost more
+    # than the entire FDM solve (artifacts/PROBE_r03.jsonl floor_decomp).
+    # Both generators pass the same bit-rate/independence and KS-vs-exact-
+    # shuffle validation (tests/test_convection.py).
+    rng: str = "mix32"
 
 
 @dataclasses.dataclass(frozen=True)

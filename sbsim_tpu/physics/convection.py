@@ -66,6 +66,7 @@ class ConvectionBuckets:
     enabled: bool = struct.field(pytree_node=False, default=False)
     method: str = struct.field(pytree_node=False, default="swap")
     p_round: float = struct.field(pytree_node=False, default=0.5)
+    rng: str = struct.field(pytree_node=False, default="threefry")
 
 
 def _offset_schedule(
@@ -135,6 +136,7 @@ def make_convection_buckets(
     rounds: int = 0,
     variants: int = 0,
     seed: int = 5,
+    rng: str = "threefry",
 ) -> ConvectionBuckets:
     """Precomputes the mixing structure.
 
@@ -215,6 +217,8 @@ def make_convection_buckets(
         lead_masks = np.zeros((1, h, w), bool)
         offsets = ((0, 1),)
 
+    if rng not in ("threefry", "mix32"):
+        raise ValueError(f"unknown convection rng {rng!r}")
     return ConvectionBuckets(
         lead_masks=jnp.asarray(lead_masks),
         flat_indices=jnp.asarray(flat, jnp.int32),
@@ -223,7 +227,38 @@ def make_convection_buckets(
         enabled=enabled,
         method=method,
         p_round=float(p_round),
+        rng=rng,
     )
+
+
+def _fmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3's 32-bit finalizer: full avalanche on counter inputs."""
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _mix32_planes(
+    key: jax.Array, n_planes: int, shape: Tuple[int, int]
+) -> jnp.ndarray:
+    """(n_planes, H, W) uint32 random planes from a counter hash.
+
+    Two keyed murmur3-finalizer rounds over a plane-major cell counter - a
+    32->32 PRF keyed by the (2,) uint32 per-env step key. ~10 elementwise
+    ALU ops per word vs threefry's ~100: on v5e the threefry decision
+    planes cost ~2 us/env-step at the sb1 grid, more than the entire
+    Chebyshev FDM solve (PROBE_r03.jsonl floor_decomp). Each (k0, k1) pair
+    comes from an independent threefry split, so streams are independent
+    across envs and steps; the double finalizer decorrelates the adjacent
+    counters within a step (validated: bit rates, round independence,
+    spatial/cross-env correlations, and the KS-vs-exact-shuffle suite in
+    tests/test_convection.py run for both generators).
+    """
+    k = jnp.asarray(key, jnp.uint32).reshape(-1)
+    idx = jnp.arange(n_planes * shape[0] * shape[1], dtype=jnp.uint32)
+    x = _fmix32(idx ^ k[0])
+    x = _fmix32(x ^ k[1])
+    return x.reshape((n_planes,) + shape)
 
 
 def swap_decision_word(
@@ -233,18 +268,23 @@ def swap_decision_word(
 
     Bit r of word[y, x] = 1 iff cell (y, x), when it leads round r's pair,
     swaps. Decisions are Bernoulli(p_round), realized as 8-bit lanes of
-    ceil(R/4) uint32 random planes - one threefry invocation per step (the
-    f32-uniform-per-round version spent more time generating randomness than
-    the FDM solve at R=16). Quantizing p_round to 1/256 resolution shifts
-    the swap probability by <2% relative, far inside the statistical
-    tolerance documented above. Lead masks are NOT folded in here so the
-    word stays a pure function of the PRNG stream; masking happens at apply
-    time (identically in the XLA path and the fused Pallas kernels, which
+    ceil(R/4) uint32 random planes, generated per buckets.rng: "mix32"
+    (default config) keys a murmur3-finalizer counter hash with the per-env
+    step key (_mix32_planes - the threefry planes cost more than the whole
+    FDM solve at R=16 on v5e); "threefry" draws jax.random.bits from the
+    key directly. Quantizing p_round to 1/256 resolution shifts the swap
+    probability by <2% relative, far inside the statistical tolerance
+    documented above. Lead masks are NOT folded in here so the word stays a
+    pure function of the PRNG stream; masking happens at apply time
+    (identically in the XLA path and the fused Pallas kernels, which
     consume the SAME word - keeping the two solver paths comparable).
     """
     n_rounds = len(buckets.offsets)
     n_planes = (n_rounds + 3) // 4
-    bits = jax.random.bits(key, (n_planes,) + shape, dtype=jnp.uint32)
+    if buckets.rng == "mix32":
+        bits = _mix32_planes(key, n_planes, shape)
+    else:
+        bits = jax.random.bits(key, (n_planes,) + shape, dtype=jnp.uint32)
     # Round the 8-bit threshold but never quantize a positive p_round to 0
     # (p_round < 1/512 would otherwise disable swapping entirely).
     q = int(round(buckets.p_round * 256.0))

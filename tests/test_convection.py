@@ -277,9 +277,11 @@ class TestSwapVsExactShuffleStatistics:
         assert worst_dmean <= 0.5, worst_dmean
 
 
-def test_swap_decision_word_bit_rates():
+@pytest.mark.parametrize("rng", ["threefry", "mix32"])
+def test_swap_decision_word_bit_rates(rng):
     """Each bit lane of the packed decision word is Bernoulli(p_round to
-    1/256 resolution), independent across rounds."""
+    1/256 resolution), independent across rounds, cells, and envs - for
+    both the threefry and the counter-hash (mix32) generators."""
     plan = np.full((9, 11), 2.0)
     plan[1:8, 1:10] = 1.0
     plan[2:7, 2:5] = 0.0
@@ -291,7 +293,9 @@ def test_swap_decision_word_bit_rates():
         exterior_wall=geometry.MaterialProperties(0.05, 700.0, 1.0),
         buffer_from_walls=0,
     )
-    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+    buckets = convection.make_convection_buckets(
+        geom, p=1.0, distance=5, rng=rng
+    )
     n_rounds = len(buckets.offsets)
     keys = jax.random.split(jax.random.PRNGKey(0), 64)
     words = jax.vmap(
@@ -308,5 +312,18 @@ def test_swap_decision_word_bit_rates():
     # Adjacent rounds' decisions are uncorrelated.
     b0 = ((words >> 0) & 1).astype(float).ravel()
     b1 = ((words >> 1) & 1).astype(float).ravel()
-    corr = np.corrcoef(b0, b1)[0, 1]
-    assert abs(corr) < 0.05, corr
+    assert abs(np.corrcoef(b0, b1)[0, 1]) < 0.05
+    # Spatially adjacent cells are uncorrelated (the mix32 counter input
+    # increments by 1 between row neighbors - the avalanche must kill it).
+    for r in (0, n_rounds - 1):
+        b = ((words >> r) & 1).astype(float)
+        left = b[:, :, :-1].ravel()
+        right = b[:, :, 1:].ravel()
+        assert abs(np.corrcoef(left, right)[0, 1]) < 0.05, (rng, r)
+        up = b[:, :-1, :].ravel()
+        down = b[:, 1:, :].ravel()
+        assert abs(np.corrcoef(up, down)[0, 1]) < 0.05, (rng, r)
+    # Different envs' words are uncorrelated.
+    e0 = ((words[::2] >> 0) & 1).astype(float).ravel()
+    e1 = ((words[1::2] >> 0) & 1).astype(float).ravel()
+    assert abs(np.corrcoef(e0, e1)[0, 1]) < 0.05
