@@ -1,0 +1,85 @@
+"""Round-3 TPU batch #3 — ONE long-lived process for the SAC artifacts.
+
+  1. SAC alpha-collapse ablation grid on the 12-zone calibrated config
+     (replay weather, reference-exact normalization): default vs
+     target-entropy/min-alpha/grad-clip variants, 60k steps each
+     (VERDICT r2 #4). The default variant also sweeps a 9x9 constant-
+     action landscape so the gap-to-best-constant is tracked on the
+     round-3 observation contract.
+  2. Full-scale (126-room) SAC training (VERDICT r2 #3) — expect the
+     long Mosaic first-compile through the remote relay.
+
+Usage: python benchmarks/probe_r3c.py [--skip 1,2] [--quick] [--cpu-smoke]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def run_sac(extra):
+    import sac_sb1_train
+
+    argv = ["sac_sb1_train.py"] + extra
+    log(f"--- sac_sb1_train {' '.join(extra)} ---")
+    old = sys.argv
+    sys.argv = argv
+    try:
+        t0 = time.time()
+        sac_sb1_train.main()
+        log(f"--- done in {time.time() - t0:.0f}s ---")
+    finally:
+        sys.argv = old
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+
+    steps = "2000" if args.quick else "60000"
+    common = ["--train-steps", steps, "--chunk", "200", "--eval-envs", "8"]
+    if args.cpu_smoke:
+        common.append("--cpu")
+
+    if 1 not in skip:
+        log("== r3c section 1: SAC ablation grid (12-zone) ==")
+        grid = [
+            ("_r3default", ["--constant-sweep", "9"]),
+            ("_afloor", ["--min-alpha", "0.05"]),
+            ("_te1", ["--target-entropy", "-1.0"]),
+            ("_te1clip", ["--target-entropy", "-1.0", "--grad-clip", "1.0"]),
+        ]
+        for suffix, extra in grid:
+            run_sac(common + ["--label-suffix", suffix] + extra)
+
+    if 2 not in skip:
+        log("== r3c section 2: full-scale (126-room) SAC ==")
+        run_sac(
+            [
+                "--full-scale",
+                "--train-steps", steps,
+                "--chunk", "200",
+                "--eval-envs", "4",
+                "--constant-sweep", "5",
+            ]
+            + (["--cpu"] if args.cpu_smoke else [])
+        )
+
+    log("probe_r3c done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Round-3 TPU batch #4 — ONE long-lived process.
+
+  1. mix32 convection decision planes (the round-3 floor fix): throughput,
+     bitwise isolation, and pallas-vs-XLA numeric checks, plus a threefry
+     control row on the same process/compile cache.
+  2. non-FDM floor (iteration_limit=1) under mix32.
+  3. shard_map train-step throughput under mix32.
+  4. scaling hygiene (VERDICT r2 #9): re-measure the GSPMD single-chip
+     scaling row with the best-of-N harness, overwriting the superseded
+     SCALING_tpu1.json.
+
+Usage: python benchmarks/probe_r3d.py [--skip 1,2,3,4] [--quick] [--cpu-smoke]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    with open(os.path.join(ART, "PROBE_r03.jsonl"), "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    penv = "xla_jacobi" if args.cpu_smoke else "pallas_env"
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import tpu_probe
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    batch = 256 if args.quick else 2048
+    scan = 4 if args.quick else 16
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+    def setup(cfg):
+        e = BuildingEnv(cfg)
+        s, o = jax.jit(jax.vmap(e.reset))(keys)
+        jax.block_until_ready(o)
+        return e, s, jnp.zeros((batch, e.n_actions))
+
+    cfg = presets.sb1_config(num_days_in_episode=1)
+    env, states, actions = setup(cfg)
+    log(
+        f"grid={env.geom.shape} device={jax.devices()[0]} "
+        f"conv_rng={env.convection.rng}"
+    )
+
+    if 1 not in skip:
+        log("== r3d section 1: mix32 decision planes ==")
+        for solver in (cheby, penv):
+            rate, _ = tpu_probe.time_solver(env, states, actions, solver, scan)
+            iso = tpu_probe.check_isolation(env, states, actions, solver)
+            dt, dr, di = tpu_probe.check_numerics(env, states, actions, solver)
+            record("mix32", dict(solver=solver, batch=batch, rng="mix32",
+                                 env_steps_per_s=rate, isolation_bitwise=iso,
+                                 max_dT_vs_jacobi=dt, max_dR=dr,
+                                 max_diters=di))
+        # threefry control in the same process (same compile cache state).
+        cfg_tf = dataclasses.replace(
+            cfg,
+            convection=dataclasses.replace(cfg.convection, rng="threefry"),
+        )
+        env_tf, states_tf, _ = setup(cfg_tf)
+        rate, _ = tpu_probe.time_solver(env_tf, states_tf, actions, cheby, scan)
+        record("mix32", dict(solver=cheby, batch=batch, rng="threefry",
+                             env_steps_per_s=rate))
+
+    if 2 not in skip:
+        log("== r3d section 2: floor under mix32 ==")
+        env1, s1, _ = setup(dataclasses.replace(cfg, iteration_limit=1))
+        rate, _ = tpu_probe.time_solver(env1, s1, actions, cheby, scan)
+        record("floor_mix32", dict(solver=cheby, batch=batch,
+                                   env_steps_per_s=rate))
+
+    if 3 not in skip:
+        log("== r3d section 3: shard_map train step under mix32 ==")
+        from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        n_envs = batch
+        trainer = SACTrainer(
+            env,
+            TrainConfig(
+                n_envs=n_envs,
+                replay_capacity=16 * n_envs,
+                batch_size=n_envs,
+                updates_per_env_step=1,
+                seed_steps=0,
+            ),
+        )
+        mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+        st = mesh_lib.shard_train_state(
+            trainer.init(jax.random.PRNGKey(0)), mesh
+        )
+        step = mesh_lib.make_shardmapped_train_step(
+            trainer, mesh, st.replay, solver=cheby
+        )
+        t0 = time.time()
+        st, m = step(st)
+        jax.block_until_ready(m["reward_mean"])
+        log(f"  n_envs={n_envs} compile+run: {time.time()-t0:.1f}s")
+        reps = 2 if args.quick else 3
+        best = 0.0
+        iters = 2 if args.quick else 8
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(iters):
+                st, m = step(st)
+            jax.block_until_ready(m["reward_mean"])
+            best = max(best, n_envs * iters / (time.time() - t0))
+        log(f"  shard_map train: {best:.0f} env-steps/s (n_envs={n_envs})")
+        record("shardmap_train", dict(n_envs=n_envs, env_steps_per_s=best,
+                                      solver=cheby, updates_per_env_step=1,
+                                      sac_batch=n_envs, rng="mix32"))
+
+    if 4 not in skip:
+        log("== r3d section 4: GSPMD single-chip scaling row (best-of-N) ==")
+        import scaling
+
+        argv = [
+            "scaling.py", "--devices", "1",
+            "--batch-per-device", str(batch),
+            "--steps", "32" if not args.quick else "4",
+            "--repeats", "4",
+            "--out", os.path.join(ART, "SCALING_tpu1.json"),
+        ] + (["--cpu"] if args.cpu_smoke else [])
+        old = sys.argv
+        sys.argv = argv
+        try:
+            scaling.main()
+        finally:
+            sys.argv = old
+
+    log("probe_r3d done")
+
+
+if __name__ == "__main__":
+    main()

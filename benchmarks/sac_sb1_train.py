@@ -48,6 +48,10 @@ def main():
                    help="global-norm gradient clipping")
     p.add_argument("--label-suffix", default="",
                    help="appended to the artifact label/filename")
+    p.add_argument("--constant-sweep", type=int, default=0,
+                   help="evaluate an NxN grid of constant actions and "
+                        "record the best (the policy-landscape baseline "
+                        "SAC is compared against)")
     args = p.parse_args()
 
     if args.cpu:
@@ -113,6 +117,48 @@ def main():
     )
     sched_ret = float(jax.jit(schedule_return)(jax.random.PRNGKey(7)))
     print(f"schedule-policy baseline return/day: {sched_ret:.3f}", flush=True)
+
+    # --- constant-action landscape baseline ----------------------------
+    # The strongest trivial policy class (VERDICT r2 weak #2): hold one
+    # action vector all day; sweep a grid over the normalized action box.
+    best_constant = None
+    if args.constant_sweep > 1:
+        def constant_return(act, key):
+            keys = jax.random.split(key, args.eval_envs)
+            env_states, _ = jax.vmap(env.reset)(keys)
+
+            def body(s, _):
+                s, out = jax.vmap(env.step)(
+                    s, jnp.broadcast_to(act, (args.eval_envs, env.n_actions))
+                )
+                return s, out.reward
+
+            _, rewards = jax.lax.scan(body, env_states, None, length=n_eval)
+            return jnp.mean(jnp.sum(rewards, axis=0))
+
+        const_fn = jax.jit(constant_return)
+        lin = np.linspace(-1.0, 1.0, args.constant_sweep)
+        grid = np.stack(
+            [g.ravel() for g in np.meshgrid(*([lin] * env.n_actions))],
+            axis=-1,
+        ).astype(np.float32)
+        t0 = time.time()
+        rets = [
+            float(const_fn(jnp.asarray(a), jax.random.PRNGKey(7)))
+            for a in grid
+        ]
+        k = int(np.argmax(rets))
+        best_constant = {
+            "return": round(rets[k], 4),
+            "action": [round(float(v), 3) for v in grid[k]],
+            "grid": args.constant_sweep,
+        }
+        print(
+            f"best constant action {best_constant['action']}: "
+            f"{best_constant['return']:.3f} "
+            f"({len(grid)} evals, {time.time()-t0:.0f}s)",
+            flush=True,
+        )
 
     # --- replay seeding with the schedule policy ------------------------
     seed_one = trainer.seed_with_actions(state, table)
@@ -196,6 +242,7 @@ def main():
         "schedule_return_holdout_seed": round(sched_holdout, 4),
         "beats_schedule": bool(best_holdout > sched_holdout),
         "final_beats_schedule": bool(final > sched_ret),
+        "best_constant": best_constant,
         "target_entropy": args.target_entropy,
         "min_alpha": args.min_alpha,
         "grad_clip": args.grad_clip,
