@@ -1,0 +1,114 @@
+"""CPU study: swap-convection statistical fidelity vs number of rounds.
+
+The auto-sizing picks 16 weak rounds (p_round = 0.125) for the sb1
+calibration (p=1). Each in-kernel round costs ~3 vector rolls on the
+VMEM-resident field, so fewer/stronger rounds would buy throughput if the
+KS-vs-exact-shuffle statistics hold. This sweep measures worst-zone KS and
+zone-mean drift for rounds in {8, 12, 16} on the 12-zone sb1 plan,
+mirroring tests/test_convection.py::TestSwapVsExactShuffleStatistics.
+"""
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from sbsim_tpu.envs import presets  # noqa: E402
+from sbsim_tpu.envs.building_env import BuildingEnv  # noqa: E402
+from sbsim_tpu.envs.exact_host import ExactHostSimulator  # noqa: E402
+
+N_STEPS = 36
+SEEDS = 4
+SETPOINTS = {
+    "supply_water_setpoint": 340.0,
+    "supply_air_heating_temperature_setpoint": 285.0,
+}
+
+
+def run_swap(cfg):
+    env = BuildingEnv(cfg)
+    action = jnp.asarray(env.default_action(SETPOINTS))
+    keys = jax.random.split(jax.random.PRNGKey(42), SEEDS)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+    def roll(s):
+        def body(s, _):
+            s, _ = env.step_batched(
+                s,
+                jnp.broadcast_to(action, (SEEDS, action.shape[0])),
+                use_pallas=False,
+            )
+            return s, None
+
+        s, _ = jax.lax.scan(body, s, None, length=N_STEPS)
+        return s
+
+    return np.asarray(jax.jit(roll)(states).temp), env
+
+
+def run_exact(cfg):
+    out = []
+    for s in range(SEEDS):
+        c2 = dataclasses.replace(
+            cfg,
+            convection=dataclasses.replace(cfg.convection, seed=100 + s),
+        )
+        host = ExactHostSimulator(BuildingEnv(c2))
+        for _ in range(N_STEPS):
+            host.step(SETPOINTS)
+        out.append(host.temp.copy())
+    return np.stack(out)
+
+
+def worst_stats(env, a, b):
+    from scipy import stats
+
+    zone_ids = np.asarray(env.geom.zone_ids)
+    worst_ks, worst_dmean = 0.0, 0.0
+    for z in range(env.n_zones):
+        m = zone_ids == z
+        x, y = a[:, m].ravel(), b[:, m].ravel()
+        worst_ks = max(worst_ks, stats.ks_2samp(x, y).statistic)
+        worst_dmean = max(worst_dmean, abs(x.mean() - y.mean()))
+    return worst_ks, worst_dmean
+
+
+def main():
+    base = presets.sb1_config(num_days_in_episode=1)
+    base = dataclasses.replace(
+        base,
+        occupancy=dataclasses.replace(base.occupancy, kind="step_function"),
+    )
+    exact = run_exact(base)
+    rows = []
+    for rounds in (8, 12, 16):
+        cfg = dataclasses.replace(
+            base,
+            convection=dataclasses.replace(base.convection, rounds=rounds),
+        )
+        swap, env = run_swap(cfg)
+        ks, dmean = worst_stats(env, swap, exact)
+        row = dict(
+            rounds=rounds,
+            p_round=env.convection.p_round,
+            worst_zone_ks=round(float(ks), 4),
+            worst_zone_dmean_K=round(float(dmean), 4),
+        )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    with open("artifacts/CONV_ROUNDS_r03.json", "w") as f:
+        json.dump(rows, f, indent=2)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Round-3 TPU batch #5 — ONE long-lived process: remaining floor analysis.
+
+  1. conv-rounds floor scaling: iteration_limit=1 at rounds {4, 16} to
+     price one in-kernel swap round (the statistical budget requires 16 -
+     artifacts/CONV_ROUNDS_r03.json - so this prices what a cheaper round
+     implementation could buy, not a rounds reduction).
+  2. batch scaling at the round-3 contract: pallas_cheby full solve and
+     floor at batch {2048, 4096} (fixed per-batch costs amortize).
+  3. driver-equivalent bench probe: the exact bench.py config
+     (num_days_in_episode=2, schedule actions, batch 2048) so the
+     end-of-round number is predictable.
+
+Usage: python benchmarks/probe_r3e.py [--skip 1,2,3] [--quick] [--cpu-smoke]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    with open(os.path.join(ART, "PROBE_r03.jsonl"), "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    import tpu_probe
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    scan = 4 if args.quick else 16
+
+    def setup(cfg, batch):
+        e = BuildingEnv(cfg)
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        s, o = jax.jit(jax.vmap(e.reset))(keys)
+        jax.block_until_ready(o)
+        return e, s, jnp.zeros((batch, e.n_actions))
+
+    batch = 256 if args.quick else 2048
+    cfg = presets.sb1_config(num_days_in_episode=1)
+
+    if 1 not in skip:
+        log("== r3e section 1: per-round conv cost (iteration_limit=1) ==")
+        for rounds in (4, 16):
+            c = dataclasses.replace(
+                cfg,
+                iteration_limit=1,
+                convection=dataclasses.replace(cfg.convection, rounds=rounds),
+            )
+            e, s, a = setup(c, batch)
+            rate, _ = tpu_probe.time_solver(e, s, a, cheby, scan)
+            record("conv_round_cost", dict(rounds=rounds, solver=cheby,
+                                           batch=batch,
+                                           env_steps_per_s=rate))
+
+    if 2 not in skip:
+        log("== r3e section 2: batch scaling ==")
+        for b in ((256, 512) if args.quick else (2048, 4096)):
+            e, s, a = setup(cfg, b)
+            rate, _ = tpu_probe.time_solver(e, s, a, cheby, scan)
+            record("batch_scaling", dict(batch=b, solver=cheby,
+                                         env_steps_per_s=rate,
+                                         variant="full"))
+            e1, s1, a1 = setup(
+                dataclasses.replace(cfg, iteration_limit=1), b
+            )
+            rate, _ = tpu_probe.time_solver(e1, s1, a1, cheby, scan)
+            record("batch_scaling", dict(batch=b, solver=cheby,
+                                         env_steps_per_s=rate,
+                                         variant="floor"))
+
+    if 3 not in skip:
+        log("== r3e section 3: driver-equivalent bench config ==")
+        from sbsim_tpu.agents import schedule_policy
+
+        cfg2 = presets.sb1_config(num_days_in_episode=2)
+        e, s, _ = setup(cfg2, batch)
+        table = jnp.asarray(schedule_policy.build_schedule_actions(e))
+
+        def roll(states):
+            def body(st, _):
+                act = table[jnp.clip(st.step_idx, 0, table.shape[0] - 1)]
+                st, out = e.step_batched(st, act, solver=cheby)
+                return st, out.reward
+
+            states, rewards = jax.lax.scan(
+                body, states, None, length=scan
+            )
+            return states, jnp.mean(rewards)
+
+        import time
+
+        r = jax.jit(roll)
+        t0 = time.time()
+        s2, rw = r(s)
+        jax.block_until_ready(rw)
+        log(f"  compile+run: {time.time()-t0:.1f}s")
+        best = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            s2, rw = r(s2)
+            jax.block_until_ready(rw)
+            best = max(best, scan * batch / (time.time() - t0))
+        log(f"  bench-equivalent: {best:.0f} env-steps/s")
+        record("bench_equiv", dict(solver=cheby, batch=batch,
+                                   env_steps_per_s=best))
+
+    log("probe_r3e done")
+
+
+if __name__ == "__main__":
+    main()
