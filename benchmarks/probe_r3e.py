@@ -79,10 +79,20 @@ def main():
                                            env_steps_per_s=rate))
 
     if 2 not in skip:
-        log("== r3e section 2: batch scaling ==")
+        log("== r3e section 2: batch scaling + packed-mask kernel checks ==")
         for b in ((256, 512) if args.quick else (2048, 4096)):
             e, s, a = setup(cfg, b)
             rate, _ = tpu_probe.time_solver(e, s, a, cheby, scan)
+            if b == (256 if args.quick else 2048):
+                # Validate the packed-mask kernel restructure on hardware:
+                # numeric equality vs the XLA path (bitwise for the Jacobi
+                # kernel) and per-env batch isolation.
+                for sv in (cheby, "pallas_env") if not args.cpu_smoke else ():
+                    dt, dr, di = tpu_probe.check_numerics(e, s, a, sv)
+                    iso = tpu_probe.check_isolation(e, s, a, sv)
+                    record("packed_mask_check", dict(
+                        solver=sv, batch=b, max_dT_vs_jacobi=dt,
+                        max_dR=dr, max_diters=di, isolation_bitwise=iso))
             record("batch_scaling", dict(batch=b, solver=cheby,
                                          env_steps_per_s=rate,
                                          variant="full"))

@@ -1,0 +1,170 @@
+"""Round-3 TPU batch #6: per-phase cost decomposition of the env step.
+
+Times each phase of BuildingEnv.step_batched standalone at the bench batch
+(jit + vmap, best-of-N over a lax.scan of repeated applications so dispatch
+overhead amortizes like the real step): control phase (_step_pre), swap
+word generation, observation assembly, the post-physics phase (_step_post:
+occupancy peeks + boiler ramp + obs + reward), and the full step for
+reference. Identifies the top non-FDM, non-convection cost (VERDICT r2 #5
+follow-through after mix32).
+
+Usage: python benchmarks/probe_r3f.py [--quick] [--cpu-smoke]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    with open(os.path.join(ART, "PROBE_r03.jsonl"), "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def time_fn(label, fn, *args, scan=16, reps=3, batch=1):
+    """Best-of-N of `scan` repeated applications; returns us per env-step.
+
+    The scan body perturbs one input leaf by a loop-carried near-zero
+    scalar derived from the previous output, so the computation is
+    loop-dependent and XLA cannot hoist it out of the scan (a plain
+    repeated application of a pure fn on constant inputs is loop-invariant
+    and would be computed once). The perturbation (out*1e-30, cast to the
+    leaf dtype) is far below f32 ulp at the data scale, so the measured
+    computation is the real one.
+    """
+    leaves, treedef = jax.tree.flatten(args)
+
+    def scanned(leaves):
+        def body(c, _):
+            # Perturb EVERY input leaf: the loop-carried dependence must
+            # reach whichever inputs the phase's heavy path actually reads,
+            # or XLA hoists that path out of the scan as loop-invariant.
+            ls = [
+                l if l.dtype == jnp.bool_ else l + c.astype(l.dtype)
+                for l in leaves
+            ]
+            out = fn(*jax.tree.unflatten(treedef, ls))
+            # The carry must touch EVERY output leaf: depending on just one
+            # lets XLA dead-code-eliminate the rest of the body (observed:
+            # _step_pre "costing" less than its own zone-mean subroutine
+            # because the chosen leaf didn't depend on the perturbed input).
+            newc = sum(
+                l.ravel()[0].astype(jnp.float32)
+                for l in jax.tree.leaves(out)
+            ) * jnp.float32(1e-30)
+            return newc, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=scan)
+        return c
+
+    r = jax.jit(scanned)
+    t0 = time.time()
+    v = r(leaves)
+    jax.block_until_ready(v)
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        v = r(leaves)
+        jax.block_until_ready(v)
+        best = min(best, (time.time() - t0) / scan)
+    us = best / batch * 1e6
+    log(f"  {label}: {us:.3f} us/env-step (compile {compile_s:.1f}s)")
+    return us
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+    from sbsim_tpu.physics import convection as conv_lib
+
+    batch = 256 if args.quick else 2048
+    scan = 4 if args.quick else 16
+    cfg = presets.sb1_config(num_days_in_episode=1)
+    env = BuildingEnv(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, obs = jax.jit(jax.vmap(env.reset))(keys)
+    jax.block_until_ready(obs)
+    actions = jnp.zeros((batch, env.n_actions))
+    log(f"grid={env.geom.shape} device={jax.devices()[0]} batch={batch}")
+
+    phases = {}
+
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    phases["full_step"] = time_fn(
+        f"full step ({cheby})",
+        lambda s, a: env.step_batched(s, a, solver=cheby),
+        states, actions, scan=scan, batch=batch,
+    )
+    phases["step_pre"] = time_fn(
+        "_step_pre (control phase)",
+        lambda s, a: jax.vmap(env._step_pre)(s, a),
+        states, actions, scan=scan, batch=batch,
+    )
+    conv = env.convection
+    phases["swap_word"] = time_fn(
+        "swap word gen (mix32)",
+        lambda k: jax.vmap(
+            lambda kk: conv_lib.swap_decision_word(conv, kk, env.geom.shape)
+        )(k),
+        jax.random.split(jax.random.PRNGKey(1), batch),
+        scan=scan, batch=batch,
+    )
+    t_obs = jnp.zeros((batch,), jnp.int32)
+    phases["observation"] = time_fn(
+        "observation assembly",
+        lambda s, t: jax.vmap(env._observation)(s, t),
+        states, t_obs, scan=scan, batch=batch,
+    )
+    # Full post phase (occupancy peeks + boiler ramp + obs + reward):
+    pre, conv_keys = jax.jit(jax.vmap(env._step_pre))(states, actions)
+    jax.block_until_ready(conv_keys)
+    converged = jnp.ones((batch,), bool)
+    n_iter = jnp.full((batch,), 8, jnp.int32)
+    phases["step_post"] = time_fn(
+        "_step_post (occupancy+obs+reward)",
+        lambda s, p_, t, c, n: jax.vmap(env._step_post)(s, p_, t, c, n),
+        states, pre, states.temp, converged, n_iter,
+        scan=scan, batch=batch,
+    )
+    zone_temps = jax.jit(jax.vmap(env._zone_means_fast))(states.temp)
+    jax.block_until_ready(zone_temps)
+    phases["zone_means"] = time_fn(
+        "zone means (pairwise gather)",
+        lambda t: jax.vmap(env._zone_means_fast)(t),
+        states.temp, scan=scan, batch=batch,
+    )
+    phases["grid_mean"] = time_fn(
+        "grid mean (pairwise)",
+        lambda t: jax.vmap(env._grid_mean)(t),
+        states.temp, scan=scan, batch=batch,
+    )
+    record("phase_decomp", dict(batch=batch, **{
+        k: round(v, 4) for k, v in phases.items()
+    }))
+    log("probe_r3f done")
+
+
+if __name__ == "__main__":
+    main()

@@ -451,7 +451,8 @@ class BuildingEnv:
                 )(conv_keys)
                 kwargs.update(
                     conv_offsets=conv.offsets,
-                    conv_masks=conv.lead_masks,
+                    conv_lead=conv.lead_words,
+                    conv_foll=conv.foll_words,
                     conv_word=words,
                 )
             new_temp, n_iter = kernel_fn(

@@ -58,6 +58,8 @@ class ConvectionBuckets:
     """
 
     lead_masks: Any  # bool (R, H, W): cells that initiate a swap in round r
+    lead_words: Any  # uint32 (H, W): bit r = lead_masks[r] (packed)
+    foll_words: Any  # uint32 (H, W): bit r = lead_masks[r] rolled by o_r
     flat_indices: Any  # i32 (n_room_cvs,) indices into temp.ravel()
     segment_keys: Any  # f32 (n_room_cvs,) = segment_id * 2.0, segmented sort
     offsets: Tuple[Tuple[int, int], ...] = struct.field(
@@ -216,11 +218,28 @@ def make_convection_buckets(
     else:
         lead_masks = np.zeros((1, h, w), bool)
         offsets = ((0, 1),)
+    # Static masks packed one bit per round into two uint32 planes: the
+    # (R, H, W) f32 masks tensor would be re-DMA'd into VMEM by every one
+    # of B kernel programs (~0.5 MB each at R=16 sb1 scale); the packed
+    # planes are 8x smaller and turn the per-round mask test into a bit
+    # test. foll_words[y, x] bit r == lead_masks[r] rolled by offset r
+    # (the follower of a pair is the lead shifted by the round's offset;
+    # the roll wraparound is harmless because lead_masks exclude pairs
+    # that cross the grid edge).
+    lead_words_np = np.zeros((h, w), np.uint32)
+    foll_words_np = np.zeros((h, w), np.uint32)
+    for r, (dy, dx) in enumerate(offsets):
+        lead_words_np |= lead_masks[r].astype(np.uint32) << np.uint32(r)
+        foll_words_np |= np.roll(
+            lead_masks[r], (dy, dx), (0, 1)
+        ).astype(np.uint32) << np.uint32(r)
 
     if rng not in ("threefry", "mix32"):
         raise ValueError(f"unknown convection rng {rng!r}")
     return ConvectionBuckets(
         lead_masks=jnp.asarray(lead_masks),
+        lead_words=jnp.asarray(lead_words_np),
+        foll_words=jnp.asarray(foll_words_np),
         flat_indices=jnp.asarray(flat, jnp.int32),
         segment_keys=jnp.asarray(segments.astype(np.float32) * 2.0),
         offsets=offsets,
@@ -304,15 +323,29 @@ def apply_swaps_with_word(temp, buckets, word):
     """R rounds of masked pair swaps driven by a packed decision word;
     each round is a permutation. Also runs inside the Pallas FDM kernels
     (physics/fdm_pallas.py) on the VMEM-resident field with the same word,
-    producing identical mixing on either path."""
+    producing identical mixing on either path.
+
+    Masking uses the packed lead/follower bit planes: round r swaps at
+    lead cells where both word and lead_words carry bit r, and at follower
+    cells where the *rolled* word and foll_words carry it - algebraically
+    identical to rolling (lead_mask & bit) per round (roll distributes
+    over &), but the word rolls are shared across the rounds with equal
+    offsets and sit off the serial swap chain. Selects move values exactly
+    (no arithmetic), so room multisets are preserved bitwise.
+    """
     out = temp
+    rolled = {
+        o: jnp.roll(word, o, axis=(0, 1)) for o in set(buckets.offsets)
+    }
     for r, (dy, dx) in enumerate(buckets.offsets):
-        bit = (word >> jnp.uint32(r)) & jnp.uint32(1)
-        swap_lead = jnp.logical_and(buckets.lead_masks[r], bit > 0)
+        bit = jnp.uint32(1) << jnp.uint32(r)
+        swap_lead = ((word & bit) > 0) & ((buckets.lead_words & bit) > 0)
+        swap_foll = ((rolled[(dy, dx)] & bit) > 0) & (
+            (buckets.foll_words & bit) > 0
+        )
         # roll(a, +o)[x] = a[x-o]; masks make the wraparound harmless.
         from_follower = jnp.roll(out, (-dy, -dx), axis=(0, 1))
         from_lead = jnp.roll(out, (dy, dx), axis=(0, 1))
-        swap_foll = jnp.roll(swap_lead, (dy, dx), axis=(0, 1))
         out = jnp.where(swap_lead, from_follower, out)
         out = jnp.where(swap_foll, from_lead, out)
     return out

@@ -61,21 +61,30 @@ def _roll2(x, dy, dx):
     return x
 
 
-def _kernel_apply_swaps(x, masks, word, offsets):
+def _kernel_apply_swaps(x, lead_word, foll_word, word, offsets):
     """In-kernel stochastic convection: the same masked pair-swap rounds as
     convection.apply_swaps_with_word, on the VMEM-resident solved field,
     driven by the same packed decision word - so the fused path mixes
     bitwise-identically to the XLA path. Saves ~R full HBM round-trips of
-    the (B, H, W) field per env step (R=16 at sb1 calibration)."""
+    the (B, H, W) field per env step (R=16 at sb1 calibration).
+
+    The static per-round masks arrive packed one bit per round in two
+    uint32 planes (lead_word/foll_word, convection.make_convection_buckets)
+    instead of an (R, H, W) f32 tensor every program would re-DMA; the
+    rolled decision words are shared across rounds with equal offsets and
+    are independent of the serial swap chain."""
+    rolled = {o: _roll2(word, o[0], o[1]) for o in set(offsets)}
     out = x
     for r, (dy, dx) in enumerate(offsets):
-        bit = (word >> jnp.uint32(r)) & jnp.uint32(1)
-        lead = jnp.logical_and(masks[r] > 0, bit > 0)
+        bit = jnp.uint32(1) << jnp.uint32(r)
+        lead = ((word & bit) > 0) & ((lead_word & bit) > 0)
+        foll = ((rolled[(dy, dx)] & bit) > 0) & ((foll_word & bit) > 0)
+        # Both partner reads come from the PRE-round field: a pair swap
+        # exchanges the two original values.
         from_follower = _roll2(out, -dy, -dx)
         from_lead = _roll2(out, dy, dx)
-        foll = _roll2(lead.astype(jnp.float32), dy, dx)
         out = jnp.where(lead, from_follower, out)
-        out = jnp.where(foll > 0, from_lead, out)
+        out = jnp.where(foll, from_lead, out)
     return out
 
 
@@ -89,7 +98,8 @@ def _fdm_kernel(
     a_b_ref,
     a_t_ref,
     ext_ref,
-    conv_masks_ref,
+    conv_lead_ref,
+    conv_foll_ref,
     conv_word_ref,
     out_ref,
     iters_ref,
@@ -134,7 +144,8 @@ def _fdm_kernel(
     )
     if conv_offsets:
         x_final = _kernel_apply_swaps(
-            x_final, conv_masks_ref[:], conv_word_ref[0], conv_offsets
+            x_final, conv_lead_ref[:], conv_foll_ref[:],
+            conv_word_ref[0], conv_offsets
         )
     out_ref[0] = x_final
     # Scalar outputs can't tile on Mosaic; broadcast the iteration count
@@ -152,7 +163,8 @@ def _fdm_cheby_kernel(
     a_b_ref,
     a_t_ref,
     ext_ref,
-    conv_masks_ref,
+    conv_lead_ref,
+    conv_foll_ref,
     conv_word_ref,
     out_ref,
     iters_ref,
@@ -216,7 +228,8 @@ def _fdm_cheby_kernel(
     x_out = jacobi(x_f)
     if conv_offsets:
         x_out = _kernel_apply_swaps(
-            x_out, conv_masks_ref[:], conv_word_ref[0], conv_offsets
+            x_out, conv_lead_ref[:], conv_foll_ref[:],
+            conv_word_ref[0], conv_offsets
         )
     out_ref[0] = x_out
     iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
@@ -243,7 +256,8 @@ def fdm_step_pallas(
     method: str = "jacobi",
     spectral_radius: float = 0.0,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
-    conv_masks: jnp.ndarray = None,  # (R, H, W) f32 lead-eligibility masks
+    conv_lead: jnp.ndarray = None,  # (H, W) uint32 packed lead masks
+    conv_foll: jnp.ndarray = None,  # (H, W) uint32 packed follower masks
     conv_word: jnp.ndarray = None,  # (B, H, W) uint32 packed swap decisions
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """VMEM-resident batched FDM step; one env per grid program.
@@ -283,22 +297,17 @@ def fdm_step_pallas(
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     if conv_offsets:
-        n_rounds = len(conv_offsets)
-        masks_spec = pl.BlockSpec(
-            (n_rounds, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-        )
         word_spec = per_env
-        conv_masks = conv_masks.astype(jnp.float32)
+        conv_lead = conv_lead.astype(jnp.uint32)
+        conv_foll = conv_foll.astype(jnp.uint32)
         conv_word = conv_word.astype(jnp.uint32)
     else:
         # Dummy single-tile inputs; the kernel's swap loop is empty.
-        masks_spec = pl.BlockSpec(
-            (1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-        )
         word_spec = pl.BlockSpec(
             (1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        conv_masks = jnp.zeros((1, h, w), jnp.float32)
+        conv_lead = jnp.zeros((h, w), jnp.uint32)
+        conv_foll = jnp.zeros((h, w), jnp.uint32)
         conv_word = jnp.zeros((1, h, w), jnp.uint32)
 
     if method == "chebyshev":
@@ -331,7 +340,8 @@ def fdm_step_pallas(
             shared,  # a_b
             shared,  # a_t
             shared,  # ext
-            masks_spec,  # convection lead masks
+            shared,  # convection packed lead masks (uint32 plane)
+            shared,  # convection packed follower masks (uint32 plane)
             word_spec,  # convection decision words
         ],
         out_specs=[
@@ -355,7 +365,8 @@ def fdm_step_pallas(
         coeffs.a_b,
         coeffs.a_t,
         ext,
-        conv_masks,
+        conv_lead,
+        conv_foll,
         conv_word,
     )
     return out, iters[:, 0, 0]

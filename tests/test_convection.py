@@ -277,6 +277,34 @@ class TestSwapVsExactShuffleStatistics:
         assert worst_dmean <= 0.5, worst_dmean
 
 
+def test_packed_mask_apply_matches_unpacked_reference(geom):
+    """apply_swaps_with_word (packed lead/follower bit planes + shared
+    rolled words) is bitwise-equal to the straightforward per-round
+    formulation that rolls the combined (lead_mask & decision) mask."""
+    buckets = convection.make_convection_buckets(geom, p=1.0, distance=5)
+
+    def reference(temp, word):
+        out = temp
+        for r, (dy, dx) in enumerate(buckets.offsets):
+            bit = (word >> jnp.uint32(r)) & jnp.uint32(1)
+            swap_lead = jnp.logical_and(buckets.lead_masks[r], bit > 0)
+            from_follower = jnp.roll(out, (-dy, -dx), axis=(0, 1))
+            from_lead = jnp.roll(out, (dy, dx), axis=(0, 1))
+            swap_foll = jnp.roll(swap_lead, (dy, dx), axis=(0, 1))
+            out = jnp.where(swap_lead, from_follower, out)
+            out = jnp.where(swap_foll, from_lead, out)
+        return out
+
+    rng = np.random.default_rng(3)
+    temp = jnp.asarray(rng.normal(294, 3, geom.shape), jnp.float32)
+    word = convection.swap_decision_word(
+        buckets, jax.random.PRNGKey(11), geom.shape
+    )
+    got = convection.apply_swaps_with_word(temp, buckets, word)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(reference(temp, word)))
+    assert float(jnp.max(jnp.abs(got - temp))) > 0.0  # mixing happened
+
+
 @pytest.mark.parametrize("rng", ["threefry", "mix32"])
 def test_swap_decision_word_bit_rates(rng):
     """Each bit lane of the packed decision word is Bernoulli(p_round to

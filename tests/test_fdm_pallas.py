@@ -160,7 +160,8 @@ def test_pallas_fused_convection_matches_xla_swaps(geom, method):
     fused, _ = fdm_pallas.fdm_step_pallas(
         temp, q, t_inf, h, coeffs,
         conv_offsets=buckets.offsets,
-        conv_masks=buckets.lead_masks,
+        conv_lead=buckets.lead_words,
+        conv_foll=buckets.foll_words,
         conv_word=words,
         **kw,
     )
