@@ -1,0 +1,94 @@
+"""Round-3 TPU batch #7 — ONE long-lived process.
+
+  1. per-phase step-cost decomposition (probe_r3f) on the real chip
+  2. full-scale SAC with the pre-tanh mean regularizer (anti-saturation;
+     the collapse signature is the eval pinning at a boundary action once
+     alpha ~ 0)
+  3. full-scale SAC with an 8x replay ring (retains schedule-seeded and
+     peak-policy data against self-reinforcing collapse)
+  4. shard_map single-chip scaling row refresh on the round-3 step
+     (mix32 + packed masks)
+
+Usage: python benchmarks/probe_r3g.py [--skip 1,2,3,4] [--quick] [--cpu-smoke]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def run_main(mod, argv):
+    log(f"--- {mod.__name__} {' '.join(argv)} ---")
+    old = sys.argv
+    sys.argv = [mod.__name__ + ".py"] + argv
+    try:
+        t0 = time.time()
+        mod.main()
+        log(f"--- done in {time.time() - t0:.0f}s ---")
+    finally:
+        sys.argv = old
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    cpu = ["--cpu-smoke"] if args.cpu_smoke else []
+    cpuflag = ["--cpu"] if args.cpu_smoke else []
+    quick = ["--quick"] if args.quick else []
+    steps = "2000" if args.quick else "60000"
+
+    if 1 not in skip:
+        import probe_r3f
+
+        run_main(probe_r3f, quick + cpu)
+
+    if 2 not in skip:
+        import sac_sb1_train
+
+        run_main(sac_sb1_train, [
+            "--full-scale", "--mean-reg", "1e-3",
+            "--train-steps", steps, "--chunk", "200", "--eval-envs", "4",
+            "--label-suffix", "_meanreg",
+        ] + cpuflag)
+
+    if 3 not in skip:
+        import sac_sb1_train
+
+        run_main(sac_sb1_train, [
+            "--full-scale", "--replay-capacity", "400000",
+            "--train-steps", steps, "--chunk", "200", "--eval-envs", "4",
+            "--label-suffix", "_bigreplay",
+        ] + cpuflag)
+
+    if 4 not in skip:
+        import scaling
+
+        run_main(scaling, [
+            "--devices", "1",
+            "--batch-per-device", "256" if args.quick else "2048",
+            "--steps", "4" if args.quick else "32",
+            "--repeats", "4", "--shard-map",
+            "--out", os.path.join(
+                os.path.dirname(HERE), "artifacts",
+                "SCALING_tpu1_shardmap.json",
+            ),
+        ] + cpuflag)
+
+    log("probe_r3g done")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--eval-every", type=int, default=2_000)
     p.add_argument("--eval-envs", type=int, default=4)
     p.add_argument("--updates-per-step", type=int, default=1)
+    p.add_argument("--replay-capacity", type=int, default=50_000,
+                   help="replay ring size (reference default 50k; larger "
+                        "retains schedule-seeded and peak-policy data "
+                        "longer against late-training collapse)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     # SAC stability knobs (VERDICT r2 #4: alpha collapse ablation).
@@ -46,6 +50,9 @@ def main():
                    help="temperature floor (0 = off, the reference default)")
     p.add_argument("--grad-clip", type=float, default=None,
                    help="global-norm gradient clipping")
+    p.add_argument("--mean-reg", type=float, default=0.0,
+                   help="L2 penalty on the actor's pre-tanh mean "
+                        "(anti-saturation; 0 = off, the reference default)")
     p.add_argument("--label-suffix", default="",
                    help="appended to the artifact label/filename")
     p.add_argument("--constant-sweep", type=int, default=0,
@@ -82,7 +89,7 @@ def main():
         env,
         TrainConfig(
             n_envs=args.n_envs,
-            replay_capacity=50_000,
+            replay_capacity=args.replay_capacity,
             batch_size=256,
             updates_per_env_step=args.updates_per_step,
             seed_steps=0,
@@ -90,6 +97,7 @@ def main():
                 target_entropy=args.target_entropy,
                 min_alpha=args.min_alpha,
                 gradient_clipping=args.grad_clip,
+                mean_reg=args.mean_reg,
             ),
         ),
     )
@@ -243,6 +251,8 @@ def main():
         "beats_schedule": bool(best_holdout > sched_holdout),
         "final_beats_schedule": bool(final > sched_ret),
         "best_constant": best_constant,
+        "replay_capacity": args.replay_capacity,
+        "mean_reg": args.mean_reg,
         "target_entropy": args.target_entropy,
         "min_alpha": args.min_alpha,
         "grad_clip": args.grad_clip,

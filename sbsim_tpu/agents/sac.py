@@ -44,6 +44,14 @@ class SACConfig:
     min_alpha: float = 0.0
     # Target entropy; None -> -|A| (the SAC default / reference behavior).
     target_entropy: float | None = None
+    # L2 penalty on the actor's pre-tanh mean (0 disables). Once alpha
+    # anneals to ~0 the unconstrained mean can run far past the tanh
+    # saturation point, freezing the policy at a boundary action; this is
+    # the late-training collapse signature seen on the 126-room config
+    # (artifacts/sac_sb1_126room*_curve.json: eval pinned at one bad value
+    # while critic loss stays tiny). The penalty keeps the mean in the
+    # responsive region without forcing entropy.
+    mean_reg: float = 0.0
 
 
 @struct.dataclass
@@ -203,6 +211,8 @@ class SACLearner:
             q1, q2 = self.critic.apply(critic_params, batch.obs, action)
             q = jnp.minimum(q1, q2)
             loss = jnp.mean(alpha * logp - q)
+            if cfg.mean_reg > 0.0:
+                loss = loss + cfg.mean_reg * jnp.mean(jnp.square(mean))
             return loss, jnp.mean(logp)
 
         (actor_loss, entropy_neg), actor_grads = jax.value_and_grad(
