@@ -355,3 +355,8 @@ def test_swap_decision_word_bit_rates(rng):
     e0 = ((words[::2] >> 0) & 1).astype(float).ravel()
     e1 = ((words[1::2] >> 0) & 1).astype(float).ravel()
     assert abs(np.corrcoef(e0, e1)[0, 1]) < 0.05
+    # Batch invariance: an env's word is a pure function of its own key,
+    # bitwise identical whether generated solo or inside a vmap batch (the
+    # per-env half of the bitwise batch-isolation guarantee).
+    solo = convection.swap_decision_word(buckets, keys[3], geom.shape)
+    assert np.array_equal(np.asarray(solo), words[3])
