@@ -78,6 +78,8 @@ def sample_action(
     """
     std = jnp.exp(log_std)
     if eps is None:
+        if key is None:
+            raise ValueError("sample_action needs either `key` or `eps`")
         eps = jax.random.normal(key, mean.shape)
     pre_tanh = mean + std * eps
     action = jnp.tanh(pre_tanh)

@@ -55,6 +55,36 @@ class TrainState:
     env_steps: Any  # i32 total env steps taken (per-host)
 
 
+@dataclasses.dataclass(frozen=True)
+class ShardHooks:
+    """Localizes the trainer's stochastic draws and reductions for one
+    shard_map shard, so `collect_step`/`train_step` run UNCHANGED inside
+    `distributed.mesh.make_shardmapped_train_step` — one implementation,
+    two execution contexts. Every default reproduces the single-program
+    behavior; the shard versions draw at the GLOBAL batch shape from the
+    replicated rng and slice their rows, keeping N shards bitwise-
+    consistent with the one-program run (up to float reduction order).
+
+    policy: (sac_state, obs, k_act) -> actions  (overrides learner.act)
+    reset_keys: k_reset -> per-env reset keys for this shard's rows
+    sample: (replay, k_sample) -> Transition batch for this shard's rows
+    reduce: metric reduction (identity / lax.pmean over the env axis)
+    update_kwargs: extra kwargs for learner.update (axis_name, noise_block)
+    """
+
+    policy: Any = None
+    reset_keys: Any = None
+    sample: Any = None
+    reduce: Any = None
+    update_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def reduce_metric(self, x):
+        return x if self.reduce is None else self.reduce(x)
+
+
+_NO_HOOKS = ShardHooks()
+
+
 class SACTrainer:
     def __init__(self, env: BuildingEnv, config: TrainConfig = TrainConfig()):
         self.env = env
@@ -108,7 +138,12 @@ class SACTrainer:
     # ------------------------------------------------------------------
 
     def _maybe_reset(
-        self, env_states: EnvState, obs: jnp.ndarray, done: jnp.ndarray, key
+        self,
+        env_states: EnvState,
+        obs: jnp.ndarray,
+        done: jnp.ndarray,
+        key,
+        hooks: ShardHooks = _NO_HOOKS,
     ) -> Tuple[EnvState, jnp.ndarray]:
         """Resets envs that finished their episode (masked select). The
         reset computation only runs when some env actually finished
@@ -116,7 +151,10 @@ class SACTrainer:
 
         def do_reset(operands):
             env_states, obs = operands
-            keys = jax.random.split(key, self.config.n_envs)
+            if hooks.reset_keys is not None:
+                keys = hooks.reset_keys(key)
+            else:
+                keys = jax.random.split(key, self.config.n_envs)
             fresh_states, fresh_obs = self._reset_v(keys)
 
             def select(new, old):
@@ -132,7 +170,10 @@ class SACTrainer:
         )
 
     def collect_step(
-        self, state: TrainState, action_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray]
+        self,
+        state: TrainState,
+        action_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+        hooks: ShardHooks = _NO_HOOKS,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """One lockstep env transition for all envs, appended to replay."""
         rng, k_act, k_reset = jax.random.split(state.rng, 3)
@@ -153,7 +194,7 @@ class SACTrainer:
         else:
             replay = replay_lib.add_batch(state.replay, batch)
         env_states, obs = self._maybe_reset(
-            env_states, out.observation, out.done, k_reset
+            env_states, out.observation, out.done, k_reset, hooks
         )
         new_state = state.replace(
             env_states=env_states,
@@ -162,30 +203,48 @@ class SACTrainer:
             rng=rng,
             env_steps=state.env_steps + self.config.n_envs,
         )
-        metrics = {"reward_mean": jnp.mean(out.reward)}
+        metrics = {
+            "reward_mean": hooks.reduce_metric(jnp.mean(out.reward))
+        }
         return new_state, metrics
 
     def train_step(
-        self, state: TrainState
+        self, state: TrainState, hooks: ShardHooks = _NO_HOOKS
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """One env step (policy actions) + K SAC updates."""
+        """One env step (policy actions) + K SAC updates.
 
-        def policy(obs, key):
-            return self.learner.act(state.sac, obs, key)
+        With `hooks`, the identical body is the per-shard program of
+        make_shardmapped_train_step (distributed/mesh.py) — the hooks only
+        relocate where stochastic draws happen and how metrics/gradients
+        reduce; the rng schedule and step order are this function's.
+        """
 
-        state, metrics = self.collect_step(state, policy)
+        if hooks.policy is not None:
+            def policy(obs, key):
+                return hooks.policy(state.sac, obs, key)
+        else:
+            def policy(obs, key):
+                return self.learner.act(state.sac, obs, key)
 
-        sample_fn = (
-            replay_lib.sample_sharded
-            if self.config.replay_layout == "per_env"
-            else replay_lib.sample
-        )
+        state, metrics = self.collect_step(state, policy, hooks)
+
+        if hooks.sample is not None:
+            def sample_fn(replay, key, _):
+                return hooks.sample(replay, key)
+        else:
+            sample_fn = (
+                replay_lib.sample_sharded
+                if self.config.replay_layout == "per_env"
+                else replay_lib.sample
+            )
 
         def do_update(carry, key):
             sac, replay = carry
             k_sample, k_update = jax.random.split(key)
             batch = sample_fn(replay, k_sample, self.config.batch_size)
-            sac, m = self.learner.update(sac, batch, k_update)
+            sac, m = self.learner.update(
+                sac, batch, k_update, **hooks.update_kwargs
+            )
             return (sac, replay), m
 
         rng, k_updates = jax.random.split(state.rng)

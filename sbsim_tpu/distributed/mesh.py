@@ -256,7 +256,6 @@ def make_shardmapped_train_step(
 
     from sbsim_tpu.agents import networks
     from sbsim_tpu.agents import replay as replay_lib
-    from sbsim_tpu.agents.replay import Transition
 
     if hasattr(replay_template, "replay"):
         replay_template = replay_template.replay
@@ -281,121 +280,59 @@ def make_shardmapped_train_step(
     act_dim = env.n_actions
     specs = _train_state_specs(replay_template)
 
+    import copy
+
+    from sbsim_tpu.agents.train import ShardHooks
+
+    # The shard's env step runs the per-shard solver (Pallas on TPU meshes).
+    shard_trainer = copy.copy(trainer)
+    shard_trainer._step_v = lambda states, actions: env.step_batched(
+        states, actions, solver=solver
+    )
+
     def slice_rows(x, i, rows):
         return jax.lax.dynamic_slice_in_dim(x, i * rows, rows, axis=0)
 
     def body(state: TrainState):
+        # ONE implementation: the shard runs SACTrainer.train_step itself;
+        # the hooks only relocate the stochastic draws (drawn at the GLOBAL
+        # shape from the replicated rng, sliced to this shard's rows) and
+        # reduce metrics/gradients across shards, so N shards apply exactly
+        # the update the single program computes on the full batch.
         i = jax.lax.axis_index(ENV_AXIS)
-        done_gamma = jnp.float32(env.config.discount_factor)
 
-        # ---- collect: policy action, env step, replay insert -------------
-        # Identical rng schedule to SACTrainer.collect_step/train_step.
-        rng, k_act, k_reset = jax.random.split(state.rng, 3)
-        mean, log_std = learner.actor.apply(
-            state.sac.actor_params, state.last_obs
-        )
-        eps_all = jax.random.normal(k_act, (cfg.n_envs, act_dim))
-        actions, _ = networks.sample_action(
-            mean, log_std, eps=slice_rows(eps_all, i, n_local)
-        )
-        env_states, out = env.step_batched(
-            state.env_states, actions, solver=solver
-        )
-        discount = jnp.where(out.done, 0.0, done_gamma)
-        batch = Transition(
-            obs=state.last_obs,
-            action=actions,
-            reward=out.reward,
-            discount=discount,
-            next_obs=out.observation,
-        )
-        replay = replay_lib.add_batch_sharded(state.replay, batch)
-
-        def do_reset(operands):
-            env_states, obs = operands
-            keys = slice_rows(
-                jax.random.split(k_reset, cfg.n_envs), i, n_local
+        def policy(sac, obs, k_act):
+            mean, log_std = learner.actor.apply(sac.actor_params, obs)
+            eps_all = jax.random.normal(k_act, (cfg.n_envs, act_dim))
+            actions, _ = networks.sample_action(
+                mean, log_std, eps=slice_rows(eps_all, i, n_local)
             )
-            fresh_states, fresh_obs = jax.vmap(env.reset)(keys)
+            return actions
 
-            def select(new, old):
-                mask = out.done.reshape(
-                    out.done.shape + (1,) * (new.ndim - 1)
-                )
-                return jnp.where(mask, new, old)
-
-            states = jax.tree.map(select, fresh_states, env_states)
-            return states, jnp.where(out.done[:, None], fresh_obs, obs)
-
-        env_states, obs = jax.lax.cond(
-            jnp.any(out.done), do_reset, lambda operands: operands,
-            (env_states, out.observation),
-        )
-        env_steps = state.env_steps + cfg.n_envs
-        metrics = {
-            "reward_mean": jax.lax.pmean(jnp.mean(out.reward), ENV_AXIS)
-        }
-
-        # ---- SAC updates: local batch rows, pmean'd gradients ------------
-        rng, k_updates = jax.random.split(rng)
-        update_keys = jax.random.split(
-            k_updates, cfg.updates_per_env_step
-        )
-
-        def do_update(carry, key):
-            sac, replay = carry
-            k_sample, k_update = jax.random.split(key)
+        def sample(replay, k_sample):
             slots_all = jax.random.randint(
                 k_sample,
                 (cfg.n_envs, k_per_env),
                 0,
                 jnp.maximum(replay.size, 1),
             )
-            sample = replay_lib.sample_sharded_at(
+            return replay_lib.sample_sharded_at(
                 replay, slice_rows(slots_all, i, n_local)
             )
-            sac, m = learner.update(
-                sac,
-                sample,
-                k_update,
+
+        hooks = ShardHooks(
+            policy=policy,
+            reset_keys=lambda k: slice_rows(
+                jax.random.split(k, cfg.n_envs), i, n_local
+            ),
+            sample=sample,
+            reduce=lambda x: jax.lax.pmean(x, ENV_AXIS),
+            update_kwargs=dict(
                 axis_name=ENV_AXIS,
                 noise_block=(i * local_batch, cfg.batch_size),
-            )
-            return (sac, replay), m
-
-        can_learn = env_steps >= cfg.seed_steps
-
-        def run_updates(sac):
-            (sac, _), ms = jax.lax.scan(
-                do_update, (sac, replay), update_keys
-            )
-            return sac, jax.tree.map(lambda x: x[-1], ms)
-
-        def skip_updates(sac):
-            zero_metrics = {
-                "critic_loss": jnp.float32(0),
-                "actor_loss": jnp.float32(0),
-                "alpha_loss": jnp.float32(0),
-                "alpha": jnp.exp(state.sac.log_alpha),
-                "q1_mean": jnp.float32(0),
-                "q2_mean": jnp.float32(0),
-                "entropy": jnp.float32(0),
-            }
-            return sac, zero_metrics
-
-        sac, update_metrics = jax.lax.cond(
-            can_learn, run_updates, skip_updates, state.sac
+            ),
         )
-        metrics.update(update_metrics)
-        new_state = TrainState(
-            env_states=env_states,
-            last_obs=obs,
-            replay=replay,
-            sac=sac,
-            rng=rng,
-            env_steps=env_steps,
-        )
-        return new_state, metrics
+        return shard_trainer.train_step(state, hooks)
 
     wrapped = shard_map(
         body,

@@ -72,18 +72,24 @@ class ConvectionBuckets:
 
 
 def _offset_schedule(
-    distance: int, max_extent: int
+    distance: int, h: int, w: int
 ) -> List[Tuple[int, int]]:
     """Swap offsets honoring the reference's squared-distance bound.
 
     distance == -1 (the reference's full-room-shuffle mode) uses a
-    doubling ladder so repeated rounds mix across the whole room.
+    doubling ladder so repeated rounds mix across the whole room. The
+    ladder is per-axis: on an elongated grid an offset larger than the
+    short axis has no valid pairs at all (and previously crashed the
+    lead-mask precompute).
     """
     if distance == -1:
         offsets: List[Tuple[int, int]] = []
         step = 1
-        while step <= max(1, max_extent // 2):
-            offsets += [(0, step), (step, 0)]
+        while step <= max(1, max(h, w) // 2):
+            if step < w:
+                offsets.append((0, step))
+            if step < h:
+                offsets.append((step, 0))
             step *= 2
         return offsets or [(0, 1), (1, 0)]
     offsets = []
@@ -174,7 +180,7 @@ def make_convection_buckets(
     enabled = bool(p != 0 and distance != 0)
     p_round = 0.5
     if enabled and method == "swap":
-        schedule = _offset_schedule(distance, max_extent=max(h, w))
+        schedule = _offset_schedule(distance, h, w)
         # Core rounds: unit axis steps (or the full doubling ladder) in BOTH
         # parity phases - this is what makes each room's swap graph
         # connected so repeated steps mix globally.
@@ -204,7 +210,12 @@ def make_convection_buckets(
             # per-CV temperatures after 36 steps drops from 0.36 (4 rounds)
             # to ~0.13-0.16 at 16 rounds, vs a ~0.06-0.09 same-method null
             # (tests/test_convection.py::TestSwapVsExactShuffleStatistics).
+            # Clamped to the 32-bit packing budget: on large distance=-1
+            # grids the doubling ladder alone can exceed 32 rounds (e.g.
+            # max extent >= 512 gives len(core) = 36); without the clamp,
+            # bits >= 32 shift out and those rounds silently never swap.
             rounds = max(len(core), int(np.ceil(2.0 * min(p, 1.0) / 0.125)))
+            rounds = min(rounds, 32)
         p_round = 2.0 * min(p, 1.0) / rounds
         rs = np.random.RandomState(seed)
         chosen = list(core)

@@ -277,6 +277,35 @@ class TestSwapVsExactShuffleStatistics:
         assert worst_dmean <= 0.5, worst_dmean
 
 
+def test_full_shuffle_on_elongated_grid_respects_packing_budget():
+    """distance=-1 on an elongated grid: the per-axis doubling ladder must
+    not emit offsets larger than the short axis (previously crashed the
+    lead-mask precompute) and auto-sizing must clamp to the 32-bit
+    decision-word budget (bits >= 32 would silently never swap)."""
+    plan = np.full((40, 600), 2.0)
+    plan[1:39, 1:599] = 0.0
+    g = geometry.geometry_from_floor_plan(
+        plan, cv_size_cm=10.0, floor_height_cm=300.0, initial_temp=294.0,
+        inside_air=AIR, inside_wall=WALL, exterior_wall=EXT,
+        buffer_from_walls=0,
+    )
+    b = convection.make_convection_buckets(g, p=1.0, distance=-1)
+    assert b.enabled
+    assert 0 < len(b.offsets) <= 32
+    h, w = g.shape
+    for dy, dx in b.offsets:
+        assert abs(dy) < h and abs(dx) < w, (dy, dx)
+    # The permutation property still holds: room multisets conserved.
+    rng = np.random.default_rng(0)
+    temp = jnp.asarray(rng.normal(294, 3, g.shape), jnp.float32)
+    out = convection.apply_convection(temp, b, jax.random.PRNGKey(1))
+    zid = np.asarray(g.zone_ids)
+    m = zid < g.n_zones
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out)[m]), np.sort(np.asarray(temp)[m])
+    )
+
+
 def test_packed_mask_apply_matches_unpacked_reference(geom):
     """apply_swaps_with_word (packed lead/follower bit planes + shared
     rolled words) is bitwise-equal to the straightforward per-round
