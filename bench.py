@@ -50,7 +50,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--steps", type=int, default=64)
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument(
+        "--min-repeats",
+        type=int,
+        default=6,
+        help="minimum timed repeats before the plateau rule can stop",
+    )
+    parser.add_argument(
+        "--max-repeats",
+        type=int,
+        default=20,
+        help="hard cap on timed repeats",
+    )
+    parser.add_argument(
+        "--budget-sec",
+        type=float,
+        default=60.0,
+        help="wall-clock budget for the timed repeats",
+    )
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument(
         "--solver",
@@ -168,13 +185,33 @@ def main():
         rollout = make_rollout(solver)
         states, _ = jax.block_until_ready(rollout(states0))
 
-    best = 0.0
-    for _ in range(args.repeats):
+    # In-process stabilization policy (round-3 finding: the driver's
+    # cold-process bench recorded 150.2k while same-config probe rows in
+    # warmed processes hit 164.5k, with process-to-process spread of
+    # 157-165k; the prime suspect is relay/chip-claim state in the first
+    # seconds after the claim). Policy: keep timing repeats until the best
+    # has not improved by >1% over the trailing 4 repeats (min
+    # --min-repeats, max --max-repeats, wall budget --budget-sec) and
+    # report the best repeat. The full repeat trajectory is recorded in
+    # the JSON line so a depressed number is diagnosable from the bench
+    # output alone (a rising tail means the process never plateaued =
+    # claim-state warmup; a flat low trajectory means the chip really ran
+    # slow).
+    reps = []
+    t_start = time.perf_counter()
+    while len(reps) < args.max_repeats:
         t0 = time.perf_counter()
         states, mean_r = rollout(states)
         jax.block_until_ready(states)
         dt = time.perf_counter() - t0
-        best = max(best, batch * n_steps / dt)
+        reps.append(batch * n_steps / dt)
+        if len(reps) >= max(args.min_repeats, 5):
+            if time.perf_counter() - t_start > args.budget_sec:
+                break
+            if max(reps) <= max(reps[:-4]) * 1.01:
+                break
+    best = max(reps)
+    plateaued = len(reps) >= 5 and max(reps[-4:]) <= max(reps[:-4]) * 1.01
 
     unit = "env-steps/s" if not on_cpu else "env-steps/s (cpu fallback)"
     print(
@@ -187,6 +224,8 @@ def main():
                 "solver": solver,
                 "batch": batch,
                 "weather": env.config.weather.kind,
+                "repeats": [round(r, 1) for r in reps],
+                "plateaued": plateaued,
             }
         )
     )

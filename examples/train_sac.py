@@ -39,7 +39,7 @@ def main():
     args = parser.parse_args()
 
     from sbsim_tpu.agents import schedule_policy
-    from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+    from sbsim_tpu.agents.train import SACTrainer, recipe_for
     from sbsim_tpu.distributed import mesh as mesh_lib
     from sbsim_tpu.envs import presets
     from sbsim_tpu.envs.building_env import BuildingEnv
@@ -65,16 +65,22 @@ def main():
         flush=True,
     )
 
-    trainer = SACTrainer(
+    # recipe_for gates the full-scale stability recipe (min_alpha=0.01 at
+    # >= 100 zones, artifacts/RESULTS.md ablation) on the building's scale.
+    train_config = recipe_for(
         env,
-        TrainConfig(
-            n_envs=args.n_envs,
-            replay_capacity=args.replay_capacity,
-            batch_size=args.batch_size,
-            updates_per_env_step=1,
-            seed_steps=0,
-        ),
+        n_envs=args.n_envs,
+        replay_capacity=args.replay_capacity,
+        batch_size=args.batch_size,
+        updates_per_env_step=1,
+        seed_steps=0,
     )
+    if train_config.sac.min_alpha > 0:
+        print(
+            f"full-scale recipe: min_alpha={train_config.sac.min_alpha}",
+            flush=True,
+        )
+    trainer = SACTrainer(env, train_config)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
     mesh = mesh_lib.make_mesh()

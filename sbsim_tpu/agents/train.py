@@ -45,6 +45,44 @@ class TrainConfig:
     sac: SACConfig = SACConfig()
 
 
+# Zone count at or above which the full-scale stability recipe applies.
+# The five-variant collapse ablation at 126 rooms (artifacts/RESULTS.md,
+# "Round-3 full-scale SAC") showed target-entropy, gradient clipping,
+# pre-tanh mean regularization, and 8x replay retention all fail to prevent
+# the late-training exploration collapse; ONLY the mild temperature floor
+# min_alpha=0.01 keeps training stable (final -19.16 beats schedule -21.27,
+# best held-out -18.40 beats the best constant action -19.60). At 12-zone
+# scale the default autotuned alpha needs no floor (final == best == -4.495)
+# and a floor of 0.05 measurably hurt, so the floor is gated on scale.
+FULL_SCALE_ZONE_THRESHOLD = 100
+FULL_SCALE_MIN_ALPHA = 0.01
+
+
+def recipe_for(
+    env: BuildingEnv,
+    n_envs: int = 64,
+    batch_size: int = 256,
+    **overrides,
+) -> TrainConfig:
+    """The documented training recipe for a building, gated on its scale.
+
+    Small/default configs (< FULL_SCALE_ZONE_THRESHOLD zones) use the
+    reference SAC recipe unchanged (SAC_Demo.ipynb cells 24-28: batch 256,
+    lr 3e-4, tau 0.005, unconstrained alpha autotune). Full-scale configs
+    (>= 100 zones, i.e. the real sb1 device count) add the temperature
+    floor min_alpha=0.01 — the single stabilizer the 126-room collapse
+    ablation isolated (artifacts/RESULTS.md). Keyword overrides replace
+    TrainConfig fields; pass sac=SACConfig(...) to override the SAC recipe
+    entirely.
+    """
+    if "sac" not in overrides:
+        sac = SACConfig()
+        if env.n_zones >= FULL_SCALE_ZONE_THRESHOLD:
+            sac = dataclasses.replace(sac, min_alpha=FULL_SCALE_MIN_ALPHA)
+        overrides["sac"] = sac
+    return TrainConfig(n_envs=n_envs, batch_size=batch_size, **overrides)
+
+
 @struct.dataclass
 class TrainState:
     env_states: EnvState  # batched (B, ...)
@@ -101,9 +139,22 @@ class SACTrainer:
             )
         self.learner = SACLearner(env.obs_dim, env.n_actions, config.sac)
         self._reset_v = jax.vmap(env.reset)
-        self._step_v = lambda states, actions: env.step_batched(
-            states, actions, solver=config.env_solver
-        )
+        self._solver = config.env_solver
+
+    def _step_v(self, states: EnvState, actions: jnp.ndarray):
+        return self.env.step_batched(states, actions, solver=self._solver)
+
+    def with_solver(self, solver: str) -> "SACTrainer":
+        """A trainer clone whose env step runs an explicit FDM solver.
+
+        The public seam for execution-context overrides (GSPMD meshes force
+        an XLA solver; shard_map shards pick the per-shard Pallas kernels) —
+        callers never mutate trainer internals directly."""
+        import copy
+
+        clone = copy.copy(self)
+        clone._solver = solver
+        return clone
 
     def init(self, key: jax.Array) -> TrainState:
         k_env, k_sac, k_rng = jax.random.split(key, 3)

@@ -144,11 +144,9 @@ def _gspmd_safe_trainer(trainer: SACTrainer, mesh: Mesh) -> SACTrainer:
     )
     if not resolved.startswith("pallas"):
         return trainer
-    import copy
     import logging
 
-    env = trainer.env
-    xla = "xla_" + env.config.fdm_solver
+    xla = "xla_" + trainer.env.config.fdm_solver
     logging.getLogger(__name__).warning(
         "GSPMD mesh with %d devices: forcing env solver %r -> %r "
         "(pallas_call is not GSPMD-partitionable); use "
@@ -157,11 +155,7 @@ def _gspmd_safe_trainer(trainer: SACTrainer, mesh: Mesh) -> SACTrainer:
         resolved,
         xla,
     )
-    safe = copy.copy(trainer)
-    safe._step_v = lambda states, actions: env.step_batched(
-        states, actions, solver=xla
-    )
-    return safe
+    return trainer.with_solver(xla)
 
 
 def make_distributed_train_step(trainer: SACTrainer, mesh: Mesh):
@@ -280,15 +274,10 @@ def make_shardmapped_train_step(
     act_dim = env.n_actions
     specs = _train_state_specs(replay_template)
 
-    import copy
-
     from sbsim_tpu.agents.train import ShardHooks
 
     # The shard's env step runs the per-shard solver (Pallas on TPU meshes).
-    shard_trainer = copy.copy(trainer)
-    shard_trainer._step_v = lambda states, actions: env.step_batched(
-        states, actions, solver=solver
-    )
+    shard_trainer = trainer.with_solver(solver)
 
     def slice_rows(x, i, rows):
         return jax.lax.dynamic_slice_in_dim(x, i * rows, rows, axis=0)

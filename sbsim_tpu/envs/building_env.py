@@ -126,7 +126,7 @@ class BuildingEnv:
             rounds=config.convection.rounds,
             variants=config.convection.variants,
             seed=config.convection.seed,
-            rng=getattr(config.convection, "rng", "threefry"),
+            rng=config.convection.rng,
         )
         self.reward_params = reward_lib.make_reward_params(config.reward)
         # Deterministic zone-mean gather layout: per zone, the flat CV

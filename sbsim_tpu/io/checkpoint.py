@@ -41,14 +41,29 @@ class TrainCheckpointer:
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
         """Restores into the structure of `template` (an initialized
-        TrainState, used for shapes/dtypes)."""
+        TrainState, used for shapes/dtypes).
+
+        If the template's leaves are committed jax.Arrays carrying shardings
+        (e.g. a TrainState placed on a mesh by
+        distributed.mesh.shard_train_state), the restore lands DIRECTLY on
+        those shardings - each device reads only its shard, so resuming a
+        multi-chip run never materializes the full replay ring on one host.
+        Plain numpy/host templates restore to host arrays as before."""
         if step is None:
             step = self._manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints in {self._directory}")
-        abstract = jax.tree.map(np.asarray, template)
+
+        def abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=x.sharding
+                )
+            return np.asarray(x)
+
         restored = self._manager.restore(
-            step, args=ocp.args.StandardRestore(abstract)
+            step,
+            args=ocp.args.StandardRestore(jax.tree.map(abstract, template)),
         )
         return jax.tree.map(lambda x: x, restored)
 

@@ -215,6 +215,18 @@ def make_convection_buckets(
             # max extent >= 512 gives len(core) = 36); without the clamp,
             # bits >= 32 shift out and those rounds silently never swap.
             rounds = max(len(core), int(np.ceil(2.0 * min(p, 1.0) / 0.125)))
+            if len(core) > 32:
+                import warnings
+
+                warnings.warn(
+                    f"distance=-1 doubling-ladder core has {len(core)} "
+                    "offsets but swap decisions pack 32 bits/word: the "
+                    f"{len(core) - 32} largest-offset rounds are dropped, "
+                    "shrinking the mixing range on this grid "
+                    f"({zone_ids.shape}). Long-range mixing still occurs "
+                    "via repeated steps of the surviving ladder rounds.",
+                    stacklevel=2,
+                )
             rounds = min(rounds, 32)
         p_round = 2.0 * min(p, 1.0) / rounds
         rs = np.random.RandomState(seed)

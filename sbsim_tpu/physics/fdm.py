@@ -58,6 +58,17 @@ class StencilCoefficients:
     cond_sum: Any  # f32 (H, W) a_r + a_l + a_b + a_t
     exterior_mask: Any  # bool (H, W)
     time_step_sec: float = struct.field(pytree_node=False)
+    # True iff the grid's entire outer ring is exterior space (every
+    # floor-plan geometry: the plan is padded with exterior-space CVs that
+    # the solver pins to ambient). Then the out-of-bounds fill value of the
+    # neighbor shifts is never consumed — wraparound reads land only in
+    # pinned cells — and the Pallas kernels replace shift-with-fill by a
+    # plain roll and fold the exterior pin into (a*=0, denom=1,
+    # const=t_inf), dropping every per-iteration select (bitwise-identical
+    # output, ~25% fewer VPU ops per Jacobi iteration). False (e.g. the
+    # legacy rectangular geometry, whose edge CVs exchange with ambient
+    # through the shift fill) keeps the masked-fill path.
+    ring_exterior: bool = struct.field(pytree_node=False, default=False)
 
 
 def stencil_coefficients(
@@ -84,6 +95,13 @@ def stencil_coefficients(
     absorb = (
         np.asarray(geom.density, np.float32) * u * v * cp * z * cp
     ) / np.float32(time_step_sec)
+    ext_np = np.asarray(geom.exterior_mask)
+    ring_exterior = bool(
+        ext_np[0, :].all()
+        and ext_np[-1, :].all()
+        and ext_np[:, 0].all()
+        and ext_np[:, -1].all()
+    )
     return StencilCoefficients(
         a_r=jnp.asarray(a_r),
         a_l=jnp.asarray(a_l),
@@ -92,8 +110,9 @@ def stencil_coefficients(
         conv_area=jnp.asarray(conv_area),
         absorb=jnp.asarray(absorb),
         cond_sum=jnp.asarray(a_r + a_l + a_b + a_t),
-        exterior_mask=jnp.asarray(np.asarray(geom.exterior_mask)),
+        exterior_mask=jnp.asarray(ext_np),
         time_step_sec=float(time_step_sec),
+        ring_exterior=ring_exterior,
     )
 
 

@@ -107,6 +107,7 @@ def _fdm_kernel(
     threshold: float,
     iteration_limit: int,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    edge_fill: bool = True,
 ):
     x0 = temp_ref[0]  # (H, W)
     const = const_ref[0]
@@ -122,15 +123,29 @@ def _fdm_kernel(
         x, _, it = carry
         # a_r pairs with the right neighbor T[i, j+1] (shift left by one),
         # matching tf_simulator.py:719-722.
-        num = (
-            a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-            + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
-            + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
-            + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
-            + const
-        )
-        x_new = num / denom
-        x_new = jnp.where(ext > 0, tinf, x_new)
+        if edge_fill:
+            num = (
+                a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
+                + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+                + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
+                + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
+                + const
+            )
+            x_new = num / denom
+            x_new = jnp.where(ext > 0, tinf, x_new)
+        else:
+            # ring_exterior fast path: wraparound reads land only in
+            # exterior-pinned cells, and the pin is folded into the
+            # coefficients (a*=0, denom=1, const=tinf at exterior CVs) by
+            # fdm_step_pallas — x_new[ext] = tinf/1 exactly, no selects.
+            num = (
+                a_r * _roll2(x, 0, -1)
+                + a_l * _roll2(x, 0, 1)
+                + a_b * _roll2(x, -1, 0)
+                + a_t * _roll2(x, 1, 0)
+                + const
+            )
+            x_new = num / denom
         delta = jnp.max(jnp.abs(x_new - x))  # scalar
         return x_new, delta, it + 1
 
@@ -173,6 +188,7 @@ def _fdm_cheby_kernel(
     iteration_limit: int,
     rho2: float,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    edge_fill: bool = True,
 ):
     """Chebyshev semi-iterative FDM solve, one env per program.
 
@@ -193,14 +209,24 @@ def _fdm_cheby_kernel(
     ext = ext_ref[:]
 
     def jacobi(x):
+        if edge_fill:
+            num = (
+                a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
+                + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+                + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
+                + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
+                + const
+            )
+            return jnp.where(ext > 0, tinf, num / denom)
+        # ring_exterior fast path: see _fdm_kernel.
         num = (
-            a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-            + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
-            + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
-            + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
+            a_r * _roll2(x, 0, -1)
+            + a_l * _roll2(x, 0, 1)
+            + a_b * _roll2(x, -1, 0)
+            + a_t * _roll2(x, 1, 0)
             + const
         )
-        return jnp.where(ext > 0, tinf, num / denom)
+        return num / denom
 
     x1 = jacobi(x0)
     delta0 = jnp.max(jnp.abs(x1 - x0))
@@ -287,6 +313,20 @@ def fdm_step_pallas(
     denom = coeffs.cond_sum + hT * coeffs.conv_area + coeffs.absorb
     const = coeffs.absorb * temp + input_q + hT * tinf3 * coeffs.conv_area
     ext = coeffs.exterior_mask.astype(jnp.float32)
+    a_r, a_l, a_b, a_t = coeffs.a_r, coeffs.a_l, coeffs.a_b, coeffs.a_t
+    edge_fill = not coeffs.ring_exterior
+    if not edge_fill:
+        # Fold the exterior pin into the coefficients (kernels skip every
+        # per-iteration select; see StencilCoefficients.ring_exterior):
+        # x_new[ext] = (0*neighbors + tinf) / 1 = tinf, bitwise.
+        ext_b = coeffs.exterior_mask
+        zero = jnp.float32(0.0)
+        a_r = jnp.where(ext_b, zero, a_r)
+        a_l = jnp.where(ext_b, zero, a_l)
+        a_b = jnp.where(ext_b, zero, a_b)
+        a_t = jnp.where(ext_b, zero, a_t)
+        denom = jnp.where(ext_b, jnp.float32(1.0), denom)
+        const = jnp.where(ext_b, tinf3.astype(jnp.float32), const)
     # Ambient as a (B, 1, 128) lane-aligned strip: scalar SMEM inputs hit
     # Mosaic tiling restrictions, a broadcast lane vector does not.
     tinf_strip = jnp.broadcast_to(tinf3.astype(jnp.float32), (b, 1, 128))
@@ -317,6 +357,7 @@ def fdm_step_pallas(
             iteration_limit=iteration_limit,
             rho2=float(spectral_radius) ** 2,
             conv_offsets=tuple(conv_offsets),
+            edge_fill=edge_fill,
         )
     else:
         kernel = functools.partial(
@@ -324,6 +365,7 @@ def fdm_step_pallas(
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
             conv_offsets=tuple(conv_offsets),
+            edge_fill=edge_fill,
         )
     out, iters = pl.pallas_call(
         kernel,
@@ -360,10 +402,10 @@ def fdm_step_pallas(
         const,
         denom,
         tinf_strip,
-        coeffs.a_r,
-        coeffs.a_l,
-        coeffs.a_b,
-        coeffs.a_t,
+        a_r,
+        a_l,
+        a_b,
+        a_t,
         ext,
         conv_lead,
         conv_foll,

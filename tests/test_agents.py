@@ -169,3 +169,56 @@ class TestShardedReplay:
         rewards = np.asarray(out.reward).reshape(n_envs, 4)
         for e in range(n_envs):
             assert ((rewards[e] >= e * 10) & (rewards[e] < e * 10 + cap)).all()
+
+
+class TestFullScaleRecipe:
+    """The productized full-scale stability recipe (artifacts/RESULTS.md:
+    only min_alpha=0.01 prevents the 126-room exploration collapse)."""
+
+    def test_scale_gating(self):
+        import types
+
+        from sbsim_tpu.agents import train as train_lib
+
+        small = types.SimpleNamespace(n_zones=12)
+        big = types.SimpleNamespace(n_zones=126)
+        assert train_lib.recipe_for(small).sac.min_alpha == 0.0
+        assert (
+            train_lib.recipe_for(big).sac.min_alpha
+            == train_lib.FULL_SCALE_MIN_ALPHA
+            == 0.01
+        )
+        # Threshold boundary: the gate is >= 100 zones.
+        assert train_lib.recipe_for(
+            types.SimpleNamespace(n_zones=100)
+        ).sac.min_alpha == 0.01
+        assert train_lib.recipe_for(
+            types.SimpleNamespace(n_zones=99)
+        ).sac.min_alpha == 0.0
+        # An explicit sac override replaces the gated default entirely.
+        custom = SACConfig(min_alpha=0.5)
+        assert train_lib.recipe_for(big, sac=custom).sac.min_alpha == 0.5
+        # TrainConfig fields pass through.
+        cfg = train_lib.recipe_for(big, n_envs=32, batch_size=128)
+        assert cfg.n_envs == 32 and cfg.batch_size == 128
+
+    def test_learner_applies_alpha_floor(self):
+        # init_alpha below the floor: one update must clamp log_alpha up to
+        # log(min_alpha) (sac.py min_alpha clamp after the alpha step).
+        learner = SACLearner(
+            obs_dim=3,
+            action_dim=2,
+            config=SACConfig(min_alpha=0.01, init_alpha=1e-4),
+        )
+        state = learner.init(jax.random.PRNGKey(0))
+        batch = Transition(
+            obs=jnp.ones((8, 3)),
+            action=jnp.zeros((8, 2)),
+            reward=jnp.ones(8),
+            discount=jnp.full(8, 0.99),
+            next_obs=jnp.ones((8, 3)),
+        )
+        state, _ = jax.jit(learner.update)(
+            state, batch, jax.random.PRNGKey(1)
+        )
+        assert float(state.log_alpha) >= float(np.log(0.01)) - 1e-6

@@ -192,3 +192,50 @@ def test_shardmapped_rollout_matches_unsharded(env):
         np.asarray(s_sharded.fdm_iterations),
         np.asarray(s_plain.fdm_iterations),
     )
+
+
+def test_sharded_checkpoint_round_trip(env, tmp_path):
+    """Checkpoint/resume under a sharded mesh (SURVEY section 5 checkpoint
+    row): save a mesh-sharded TrainState, restore onto a FRESH 8-device
+    mesh via a sharded template, and get bitwise-equal leaves that are
+    still partitioned (restore lands directly on the template shardings)."""
+    from sbsim_tpu.io.checkpoint import TrainCheckpointer
+
+    mesh = mesh_lib.make_mesh()
+    trainer = SACTrainer(
+        env,
+        TrainConfig(n_envs=16, replay_capacity=256, batch_size=32,
+                    seed_steps=16),
+    )
+    state = mesh_lib.shard_train_state(
+        trainer.init(jax.random.PRNGKey(0)), mesh
+    )
+    step = mesh_lib.make_distributed_train_step(trainer, mesh)
+    for _ in range(2):
+        state, _ = step(state)
+
+    ckpt = TrainCheckpointer(str(tmp_path / "ckpt"))
+    ckpt.save(2, state)
+
+    # Fresh mesh + differently-seeded template, as a restarted job would
+    # build them; the template only contributes structure and shardings.
+    mesh2 = mesh_lib.make_mesh()
+    template = mesh_lib.shard_train_state(
+        trainer.init(jax.random.PRNGKey(99)), mesh2
+    )
+    restored = ckpt.restore(template)
+
+    # Every leaf bitwise-equal to the saved state...
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...and still sharded over the mesh, not gathered to one device.
+    assert not restored.last_obs.sharding.is_fully_replicated
+    assert not restored.replay.data.obs.sharding.is_fully_replicated
+
+    # Training resumes from the restored state on the fresh mesh.
+    cont, metrics = mesh_lib.make_distributed_train_step(trainer, mesh2)(
+        restored
+    )
+    assert int(cont.env_steps) == int(state.env_steps) + 16
+    assert np.isfinite(float(metrics["reward_mean"]))
+    ckpt.close()

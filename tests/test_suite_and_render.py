@@ -94,6 +94,58 @@ class TestPlots:
         )
         assert ax is not None
 
+    def test_schedule_windows_and_dashboard(self, tmp_path):
+        """The composite episode dashboard + schedule-window plot
+        (reference plot_utils.py:402-537, setpoint_schedule.py:130-217)."""
+        import pandas as pd
+
+        from sbsim_tpu.envs import presets
+        from sbsim_tpu.io import plots
+        from sbsim_tpu.scenario import tables as tables_lib
+
+        cfg = presets.two_zone_test_config(num_days_in_episode=1)
+        tables = tables_lib.build_episode_tables(cfg)
+        windows = plots.schedule_plot_data(
+            tables, cfg.start_timestamp, cfg.time_step_sec
+        )
+        # Windows tile the episode exactly and carry the right setpoints.
+        assert windows.iloc[0]["start_time"] == pd.Timestamp(
+            cfg.start_timestamp
+        )
+        for i in range(1, len(windows)):
+            assert (
+                windows.iloc[i]["start_time"] == windows.iloc[i - 1]["end_time"]
+            )
+        comfort_rows = windows[windows["comfort_mode"]]
+        if len(comfort_rows):
+            assert float(comfort_rows.iloc[0]["heating_setpoint"]) == (
+                cfg.schedule.comfort_temp_window[0]
+            )
+        ax = plots.plot_schedule_windows(windows)
+        assert ax is not None
+
+        dash = plots.EpisodeDashboard(
+            zone_names=["a", "b"],
+            start_timestamp=cfg.start_timestamp,
+            step_sec=cfg.time_step_sec,
+            schedule_windows=windows,
+            writedir=str(tmp_path),
+        )
+        for t in range(6):
+            dash.update(
+                t,
+                ambient_temp=283.0 + t,
+                zone_temps=[294.0, 295.0],
+                boiler_thermal=5000.0,
+                boiler_electrical=100.0,
+                ahu_fan=700.0,
+                ahu_thermal=-2000.0,
+            )
+        fig = dash.render(np.full((5, 6), 292.0), wall_mask=np.eye(5, 6))
+        assert fig is not None
+        pngs = list(tmp_path.glob("thermal_step_*.png"))
+        assert len(pngs) == 1 and pngs[0].stat().st_size > 0
+
 
 class TestTestingUtils:
     def test_reward_info_builder(self):
