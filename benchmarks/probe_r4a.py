@@ -1,0 +1,262 @@
+"""Round-4 TPU probe batch #1 — ONE long-lived process.
+
+Sections (independently skippable via --skip):
+  1. kernel: the ring_exterior fast-path kernels (no per-iteration selects)
+     on the driver-equivalent config — throughput for pallas_cheby /
+     pallas_env at batch 2048, pallas_env-vs-xla_jacobi numeric cross-check
+     (must stay bitwise), per-env batch-isolation check, and the
+     iteration_limit=1 floor rows.
+  2. shard_tax: where the ~10% make_shardmapped_rollout overhead goes on a
+     1-chip mesh (VERDICT r3 #2): plain jit vs shard_map vs shard_map
+     without the reward pmean.
+  3. train: make_shardmapped_train_step at n_envs=2048 (the ShardHooks
+     dedup regression check: pre-refactor 113.7k, post 106.7k).
+  4. bench_equiv: the exact bench.py rollout in-process (predicts BENCH_r04).
+
+Usage:
+  timeout 3000 env PYTHONPATH=/root/repo python benchmarks/probe_r4a.py
+  python benchmarks/probe_r4a.py --cpu-smoke --quick   # plumbing check
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    with open(os.path.join(ART, "PROBE_r04.jsonl"), "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    penv = "xla_jacobi" if args.cpu_smoke else "pallas_env"
+
+    import tpu_probe
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    batch = 64 if args.quick else 2048
+    scan = 4 if args.quick else 16
+
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=2))
+    assert env.coeffs.ring_exterior, "sb1 plan must take the fast path"
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states0, _ = jax.jit(jax.vmap(env.reset))(keys)
+    actions = jnp.broadcast_to(table[0], (batch, env.n_actions))
+
+    # ---- 1. fast-path kernels -------------------------------------------
+    if 1 not in skip:
+        log("== section 1: ring_exterior fast-path kernels ==")
+        for solver in (cheby, penv):
+            rate, _ = tpu_probe.time_solver(
+                env, states0, actions, solver, scan, repeats=3
+            )
+            dt, dr, di = tpu_probe.check_numerics(env, states0, actions, solver)
+            iso = tpu_probe.check_isolation(env, states0, actions, solver)
+            record("kernel_r4", {
+                "solver": solver, "batch": batch,
+                "env_steps_per_sec": round(rate, 1),
+                "vs_xla_jacobi": {"max_dT": dt, "max_dR": dr, "max_diters": di},
+                "isolation_bitwise": iso,
+            })
+        # Floor rows: iteration_limit=1 isolates the non-FDM cost.
+        import dataclasses
+
+        env_floor = BuildingEnv(
+            dataclasses.replace(
+                presets.sb1_config(num_days_in_episode=2), iteration_limit=1
+            )
+        )
+        sf, _ = jax.jit(jax.vmap(env_floor.reset))(keys)
+        rate_floor, _ = tpu_probe.time_solver(
+            env_floor, sf, actions, cheby, scan, repeats=3
+        )
+        record("floor_r4", {
+            "solver": cheby, "batch": batch,
+            "env_steps_per_sec": round(rate_floor, 1),
+        })
+
+    # ---- 2. shard_map wrapper tax ---------------------------------------
+    if 2 not in skip:
+        log("== section 2: shard_map wrapper tax (1-dev mesh) ==")
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        mesh1 = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+
+        def body(s, _):
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = env.step_batched(s, act, solver=cheby)
+            return s, jnp.mean(out.reward)
+
+        def rollout_plain(states):
+            states, rewards = jax.lax.scan(body, states, None, length=scan)
+            return states, jnp.mean(rewards)
+
+        def rollout_pmean(states):
+            states, r = rollout_plain(states)
+            return states, jax.lax.pmean(r, mesh_lib.ENV_AXIS)
+
+        def rollout_local(states):
+            states, r = rollout_plain(states)
+            return states, r[None]  # rank-1: per-shard means concatenate
+
+        def sm(fn, out_r):
+            return jax.jit(
+                shard_map(
+                    fn,
+                    mesh=mesh1,
+                    in_specs=(P(mesh_lib.ENV_AXIS),),
+                    out_specs=(P(mesh_lib.ENV_AXIS), out_r),
+                    check_vma=False,
+                )
+            )
+
+        def put(states):
+            return jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(
+                        mesh1,
+                        P(mesh_lib.ENV_AXIS, *([None] * (x.ndim - 1)))
+                        if getattr(x, "ndim", 0) >= 1
+                        else P(),
+                    ),
+                ),
+                states,
+            )
+
+        def measure(fn, states, label, reps=4):
+            states, _ = jax.block_until_ready(fn(states))
+            best = 0.0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                states, _ = fn(states)
+                jax.block_until_ready(states)
+                best = max(best, batch * scan / (time.perf_counter() - t0))
+            log(f"  {label}: {best:.0f} env-steps/s")
+            return round(best, 1)
+
+        rates = {}
+        rates["plain_jit"] = measure(
+            jax.jit(rollout_plain), states0, "plain_jit"
+        )
+        rates["shardmap_pmean"] = measure(
+            sm(rollout_pmean, P()), put(states0), "shardmap_pmean"
+        )
+        rates["shardmap_nopmean"] = measure(
+            sm(rollout_local, P(mesh_lib.ENV_AXIS)),
+            put(states0),
+            "shardmap_nopmean",
+        )
+        rates["prod_wrapper"] = measure(
+            mesh_lib.make_shardmapped_rollout(
+                env, mesh1, table, scan, solver=cheby
+            ),
+            put(states0),
+            "prod_wrapper",
+        )
+        record("shard_tax_r4", {"batch": batch, "scan": scan, "rates": rates})
+
+    # ---- 3. shard_map train step ----------------------------------------
+    if 3 not in skip:
+        log("== section 3: shard_map train step ==")
+        from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        n_envs = batch
+        cfg = TrainConfig(
+            n_envs=n_envs,
+            replay_capacity=n_envs * 16,
+            batch_size=n_envs,
+            seed_steps=0,
+            updates_per_env_step=1,
+        )
+        trainer = SACTrainer(env, cfg)
+        state = trainer.init(jax.random.PRNGKey(0))
+        mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+        state = mesh_lib.shard_train_state(state, mesh)
+        step = mesh_lib.make_shardmapped_train_step(
+            trainer, mesh, state.replay, solver=cheby
+        )
+        t0 = time.time()
+        state, m = step(state)
+        jax.block_until_ready(m["reward_mean"])
+        log(f"  compile+run: {time.time()-t0:.1f}s")
+        n_timed = 8 if args.quick else 40
+        best = 0.0
+        t0 = time.perf_counter()
+        for i in range(n_timed):
+            t1 = time.perf_counter()
+            state, m = step(state)
+            jax.block_until_ready(m["reward_mean"])
+            best = max(best, n_envs / (time.perf_counter() - t1))
+        log(f"  train step: best {best:.0f} env-steps/s "
+            f"(mean {n_timed * n_envs / (time.perf_counter() - t0):.0f})")
+        record("train_r4", {
+            "n_envs": n_envs,
+            "env_steps_per_sec_best": round(best, 1),
+        })
+
+    # ---- 4. driver-bench equivalent -------------------------------------
+    if 4 not in skip:
+        log("== section 4: bench.py-equivalent rollout ==")
+
+        n_steps = 64 if not args.quick else 8
+
+        def rollout(states):
+            def b(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=cheby)
+                return s, out.reward
+
+            states, rewards = jax.lax.scan(b, states, None, length=n_steps)
+            return states, jnp.mean(rewards)
+        r = jax.jit(rollout)
+        s, _ = jax.block_until_ready(r(states0))
+        reps = []
+        for _ in range(10 if not args.quick else 3):
+            t0 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            reps.append(batch * n_steps / (time.perf_counter() - t0))
+        log("  bench-equiv reps: " + " ".join(f"{x:.0f}" for x in reps))
+        record("bench_equiv_r4", {
+            "batch": batch,
+            "best": round(max(reps), 1),
+            "reps": [round(x, 1) for x in reps],
+        })
+
+    log("probe_r4a done")
+
+
+if __name__ == "__main__":
+    main()

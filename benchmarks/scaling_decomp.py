@@ -1,0 +1,212 @@
+"""Decomposition of the 8-device shard_map scaling falloff (VERDICT r3 #4).
+
+SCALING_cpu8_shardmap.json records per-device throughput falling 55.6 ->
+41.9 env-steps/s from 1 -> 8 virtual CPU devices (efficiency 0.754) at
+batch-per-device 64. This probe breaks that 25% into components measured at
+the EXACT same configuration:
+
+  plain_1dev_b64      plain jit rollout, batch 64              (the baseline row)
+  shardmap_1dev_b64   shard_map on a 1-device mesh, batch 64   (wrapper tax alone)
+  plain_1dev_b512     plain jit, batch 512, one device         (same total work,
+                                                                one program - the
+                                                                host-core-sharing
+                                                                control: virtual
+                                                                devices share one
+                                                                physical host)
+  shardmap_8dev_b512  the falloff row itself
+  shardmap_8dev_b512_nopmean  same without the reward pmean    (collective cost)
+
+Attribution printed at the end:
+  wrapper_tax        = 1 - shardmap_1dev_b64 / plain_1dev_b64
+  core_sharing_tax   = 1 - (plain_1dev_b512 / 8) / plain_1dev_b64
+                       (how much of the naive "falloff" is just 8 virtual
+                        devices sharing one host's cores + the batch-512
+                        vectorization profile)
+  partition_tax      = 1 - shardmap_8dev_b512 / plain_1dev_b512
+                       (the true cost of partitioning the same total work
+                        over 8 shard programs: dispatch, layout, barriers)
+  collective_share   = (nopmean - shardmap_8dev_b512) / shardmap_8dev_b512
+
+Run (virtual 8-device CPU mesh):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+    python benchmarks/scaling_decomp.py --out artifacts/SCALING_cpu8_decomp_r4.json
+
+On a real multi-chip slice the same flags measure the hardware decomposition.
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-per-device", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--solver", default="auto")
+    parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU platform (the axon sitecustomize overrides the "
+        "JAX_PLATFORMS env var, so the flag must be set in-process)",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.distributed import mesh as mesh_lib
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    env = BuildingEnv(presets.sb1_config(num_days_in_episode=2))
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    n_dev = len(jax.devices())
+    bpd = args.batch_per_device
+    n_steps = args.steps
+
+    def make_plain(solver):
+        def rollout(states):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, jnp.mean(out.reward)
+
+            states, rewards = jax.lax.scan(body, states, None, length=n_steps)
+            return states, jnp.mean(rewards)
+
+        return jax.jit(rollout)
+
+    def make_shardmapped(mesh, solver, with_pmean=True):
+        def rollout(states):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, jnp.mean(out.reward)
+
+            states, rewards = jax.lax.scan(body, states, None, length=n_steps)
+            r = jnp.mean(rewards)
+            if with_pmean:
+                return states, jax.lax.pmean(r, mesh_lib.ENV_AXIS)
+            # No collective: each shard emits its own mean (rank-1 so the
+            # per-shard scalars concatenate under the sharded out_spec).
+            return states, r[None]
+
+        out_r = P() if with_pmean else P(mesh_lib.ENV_AXIS)
+
+        def wrap(states):
+            states, r = shard_map(
+                rollout,
+                mesh=mesh,
+                in_specs=(P(mesh_lib.ENV_AXIS),),
+                out_specs=(P(mesh_lib.ENV_AXIS), out_r),
+                check_vma=False,
+            )(states)
+            return states, r
+
+        return jax.jit(wrap)
+
+    def init_states(batch, mesh=None):
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+        if mesh is not None:
+            states = jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(
+                        mesh,
+                        P(mesh_lib.ENV_AXIS, *([None] * (x.ndim - 1)))
+                        if getattr(x, "ndim", 0) >= 1
+                        else P(),
+                    ),
+                ),
+                states,
+            )
+        return states
+
+    def measure(fn, states, batch):
+        states, _ = jax.block_until_ready(fn(states))  # compile
+        best = 0.0
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            states, _ = fn(states)
+            jax.block_until_ready(states)
+            best = max(best, batch * n_steps / (time.perf_counter() - t0))
+        return round(best, 1)
+
+    solver = args.solver
+    mesh1 = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+    meshN = mesh_lib.make_mesh(np.asarray(jax.devices()))
+    big = bpd * n_dev
+
+    rates = {}
+    rates["plain_1dev_b64"] = measure(
+        make_plain(solver), init_states(bpd), bpd
+    )
+    print("plain_1dev_b64", rates["plain_1dev_b64"], flush=True)
+    rates["shardmap_1dev_b64"] = measure(
+        make_shardmapped(mesh1, solver), init_states(bpd, mesh1), bpd
+    )
+    print("shardmap_1dev_b64", rates["shardmap_1dev_b64"], flush=True)
+    rates["plain_1dev_big"] = measure(
+        make_plain(solver), init_states(big), big
+    )
+    print("plain_1dev_big", rates["plain_1dev_big"], flush=True)
+    rates["shardmap_ndev_big"] = measure(
+        make_shardmapped(meshN, solver), init_states(big, meshN), big
+    )
+    print("shardmap_ndev_big", rates["shardmap_ndev_big"], flush=True)
+    rates["shardmap_ndev_big_nopmean"] = measure(
+        make_shardmapped(meshN, solver, with_pmean=False),
+        init_states(big, meshN),
+        big,
+    )
+    print("shardmap_ndev_big_nopmean", rates["shardmap_ndev_big_nopmean"],
+          flush=True)
+
+    attribution = {
+        "naive_efficiency": round(
+            (rates["shardmap_ndev_big"] / n_dev) / rates["plain_1dev_b64"], 3
+        ),
+        "wrapper_tax": round(
+            1 - rates["shardmap_1dev_b64"] / rates["plain_1dev_b64"], 3
+        ),
+        "core_sharing_tax": round(
+            1 - (rates["plain_1dev_big"] / n_dev) / rates["plain_1dev_b64"], 3
+        ),
+        "partition_tax": round(
+            1 - rates["shardmap_ndev_big"] / rates["plain_1dev_big"], 3
+        ),
+        "collective_share": round(
+            (rates["shardmap_ndev_big_nopmean"] - rates["shardmap_ndev_big"])
+            / rates["shardmap_ndev_big"],
+            3,
+        ),
+    }
+    payload = {
+        "platform": jax.devices()[0].platform,
+        "n_devices": n_dev,
+        "batch_per_device": bpd,
+        "steps": n_steps,
+        "solver": solver,
+        "rates_env_steps_per_s": rates,
+        "attribution": attribution,
+    }
+    print(json.dumps(payload, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

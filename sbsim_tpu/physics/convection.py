@@ -322,22 +322,44 @@ def swap_decision_word(
     consume the SAME word - keeping the two solver paths comparable).
     """
     n_rounds = len(buckets.offsets)
-    n_planes = (n_rounds + 3) // 4
+    # Lane width: 4-bit decision lanes (8 per plane word) when p_round is
+    # representable as q/16 within the same <2% relative tolerance the
+    # 8-bit quantization already accepts - this halves both the random
+    # planes generated and the extract/compare chain. The calibrated sb1
+    # default (p=1, rounds=16 => p_round = 0.125 = 2/16) qualifies
+    # exactly. Otherwise fall back to 8-bit lanes (4 per word).
+    q16 = int(round(buckets.p_round * 16.0))
+    use4 = (
+        buckets.p_round > 0.0
+        and q16 >= 1
+        and abs(q16 / 16.0 - buckets.p_round) <= 0.02 * buckets.p_round
+    )
+    lane_bits = 4 if use4 else 8
+    lanes_per_plane = 32 // lane_bits
+    n_planes = (n_rounds + lanes_per_plane - 1) // lanes_per_plane
     if buckets.rng == "mix32":
         bits = _mix32_planes(key, n_planes, shape)
     else:
         bits = jax.random.bits(key, (n_planes,) + shape, dtype=jnp.uint32)
-    # Round the 8-bit threshold but never quantize a positive p_round to 0
-    # (p_round < 1/512 would otherwise disable swapping entirely).
-    q = int(round(buckets.p_round * 256.0))
-    if buckets.p_round > 0.0:
-        q = max(q, 1)
+    if use4:
+        q = q16
+        lane_mask = jnp.uint32(0xF)
+    else:
+        # Round the 8-bit threshold but never quantize a positive p_round
+        # to 0 (p_round < 1/512 would otherwise disable swapping entirely).
+        q = int(round(buckets.p_round * 256.0))
+        if buckets.p_round > 0.0:
+            q = max(q, 1)
+        lane_mask = jnp.uint32(0xFF)
     threshold = jnp.uint32(q)
     word = jnp.zeros(shape, jnp.uint32)
     for r in range(n_rounds):
-        byte = (bits[r // 4] >> jnp.uint32(8 * (r % 4))) & jnp.uint32(0xFF)
+        lane = (
+            bits[r // lanes_per_plane]
+            >> jnp.uint32(lane_bits * (r % lanes_per_plane))
+        ) & lane_mask
         word = word | (
-            (byte < threshold).astype(jnp.uint32) << jnp.uint32(r)
+            (lane < threshold).astype(jnp.uint32) << jnp.uint32(r)
         )
     return word
 
