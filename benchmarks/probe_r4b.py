@@ -1,21 +1,21 @@
-"""Round-4 TPU probe batch #1 — ONE long-lived process.
+"""Round-4 TPU probe batch #2 — ONE long-lived process.
 
-Sections (independently skippable via --skip):
-  1. kernel: the ring_exterior fast-path kernels (no per-iteration selects)
-     on the driver-equivalent config — throughput for pallas_cheby /
-     pallas_env at batch 2048, pallas_env-vs-xla_jacobi numeric cross-check
-     (must stay bitwise), per-env batch-isolation check, and the
-     iteration_limit=1 floor rows.
-  2. shard_tax: where the ~10% make_shardmapped_rollout overhead goes on a
-     1-chip mesh (VERDICT r3 #2): plain jit vs shard_map vs shard_map
-     without the reward pmean.
-  3. train: make_shardmapped_train_step at n_envs=2048 (the ShardHooks
-     dedup regression check: pre-refactor 113.7k, post 106.7k).
-  4. bench_equiv: the exact bench.py rollout in-process (predicts BENCH_r04).
+Validates the stats-in-state step (EnvState carries zone/grid means; the
+Pallas kernels emit the statistics from VMEM) on the real chip:
+
+  1. kernel_stats: pallas_cheby / pallas_env throughput at batch 2048 on
+     the driver-equivalent config, numeric cross-check vs xla_jacobi
+     (pallas_env must stay BITWISE on temp/iters/obs/reward - the obs
+     comparison now exercises kernel-emitted stats vs the XLA fold), and
+     the per-env batch-isolation check.
+  2. floor: iteration_limit=1 non-FDM floor under the new step.
+  3. train: make_shardmapped_train_step at n_envs=2048 with the CHAINED
+     dispatch loop (fixes probe_r4a's per-call-blocked underestimate).
+  4. bench_equiv: the exact bench.py rollout in-process.
 
 Usage:
-  timeout 3000 env PYTHONPATH=/root/repo python benchmarks/probe_r4a.py
-  python benchmarks/probe_r4a.py --cpu-smoke --quick   # plumbing check
+  timeout 3000 env PYTHONPATH=/root/repo python benchmarks/probe_r4b.py
+  python benchmarks/probe_r4b.py --cpu-smoke --quick
 """
 
 import argparse
@@ -64,28 +64,48 @@ def main():
     scan = 4 if args.quick else 16
 
     env = BuildingEnv(presets.sb1_config(num_days_in_episode=2))
-    assert env.coeffs.ring_exterior, "sb1 plan must take the fast path"
     table = jnp.asarray(schedule_policy.build_schedule_actions(env))
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states0, _ = jax.jit(jax.vmap(env.reset))(keys)
     actions = jnp.broadcast_to(table[0], (batch, env.n_actions))
 
-    # ---- 1. fast-path kernels -------------------------------------------
     if 1 not in skip:
-        log("== section 1: ring_exterior fast-path kernels ==")
+        log("== section 1: stats-in-state kernels ==")
         for solver in (cheby, penv):
             rate, _ = tpu_probe.time_solver(
                 env, states0, actions, solver, scan, repeats=3
             )
             dt, dr, di = tpu_probe.check_numerics(env, states0, actions, solver)
             iso = tpu_probe.check_isolation(env, states0, actions, solver)
-            record("kernel_r4", {
+            record("kernel_stats_r4", {
                 "solver": solver, "batch": batch,
                 "env_steps_per_sec": round(rate, 1),
                 "vs_xla_jacobi": {"max_dT": dt, "max_dR": dr, "max_diters": di},
                 "isolation_bitwise": iso,
             })
-        # Floor rows: iteration_limit=1 isolates the non-FDM cost.
+
+    if 1 not in skip and not args.cpu_smoke:
+        import dataclasses
+
+        log("== section 1b: cheby check_every amortization ==")
+        for ce in (2, 4):
+            env_ce = BuildingEnv(
+                dataclasses.replace(
+                    presets.sb1_config(num_days_in_episode=2),
+                    cheby_check_every=ce,
+                )
+            )
+            s_ce, _ = jax.jit(jax.vmap(env_ce.reset))(keys)
+            rate, st = tpu_probe.time_solver(
+                env_ce, s_ce, actions, cheby, scan, repeats=3
+            )
+            record("cheby_check_every_r4", {
+                "check_every": ce, "batch": batch,
+                "env_steps_per_sec": round(rate, 1),
+                "iters_mean": float(np.asarray(st.fdm_iterations).mean()),
+            })
+
+    if 2 not in skip:
         import dataclasses
 
         env_floor = BuildingEnv(
@@ -97,98 +117,13 @@ def main():
         rate_floor, _ = tpu_probe.time_solver(
             env_floor, sf, actions, cheby, scan, repeats=3
         )
-        record("floor_r4", {
+        record("floor_stats_r4", {
             "solver": cheby, "batch": batch,
             "env_steps_per_sec": round(rate_floor, 1),
         })
 
-    # ---- 2. shard_map wrapper tax ---------------------------------------
-    if 2 not in skip:
-        log("== section 2: shard_map wrapper tax (1-dev mesh) ==")
-        from jax import shard_map
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from sbsim_tpu.distributed import mesh as mesh_lib
-
-        mesh1 = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
-
-        def body(s, _):
-            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
-            s, out = env.step_batched(s, act, solver=cheby)
-            return s, jnp.mean(out.reward)
-
-        def rollout_plain(states):
-            states, rewards = jax.lax.scan(body, states, None, length=scan)
-            return states, jnp.mean(rewards)
-
-        def rollout_pmean(states):
-            states, r = rollout_plain(states)
-            return states, jax.lax.pmean(r, mesh_lib.ENV_AXIS)
-
-        def rollout_local(states):
-            states, r = rollout_plain(states)
-            return states, r[None]  # rank-1: per-shard means concatenate
-
-        def sm(fn, out_r):
-            return jax.jit(
-                shard_map(
-                    fn,
-                    mesh=mesh1,
-                    in_specs=(P(mesh_lib.ENV_AXIS),),
-                    out_specs=(P(mesh_lib.ENV_AXIS), out_r),
-                    check_vma=False,
-                )
-            )
-
-        def put(states):
-            return jax.tree.map(
-                lambda x: jax.device_put(
-                    x,
-                    NamedSharding(
-                        mesh1,
-                        P(mesh_lib.ENV_AXIS, *([None] * (x.ndim - 1)))
-                        if getattr(x, "ndim", 0) >= 1
-                        else P(),
-                    ),
-                ),
-                states,
-            )
-
-        def measure(fn, states, label, reps=4):
-            states, _ = jax.block_until_ready(fn(states))
-            best = 0.0
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                states, _ = fn(states)
-                jax.block_until_ready(states)
-                best = max(best, batch * scan / (time.perf_counter() - t0))
-            log(f"  {label}: {best:.0f} env-steps/s")
-            return round(best, 1)
-
-        rates = {}
-        rates["plain_jit"] = measure(
-            jax.jit(rollout_plain), states0, "plain_jit"
-        )
-        rates["shardmap_pmean"] = measure(
-            sm(rollout_pmean, P()), put(states0), "shardmap_pmean"
-        )
-        rates["shardmap_nopmean"] = measure(
-            sm(rollout_local, P(mesh_lib.ENV_AXIS)),
-            put(states0),
-            "shardmap_nopmean",
-        )
-        rates["prod_wrapper"] = measure(
-            mesh_lib.make_shardmapped_rollout(
-                env, mesh1, table, scan, solver=cheby
-            ),
-            put(states0),
-            "prod_wrapper",
-        )
-        record("shard_tax_r4", {"batch": batch, "scan": scan, "rates": rates})
-
-    # ---- 3. shard_map train step ----------------------------------------
     if 3 not in skip:
-        log("== section 3: shard_map train step ==")
+        log("== section 3: shard_map train step (chained) ==")
         from sbsim_tpu.agents.train import SACTrainer, TrainConfig
         from sbsim_tpu.distributed import mesh as mesh_lib
 
@@ -211,9 +146,6 @@ def main():
         state, m = step(state)
         jax.block_until_ready(m["reward_mean"])
         log(f"  compile+run: {time.time()-t0:.1f}s")
-        # Chain dispatches between blocking points (the ~5 ms/call relay
-        # dispatch otherwise dominates: a per-call-blocked loop measured
-        # 50k where the chained loop measures >100k).
         chain = 2 if args.quick else 8
         reps = 2 if args.quick else 4
         best = 0.0
@@ -224,16 +156,14 @@ def main():
             jax.block_until_ready(m["reward_mean"])
             best = max(best, chain * n_envs / (time.perf_counter() - t1))
         log(f"  train step: best {best:.0f} env-steps/s (chained x{chain})")
-        record("train_r4", {
+        record("train_stats_r4", {
             "n_envs": n_envs,
             "env_steps_per_sec_best": round(best, 1),
             "chained": chain,
         })
 
-    # ---- 4. driver-bench equivalent -------------------------------------
     if 4 not in skip:
         log("== section 4: bench.py-equivalent rollout ==")
-
         n_steps = 64 if not args.quick else 8
 
         def rollout(states):
@@ -244,6 +174,7 @@ def main():
 
             states, rewards = jax.lax.scan(b, states, None, length=n_steps)
             return states, jnp.mean(rewards)
+
         r = jax.jit(rollout)
         s, _ = jax.block_until_ready(r(states0))
         reps = []
@@ -253,13 +184,70 @@ def main():
             jax.block_until_ready(s)
             reps.append(batch * n_steps / (time.perf_counter() - t0))
         log("  bench-equiv reps: " + " ".join(f"{x:.0f}" for x in reps))
-        record("bench_equiv_r4", {
+        record("bench_equiv_stats_r4", {
             "batch": batch,
             "best": round(max(reps), 1),
             "reps": [round(x, 1) for x in reps],
         })
 
-    log("probe_r4a done")
+    # ---- 5. re-record the single-chip shard_map scaling row -------------
+    if 5 not in skip:
+        log("== section 5: shard_map rollout scaling row ==")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        mesh1 = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+        rollout = mesh_lib.make_shardmapped_rollout(
+            env, mesh1, table, scan, solver=cheby
+        )
+        st = jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(
+                    mesh1,
+                    P(mesh_lib.ENV_AXIS, *([None] * (x.ndim - 1)))
+                    if getattr(x, "ndim", 0) >= 1
+                    else P(),
+                ),
+            ),
+            states0,
+        )
+        st, _ = jax.block_until_ready(rollout(st))
+        best = 0.0
+        for _ in range(4):
+            t0 = time.perf_counter()
+            st, _ = rollout(st)
+            jax.block_until_ready(st)
+            best = max(best, batch * scan / (time.perf_counter() - t0))
+        log(f"  shard_map rollout: {best:.0f} env-steps/s")
+        payload = {
+            "platform": jax.devices()[0].platform,
+            "batch_per_device": batch,
+            "steps": scan,
+            "full_scale": False,
+            "solver": cheby,
+            "results": [
+                {
+                    "devices": 1,
+                    "batch": batch,
+                    "env_steps_per_sec": round(best, 1),
+                    "per_device": round(best, 1),
+                }
+            ],
+            "summary": None,
+            "note": "re-recorded round 4 (stats-in-state step; wrapper tax "
+            "vs plain jit measured in PROBE_r04.jsonl shard_tax_r4)",
+        }
+        record("scaling_shardmap_r4", {"env_steps_per_sec": round(best, 1)})
+        if not args.cpu_smoke:
+            with open(
+                os.path.join(ART, "SCALING_tpu1_shardmap.json"), "w"
+            ) as f:
+                json.dump(payload, f, indent=2)
+                f.write("\n")
+
+    log("probe_r4b done")
 
 
 if __name__ == "__main__":

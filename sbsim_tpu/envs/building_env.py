@@ -37,6 +37,7 @@ from sbsim_tpu.hvac.params import HvacState, initial_hvac_state, make_hvac_param
 from sbsim_tpu.physics import convection as convection_lib
 from sbsim_tpu.physics import fdm
 from sbsim_tpu.physics import fdm_pallas
+from sbsim_tpu.physics import gridstats
 from sbsim_tpu.scenario import occupancy as occupancy_lib
 from sbsim_tpu.scenario import tables as tables_lib
 
@@ -55,6 +56,13 @@ class EnvState:
 
     temp: Any  # f32 (H, W)
     input_q: Any  # f32 (H, W)
+    # Zone/grid statistics of `temp`, computed where the field was produced
+    # (the Pallas kernel emits them from VMEM; the XLA paths fold them with
+    # the identical addition sequence - physics/gridstats.py). The control
+    # phase, observation, and reward consume these instead of re-reducing
+    # the field.
+    zone_means: Any  # f32 (Z,)
+    grid_mean: Any  # f32 scalar (AHU recirculation temp, simulator.py:408)
     hvac: HvacState
     occupants: Any  # bool (Z, N)
     step_idx: Any  # i32: completed steps; sim time = start + step_idx * dt
@@ -129,29 +137,13 @@ class BuildingEnv:
             rng=config.convection.rng,
         )
         self.reward_params = reward_lib.make_reward_params(config.reward)
-        # Deterministic zone-mean gather layout: per zone, the flat CV
-        # indices padded to a power of two. Zone means (and the grid mean)
-        # reduce by explicit pairwise halving instead of a matmul/jnp.mean
-        # whose f32 reduction order changes with the XLA batch tiling -
-        # batch-size-dependent last-ulp differences there broke the bitwise
-        # per-env isolation of the OBSERVATION vector on real TPUs
-        # (artifacts/PROBE_r03.jsonl baseline.isolation_bitwise=false).
-        zone_ids_np = np.asarray(self.geom.zone_ids)
-        n_zones = self.geom.n_zones
-        cells = [
-            np.flatnonzero(zone_ids_np.ravel() == z) for z in range(n_zones)
-        ]
-        cmax = 1 << int(np.ceil(np.log2(max(len(c) for c in cells))))
-        idx = np.zeros((n_zones, cmax), np.int32)
-        w = np.zeros((n_zones, cmax), np.float32)
-        for z, c in enumerate(cells):
-            idx[z, : len(c)] = c
-            w[z, : len(c)] = 1.0
-        self._zone_cell_idx = jnp.asarray(idx)
-        self._zone_cell_weight = jnp.asarray(w)
-        hw = zone_ids_np.size
-        self._grid_pad = (1 << int(np.ceil(np.log2(hw)))) - hw
-        self._grid_n = jnp.float32(hw)
+        # Zone/grid statistics use the deterministic windowed fold
+        # (physics/gridstats.py): batch-size-invariant f32 addition order
+        # (bitwise per-env isolation of the observation vector on real
+        # TPUs - the round-3 matmul/jnp.mean reductions broke it) AND the
+        # identical sequence runs inside the Pallas kernels so both solver
+        # paths emit bitwise-equal statistics.
+        self.zone_stats = gridstats.make_zone_stat_layout(self.geom)
         self.obs_layout = obs_lib.build_obs_layout(
             self.geom.zone_names,
             config.observation_normalization,
@@ -300,9 +292,12 @@ class BuildingEnv:
             tables.reset_local_hour,
             tables.reset_workday,
         )
+        zone_means, grid_mean = self._grid_stats(geom.reset_temps)
         state = EnvState(
             temp=geom.reset_temps,
             input_q=jnp.zeros(geom.shape, jnp.float32),
+            zone_means=zone_means,
+            grid_mean=grid_mean,
             hvac=hvac,
             occupants=occupants,
             step_idx=jnp.int32(0),
@@ -320,29 +315,21 @@ class BuildingEnv:
             return tables_lib.tables_for_window(self.tables, state.window)
         return self.tables
 
-    @staticmethod
-    def _tree_sum(x: jnp.ndarray) -> jnp.ndarray:
-        """Pairwise sum over the last axis (power-of-two length): a fixed
-        sequence of elementwise adds, so the f32 result is identical at any
-        batch size/tiling - unlike matmul/jnp.sum reductions."""
-        while x.shape[-1] > 1:
-            x = x[..., ::2] + x[..., 1::2]
-        return x[..., 0]
-
     def _zone_means_fast(self, temp: jnp.ndarray) -> jnp.ndarray:
-        """Zone averages via gather + deterministic pairwise reduction."""
-        vals = temp.ravel()[self._zone_cell_idx] * self._zone_cell_weight
-        return self._tree_sum(vals) / self.geom.zone_sizes
+        """Zone averages via the deterministic windowed fold."""
+        return (
+            gridstats.zone_sums(temp, self.zone_stats)
+            / self.zone_stats.sizes
+        )
 
     def _grid_mean(self, temp: jnp.ndarray) -> jnp.ndarray:
         """Whole-grid mean (AHU recirculation temperature, simulator.py:408)
         with a batch-size-independent reduction order."""
-        flat = temp.ravel()
-        if self._grid_pad:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((self._grid_pad,), flat.dtype)]
-            )
-        return self._tree_sum(flat) / self._grid_n
+        return gridstats.grid_sum(temp) / jnp.float32(self.zone_stats.grid_n)
+
+    def _grid_stats(self, temp: jnp.ndarray):
+        """(zone_means, grid_mean) of one env's field."""
+        return self._zone_means_fast(temp), self._grid_mean(temp)
 
     def _occupancy_peek_randomized(
         self, occupants, key, local_hour, workday
@@ -379,7 +366,10 @@ class BuildingEnv:
         new_temp = convection_lib.apply_convection(
             new_temp, self.convection, conv_key
         )
-        return self._step_post(state, pre, new_temp, converged, n_iter)
+        new_zm, new_gm = self._grid_stats(new_temp)
+        return self._step_post(
+            state, pre, new_temp, converged, n_iter, new_zm, new_gm
+        )
 
     def resolve_solver(
         self, batch: int, use_pallas: bool = True, solver: Optional[str] = None
@@ -432,6 +422,16 @@ class BuildingEnv:
             and conv.enabled
             and conv.method == "swap"
         )
+        # The kernels can emit the post-step zone/grid statistics from VMEM
+        # (skipping an extra HBM pass over the solved field) whenever the
+        # field they hold is final - i.e. convection either runs fused
+        # in-kernel or is disabled - and the zone sums fit one 128-lane row.
+        kernel_stats = (
+            solver.startswith("pallas")
+            and (fuse_conv or not conv.enabled)
+            and self.geom.n_zones <= 128
+        )
+        new_zm = new_gm = None
         if solver.startswith("pallas"):
             kwargs = dict(
                 convergence_threshold=self.config.convergence_threshold,
@@ -442,6 +442,7 @@ class BuildingEnv:
                 kwargs.update(
                     method="chebyshev",
                     spectral_radius=self._spectral_radius,
+                    check_every=self.config.cheby_check_every,
                 )
             if fuse_conv:
                 words = jax.vmap(
@@ -455,14 +456,28 @@ class BuildingEnv:
                     conv_foll=conv.foll_words,
                     conv_word=words,
                 )
-            new_temp, n_iter = kernel_fn(
-                states.temp,
-                states.input_q,
-                pre["ambient"],
-                pre["h_conv"],
-                self.coeffs,
-                **kwargs,
-            )
+            if kernel_stats:
+                kwargs.update(stat_layout=self.zone_stats)
+                new_temp, n_iter, stats = kernel_fn(
+                    states.temp,
+                    states.input_q,
+                    pre["ambient"],
+                    pre["h_conv"],
+                    self.coeffs,
+                    **kwargs,
+                )
+                n_zones = self.geom.n_zones
+                new_zm = stats[:, 0, :n_zones] / self.zone_stats.sizes
+                new_gm = stats[:, 1, 0] / jnp.float32(self.zone_stats.grid_n)
+            else:
+                new_temp, n_iter = kernel_fn(
+                    states.temp,
+                    states.input_q,
+                    pre["ambient"],
+                    pre["h_conv"],
+                    self.coeffs,
+                    **kwargs,
+                )
             converged = n_iter < self.config.iteration_limit
         else:
             new_temp, converged, n_iter = self._solve_fdm(
@@ -478,8 +493,10 @@ class BuildingEnv:
                     temp, self.convection, key
                 )
             )(new_temp, conv_keys)
+        if new_zm is None:
+            new_zm, new_gm = jax.vmap(self._grid_stats)(new_temp)
         return jax.vmap(self._step_post)(
-            states, pre, new_temp, converged, n_iter
+            states, pre, new_temp, converged, n_iter, new_zm, new_gm
         )
 
     def _solve_fdm(self, temp, input_q, ambient, h_conv, kind=None):
@@ -510,7 +527,9 @@ class BuildingEnv:
         rng, conv_key, obs_key, reward_key = jax.random.split(state.rng, 4)
 
         # ---- Phase 1: request_action -------------------------------------
-        zone_temps = self._zone_means_fast(state.temp)
+        # Statistics of the current field were computed when the field was
+        # produced (previous step's solver / reset) and ride in the state.
+        zone_temps = state.zone_means
         comfort_now = tables.comfort[t]
         mode = hvac_ops.thermostat_update(
             state.hvac.thermostat_mode,
@@ -571,7 +590,7 @@ class BuildingEnv:
         # ---- Phase 2 (pre-FDM): demand accumulation ----------------------
         ambient = tables.ambient_temp[t]
         h_conv = tables.convection_coeff[t]
-        recirculation_temp = self._grid_mean(state.temp)
+        recirculation_temp = state.grid_mean
         supply_air_temp = hvac_ops.ahu_supply_air_temp(
             recirculation_temp,
             ambient,
@@ -631,6 +650,8 @@ class BuildingEnv:
         new_temp: jnp.ndarray,
         converged: jnp.ndarray,
         n_iter: jnp.ndarray,
+        new_zone_means: jnp.ndarray,
+        new_grid_mean: jnp.ndarray,
     ) -> Tuple[EnvState, StepOutput]:
         """Observation + reward at t+1, after the physics solve."""
         cfg = self.config
@@ -655,6 +676,8 @@ class BuildingEnv:
         mid_state = EnvState(
             temp=new_temp,
             input_q=pre["new_input_q"],
+            zone_means=new_zone_means,
+            grid_mean=new_grid_mean,
             hvac=hvac,
             occupants=occupants,
             step_idx=t_next,
@@ -675,9 +698,8 @@ class BuildingEnv:
             tables.workday_local[t_next],
         )
         zone_occ = self._zone_occupancy_at(occupants, t_next, tables)
-        post_zone_temps = self._zone_means_fast(new_temp)
         breakdown = self._reward(
-            mid_state, post_zone_temps, zone_occ, t_next
+            mid_state, new_zone_means, zone_occ, t_next
         )
 
         new_state = mid_state.replace(occupants=occupants)
@@ -707,7 +729,7 @@ class BuildingEnv:
         dt = jnp.float32(cfg.time_step_sec)
 
         ambient = tables.ambient_temp[t]
-        recirculation_temp = self._grid_mean(state.temp)
+        recirculation_temp = state.grid_mean
         blower = hvac_ops.ahu_blower_power(hvac, params)
         ac = hvac_ops.ahu_thermal_energy_rate(
             hvac, recirculation_temp, ambient, params

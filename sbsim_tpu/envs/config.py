@@ -199,6 +199,12 @@ class EnvConfig:
     # criterion) in ~2x fewer iterations - solutions agree within the
     # convergence threshold, iterate paths differ. Use for throughput.
     fdm_solver: str = "jacobi"
+    # Chebyshev sub-iterations per residual check (Pallas kernel): >1
+    # amortizes the per-iteration max-reduce + scalar branch at the cost
+    # of at most (N-1) extra sub-iterations (the solve only gets more
+    # converged). Affects the throughput path only; Jacobi parity paths
+    # always check every iteration (reference stopping-rule semantics).
+    cheby_check_every: int = 1
     num_days_in_episode: int = 14
     discount_factor: float = 0.9
     time_zone: str = "US/Pacific"

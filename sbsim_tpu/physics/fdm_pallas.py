@@ -32,7 +32,36 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sbsim_tpu.physics import gridstats
 from sbsim_tpu.physics.fdm import StencilCoefficients
+
+
+def _kernel_grid_stats(
+    x,
+    masks,
+    row0: Tuple[int, ...],
+    col0: Tuple[int, ...],
+    window: Tuple[int, int],
+    out_shape: Tuple[int, int],
+):
+    """Zone sums + grid sum of the VMEM-resident field, packed into one
+    (8, 128) tile: row 0 lane z = zone z's sum, row 1 lane 0 = grid sum.
+
+    Runs the IDENTICAL fold sequence as the XLA statistics path
+    (physics/gridstats.py), so the two solver paths emit bitwise-equal
+    sums; means are divided outside the kernel by the same op on both
+    paths."""
+    hc, wc = window
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, out_shape, 0)
+    acc = jnp.zeros(out_shape, jnp.float32)
+    for z in range(len(row0)):
+        r, c = row0[z], col0[z]
+        win = x[r : r + hc, c : c + wc] * masks[z]
+        s = gridstats.fold_sum_2d(win)[0, 0]
+        acc = jnp.where((row == 0) & (lane == z), s, acc)
+    gsum = gridstats.fold_sum_2d(x)[0, 0]
+    return jnp.where((row == 1) & (lane == 0), gsum, acc)
 
 
 def _shift_with_fill(x, axis, shift, fill):
@@ -101,13 +130,16 @@ def _fdm_kernel(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    stat_masks_ref,
     out_ref,
     iters_ref,
+    stats_ref,
     *,
     threshold: float,
     iteration_limit: int,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
     edge_fill: bool = True,
+    stat_layout=None,
 ):
     x0 = temp_ref[0]  # (H, W)
     const = const_ref[0]
@@ -166,6 +198,12 @@ def _fdm_kernel(
     # Scalar outputs can't tile on Mosaic; broadcast the iteration count
     # over one minimal (8, 128) tile and slice [0, 0] outside.
     iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
+    if stat_layout is not None:
+        stats_ref[0] = _kernel_grid_stats(
+            x_final, stat_masks_ref[:], *stat_layout, stats_ref.shape[1:]
+        )
+    else:
+        stats_ref[0] = jnp.zeros(stats_ref.shape[1:], jnp.float32)
 
 
 def _fdm_cheby_kernel(
@@ -181,14 +219,18 @@ def _fdm_cheby_kernel(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    stat_masks_ref,
     out_ref,
     iters_ref,
+    stats_ref,
     *,
     threshold: float,
     iteration_limit: int,
     rho2: float,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
     edge_fill: bool = True,
+    stat_layout=None,
+    check_every: int = 1,
 ):
     """Chebyshev semi-iterative FDM solve, one env per program.
 
@@ -233,15 +275,22 @@ def _fdm_cheby_kernel(
     omega0 = jnp.float32(1.0 / (1.0 - rho2 / 2.0))
 
     def body(carry):
+        # `check_every` Chebyshev sub-iterations per residual check: the
+        # full-grid max-reduce + scalar branch stalls the vector pipeline,
+        # so amortizing it trades at most (check_every - 1) extra
+        # sub-iterations (the solve only gets MORE converged) for fewer
+        # stalls. check_every=1 reproduces the reference cadence exactly.
         x_prev, x, _, it, omega = carry
-        jx = jacobi(x)
-        delta = jnp.max(jnp.abs(jx - x))
-        omega_next = jnp.float32(1.0) / (
-            jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
-        )
-        x_next = omega_next * (jx - x_prev) + x_prev
-        x_next = jnp.where(ext > 0, tinf, x_next)
-        return x, x_next, delta, it + 1, omega_next
+        for _ in range(check_every):
+            jx = jacobi(x)
+            delta = jnp.max(jnp.abs(jx - x))
+            omega_next = jnp.float32(1.0) / (
+                jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
+            )
+            x_next = omega_next * (jx - x_prev) + x_prev
+            x_next = jnp.where(ext > 0, tinf, x_next)
+            x_prev, x, it, omega = x, x_next, it + 1, omega_next
+        return x_prev, x, delta, it, omega
 
     def cond(carry):
         _, _, delta, it, _ = carry
@@ -259,6 +308,12 @@ def _fdm_cheby_kernel(
         )
     out_ref[0] = x_out
     iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
+    if stat_layout is not None:
+        stats_ref[0] = _kernel_grid_stats(
+            x_out, stat_masks_ref[:], *stat_layout, stats_ref.shape[1:]
+        )
+    else:
+        stats_ref[0] = jnp.zeros(stats_ref.shape[1:], jnp.float32)
 
 
 # The former envs-in-lanes kernel (_fdm_lanes_kernel / fdm_step_pallas_lanes)
@@ -285,7 +340,9 @@ def fdm_step_pallas(
     conv_lead: jnp.ndarray = None,  # (H, W) uint32 packed lead masks
     conv_foll: jnp.ndarray = None,  # (H, W) uint32 packed follower masks
     conv_word: jnp.ndarray = None,  # (B, H, W) uint32 packed swap decisions
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    stat_layout=None,  # gridstats.ZoneStatLayout: emit in-kernel statistics
+    check_every: int = 1,  # chebyshev sub-iterations per residual check
+) -> Tuple[jnp.ndarray, ...]:
     """VMEM-resident batched FDM step; one env per grid program.
 
     Returns (new_temp, iterations_per_env). The per-step constant/denominator
@@ -304,6 +361,13 @@ def fdm_step_pallas(
     solved field, driven by the packed per-env decision word - identical
     mixing to convection.apply_swaps_with_word at zero extra HBM
     round-trips of the field.
+
+    When `stat_layout` (a gridstats.ZoneStatLayout) is given, the kernel
+    also emits zone/grid temperature SUMS of the post-convection field
+    from VMEM - the same fold sequence as gridstats.zone_sums/grid_sum -
+    and the call returns (new_temp, iterations, stats) with stats
+    (B, 8, 128): row 0 lane z = zone z sum, row 1 lane 0 = grid sum.
+    Requires n_zones <= 128.
     """
     del block_envs
     b, h, w = temp.shape
@@ -350,6 +414,29 @@ def fdm_step_pallas(
         conv_foll = jnp.zeros((h, w), jnp.uint32)
         conv_word = jnp.zeros((1, h, w), jnp.uint32)
 
+    if stat_layout is not None:
+        if len(stat_layout.row0) > 128:
+            raise ValueError(
+                "kernel statistics pack zone sums into one 128-lane row; "
+                f"got {len(stat_layout.row0)} zones"
+            )
+        stat_masks = stat_layout.masks.astype(jnp.float32)
+        zs, hc, wc = stat_masks.shape
+        stat_mask_spec = pl.BlockSpec(
+            (zs, hc, wc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel_stat_layout = (
+            stat_layout.row0,
+            stat_layout.col0,
+            stat_layout.window,
+        )
+    else:
+        stat_masks = jnp.zeros((1, 8, 128), jnp.float32)
+        stat_mask_spec = pl.BlockSpec(
+            (1, 8, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel_stat_layout = None
+
     if method == "chebyshev":
         kernel = functools.partial(
             _fdm_cheby_kernel,
@@ -358,6 +445,8 @@ def fdm_step_pallas(
             rho2=float(spectral_radius) ** 2,
             conv_offsets=tuple(conv_offsets),
             edge_fill=edge_fill,
+            stat_layout=kernel_stat_layout,
+            check_every=int(check_every),
         )
     else:
         kernel = functools.partial(
@@ -366,8 +455,9 @@ def fdm_step_pallas(
             iteration_limit=iteration_limit,
             conv_offsets=tuple(conv_offsets),
             edge_fill=edge_fill,
+            stat_layout=kernel_stat_layout,
         )
-    out, iters = pl.pallas_call(
+    out, iters, stats = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -385,9 +475,13 @@ def fdm_step_pallas(
             shared,  # convection packed lead masks (uint32 plane)
             shared,  # convection packed follower masks (uint32 plane)
             word_spec,  # convection decision words
+            stat_mask_spec,  # zone statistic masks
         ],
         out_specs=[
             per_env,
+            pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -395,6 +489,7 @@ def fdm_step_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w), jnp.float32),
             jax.ShapeDtypeStruct((b, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -410,5 +505,8 @@ def fdm_step_pallas(
         conv_lead,
         conv_foll,
         conv_word,
+        stat_masks,
     )
+    if stat_layout is not None:
+        return out, iters[:, 0, 0], stats
     return out, iters[:, 0, 0]

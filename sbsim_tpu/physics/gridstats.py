@@ -1,0 +1,134 @@
+"""Deterministic zone/grid statistics of the temperature field.
+
+Zone average temperatures (building.py:863-871 get_zone_average_temps) and
+the whole-grid mean (the AHU recirculation temperature, simulator.py:408)
+feed the control phase, the observation vector, and the reward. Two
+properties must hold at once:
+
+  * batch-size invariance — per-env bitwise batch isolation (BASELINE.md
+    config #2) requires the f32 addition sequence of each reduction to be
+    identical whether the env runs solo or inside a batch of thousands;
+  * path invariance — the Pallas env kernels compute the same statistics
+    on the VMEM-resident solved field (physics/fdm_pallas.py), and the
+    observation/reward must be bitwise-equal whichever path produced them.
+
+Both are met by a FIXED halve-with-leftover fold over static slices (pure
+f32 adds; no matmul, no jnp.sum, no FMA candidates whose contraction the
+compiler could re-associate differently across batch tilings), applied to
+per-zone bounding-box windows and to the whole grid. The very same jnp
+code traces into the XLA step and into the Mosaic kernel, so both paths
+execute the same addition sequence.
+
+Round-3 history: zone means were a gather + interleaved pairwise tree
+(building_env._tree_sum). The windowed fold replaces it because the kernel
+can slice static windows from its VMEM block but cannot gather; carrying
+the statistics in EnvState (computed once, where the field is produced)
+then halves the per-step stat work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from sbsim_tpu.core.geometry import BuildingGeometry
+
+
+@struct.dataclass
+class ZoneStatLayout:
+    """Static per-zone windows + masks for the windowed fold."""
+
+    masks: Any  # f32 (Z, hc, wc): 1.0 on the zone's cells within its window
+    sizes: Any  # f32 (Z,) zone cell counts
+    row0: Tuple[int, ...] = struct.field(pytree_node=False)
+    col0: Tuple[int, ...] = struct.field(pytree_node=False)
+    window: Tuple[int, int] = struct.field(pytree_node=False)
+    grid_n: float = struct.field(pytree_node=False)
+
+
+def make_zone_stat_layout(geom: BuildingGeometry) -> ZoneStatLayout:
+    """Bounding-box windows (one common shape, clamped in bounds) and
+    in-window masks for every zone."""
+    zone_ids = np.asarray(geom.zone_ids)
+    h, w = zone_ids.shape
+    n_zones = geom.n_zones
+    boxes = []
+    for z in range(n_zones):
+        rr, cc = np.nonzero(zone_ids == z)
+        boxes.append((rr.min(), rr.max() + 1, cc.min(), cc.max() + 1))
+    hc = max(r1 - r0 for r0, r1, _, _ in boxes)
+    wc = max(c1 - c0 for _, _, c0, c1 in boxes)
+    row0, col0, masks = [], [], []
+    for z, (r0, r1, c0, c1) in enumerate(boxes):
+        r = min(r0, h - hc)
+        c = min(c0, w - wc)
+        row0.append(int(r))
+        col0.append(int(c))
+        masks.append(
+            (zone_ids[r : r + hc, c : c + wc] == z).astype(np.float32)
+        )
+    return ZoneStatLayout(
+        masks=jnp.asarray(np.stack(masks)),
+        sizes=jnp.asarray(
+            np.asarray(geom.zone_sizes, np.float32)
+        ),
+        row0=tuple(row0),
+        col0=tuple(col0),
+        window=(int(hc), int(wc)),
+        grid_n=float(h * w),
+    )
+
+
+def _fold_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Deterministic halving sum along `axis` (static slices, pure adds).
+
+    Odd leftovers accumulate separately and are added last, so the
+    sequence of f32 additions is a fixed function of the axis length
+    alone — identical at any batch size and in any compilation context.
+    """
+    n = x.shape[axis]
+    acc = None
+    while n > 1:
+        if n % 2 == 1:
+            last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+            acc = last if acc is None else acc + last
+            n -= 1
+        half = n // 2
+        x = lax.slice_in_dim(x, 0, half, axis=axis) + lax.slice_in_dim(
+            x, half, n, axis=axis
+        )
+        n = half
+    if acc is not None:
+        x = x + acc
+    return x
+
+
+def fold_sum_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the last two axes -> (..., 1, 1), deterministic order
+    (columns folded first, then rows)."""
+    return _fold_axis(_fold_axis(x, x.ndim - 1), x.ndim - 2)
+
+
+def zone_sums(temp: jnp.ndarray, layout: ZoneStatLayout) -> jnp.ndarray:
+    """Per-zone temperature sums of one env's (H, W) field -> (Z,).
+
+    Unrolled over zones: static window slice, in-window mask multiply,
+    deterministic fold. The identical sequence runs inside the Pallas
+    kernels on the VMEM block.
+    """
+    hc, wc = layout.window
+    sums = []
+    for z in range(len(layout.row0)):
+        r, c = layout.row0[z], layout.col0[z]
+        win = temp[r : r + hc, c : c + wc] * layout.masks[z]
+        sums.append(fold_sum_2d(win)[0, 0])
+    return jnp.stack(sums)
+
+
+def grid_sum(temp: jnp.ndarray) -> jnp.ndarray:
+    """Whole-grid temperature sum of one env's (H, W) field -> scalar."""
+    return fold_sum_2d(temp)[0, 0]
