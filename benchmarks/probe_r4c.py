@@ -1,0 +1,226 @@
+"""Round-4 TPU probe batch #3 — block-of-envs kernels x check_every.
+
+Session B confirmed the solo kernels are latency-bound: amortizing the
+chebyshev residual check (check_every 2/4) bought +18/+25% by itself. This
+session measures the full lever matrix on the real chip:
+
+  1. grid: pallas_cheby throughput for block_envs x check_every
+     combinations, batch 2048, driver-equivalent config.
+  2. gates: pallas_env at the best block size — MUST stay bitwise vs
+     xla_jacobi (temp/iters/obs/reward) and batch-isolation BITWISE.
+  3. floor: iteration_limit=1 at the best block size (non-FDM floor with
+     block-amortized convection + stats).
+  4. train: shard_map train step at the best config (chained dispatch).
+  5. bench_equiv: bench.py-equivalent rollout at the best config.
+
+Usage:
+  timeout 3600 env PYTHONPATH=/root/repo python benchmarks/probe_r4c.py
+  python benchmarks/probe_r4c.py --cpu-smoke --quick
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(name, payload):
+    with open(os.path.join(ART, "PROBE_r04.jsonl"), "a") as f:
+        f.write(json.dumps({"section": name, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu-smoke", action="store_true")
+    args = p.parse_args()
+    skip = {int(s) for s in args.skip.split(",") if s}
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+    cheby = "xla_chebyshev" if args.cpu_smoke else "pallas_cheby"
+    penv = "xla_jacobi" if args.cpu_smoke else "pallas_env"
+
+    import tpu_probe
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    batch = 64 if args.quick else 2048
+    scan = 4 if args.quick else 16
+
+    base_cfg = presets.sb1_config(num_days_in_episode=2)
+    env0 = BuildingEnv(base_cfg)
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env0))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    actions_fn = lambda env: jnp.broadcast_to(table[0], (batch, env.n_actions))
+
+    def env_with(block, ce):
+        return BuildingEnv(
+            dataclasses.replace(
+                base_cfg, pallas_block_envs=block, cheby_check_every=ce
+            )
+        )
+
+    best = {"rate": 0.0, "block": 1, "ce": 1}
+    if 1 not in skip:
+        log("== section 1: block_envs x check_every grid (pallas_cheby) ==")
+        combos = [(1, 4), (4, 4), (8, 1), (8, 4), (16, 4), (8, 8)]
+        if args.quick:
+            combos = [(4, 2)]
+        for block, ce in combos:
+            env = env_with(block, ce)
+            s0, _ = jax.jit(jax.vmap(env.reset))(keys)
+            try:
+                rate, st = tpu_probe.time_solver(
+                    env, s0, actions_fn(env), cheby, scan, repeats=3
+                )
+            except Exception as exc:  # Mosaic lowering can fail per-shape
+                log(f"  block={block} ce={ce}: FAILED {type(exc).__name__}")
+                record("block_grid_r4", {
+                    "block": block, "ce": ce, "failed": str(exc)[:200],
+                })
+                continue
+            iters = float(np.asarray(st.fdm_iterations).mean())
+            record("block_grid_r4", {
+                "block": block, "ce": ce, "batch": batch,
+                "env_steps_per_sec": round(rate, 1),
+                "iters_mean": iters,
+            })
+            if rate > best["rate"]:
+                best = {"rate": rate, "block": block, "ce": ce}
+        log(f"  best: block={best['block']} ce={best['ce']} "
+            f"{best['rate']:.0f} env-steps/s")
+
+    blk = best["block"] if best["rate"] else 8
+    if 2 not in skip:
+        log("== section 2: bitwise gates at the best block size ==")
+        env = env_with(blk, 1)
+        s0, _ = jax.jit(jax.vmap(env.reset))(keys)
+        acts = actions_fn(env)
+        rate, _ = tpu_probe.time_solver(env, s0, acts, penv, scan, repeats=2)
+        dt, dr, di = tpu_probe.check_numerics(env, s0, acts, penv)
+        iso = tpu_probe.check_isolation(env, s0, acts, penv)
+        # Also gate the benched cheby path's isolation at the best combo.
+        env_c = env_with(blk, best["ce"])
+        sc, _ = jax.jit(jax.vmap(env_c.reset))(keys)
+        iso_c = tpu_probe.check_isolation(
+            env_c, sc, actions_fn(env_c), cheby
+        )
+        record("block_gates_r4", {
+            "block": blk, "penv_rate": round(rate, 1),
+            "penv_vs_xla": {"max_dT": dt, "max_dR": dr, "max_diters": di},
+            "penv_isolation_bitwise": iso,
+            "cheby_isolation_bitwise": iso_c,
+        })
+
+    if 3 not in skip:
+        log("== section 3: non-FDM floor at the best config ==")
+        env_f = BuildingEnv(
+            dataclasses.replace(
+                base_cfg,
+                pallas_block_envs=blk,
+                cheby_check_every=best["ce"],
+                iteration_limit=1,
+            )
+        )
+        sf, _ = jax.jit(jax.vmap(env_f.reset))(keys)
+        rate_f, _ = tpu_probe.time_solver(
+            env_f, sf, actions_fn(env_f), cheby, scan, repeats=3
+        )
+        record("block_floor_r4", {
+            "block": blk, "env_steps_per_sec": round(rate_f, 1),
+        })
+
+    if 4 not in skip:
+        log("== section 4: shard_map train step at the best config ==")
+        from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        env_t = env_with(blk, best["ce"])
+        n_envs = batch
+        trainer = SACTrainer(
+            env_t,
+            TrainConfig(
+                n_envs=n_envs,
+                replay_capacity=n_envs * 16,
+                batch_size=n_envs,
+                seed_steps=0,
+                updates_per_env_step=1,
+            ),
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+        state = mesh_lib.shard_train_state(state, mesh)
+        step = mesh_lib.make_shardmapped_train_step(
+            trainer, mesh, state.replay, solver=cheby
+        )
+        t0 = time.time()
+        state, m = step(state)
+        jax.block_until_ready(m["reward_mean"])
+        log(f"  compile+run: {time.time()-t0:.1f}s")
+        chain = 2 if args.quick else 8
+        best_t = 0.0
+        for _ in range(2 if args.quick else 4):
+            t1 = time.perf_counter()
+            for _ in range(chain):
+                state, m = step(state)
+            jax.block_until_ready(m["reward_mean"])
+            best_t = max(best_t, chain * n_envs / (time.perf_counter() - t1))
+        log(f"  train step: best {best_t:.0f} env-steps/s (chained x{chain})")
+        record("block_train_r4", {
+            "n_envs": n_envs, "block": blk,
+            "env_steps_per_sec_best": round(best_t, 1),
+        })
+
+    if 5 not in skip:
+        log("== section 5: bench-equivalent rollout at the best config ==")
+        env_b = env_with(blk, best["ce"])
+        sb, _ = jax.jit(jax.vmap(env_b.reset))(keys)
+        acts_b = actions_fn(env_b)
+        n_steps = 64 if not args.quick else 8
+
+        def rollout(states):
+            def b(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env_b.step_batched(s, act, solver=cheby)
+                return s, out.reward
+
+            states, rewards = jax.lax.scan(b, states, None, length=n_steps)
+            return states, jnp.mean(rewards)
+
+        r = jax.jit(rollout)
+        s, _ = jax.block_until_ready(r(sb))
+        reps = []
+        for _ in range(10 if not args.quick else 3):
+            t0 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            reps.append(batch * n_steps / (time.perf_counter() - t0))
+        log("  bench-equiv reps: " + " ".join(f"{x:.0f}" for x in reps))
+        record("block_bench_equiv_r4", {
+            "block": blk, "ce": best["ce"], "batch": batch,
+            "best": round(max(reps), 1),
+            "reps": [round(x, 1) for x in reps],
+        })
+
+    log("probe_r4c done")
+
+
+if __name__ == "__main__":
+    main()

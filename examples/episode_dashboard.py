@@ -1,0 +1,98 @@
+"""Render the composite episode dashboard for a simulated day.
+
+The script form of the reference notebook's live plotting loop
+(plot_utils.init_metrics/update_metrics/plot_update, plot_utils.py:441-537):
+run the schedule policy for one day on the calibrated building, accumulate
+per-step metrics, and write the 3-panel composite (zone-temp timeline over
+the setpoint schedule / energy rates / thermal view) every N steps plus at
+the end.
+
+Usage:
+  python examples/episode_dashboard.py --out /tmp/sbsim_dashboard [--steps 288]
+"""
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="/tmp/sbsim_dashboard")
+    parser.add_argument("--steps", type=int, default=288)
+    parser.add_argument("--render-every", type=int, default=72)
+    parser.add_argument("--cpu", action="store_true", default=True)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+    from sbsim_tpu.hvac import devices as hvac_ops
+    from sbsim_tpu.io import plots
+    from sbsim_tpu.scenario import tables as tables_lib
+
+    cfg = presets.sb1_config(num_days_in_episode=1)
+    env = BuildingEnv(cfg)
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    tables = tables_lib.build_episode_tables(cfg)
+
+    windows = plots.schedule_plot_data(
+        tables, cfg.start_timestamp, cfg.time_step_sec
+    )
+    dash = plots.EpisodeDashboard(
+        zone_names=env.geom.zone_names,
+        start_timestamp=cfg.start_timestamp,
+        step_sec=cfg.time_step_sec,
+        schedule_windows=windows,
+        writedir=args.out,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    wall = np.asarray(env.geom.zone_ids) >= env.geom.n_zones
+    for t in range(min(args.steps, env.steps_per_episode)):
+        act = table[min(t, table.shape[0] - 1)]
+        state, out = step(state, act)
+        hvac = state.hvac
+        ambient = float(tables.ambient_temp[min(t + 1, tables.n_steps - 1)])
+        dash.update(
+            t + 1,
+            ambient_temp=ambient,
+            zone_temps=np.asarray(state.zone_means),
+            boiler_thermal=float(
+                hvac_ops.boiler_thermal_energy_rate(
+                    hvac, jnp.float32(ambient), env.hvac_params
+                )
+            ),
+            boiler_electrical=float(
+                hvac_ops.boiler_pump_power(hvac, env.hvac_params)
+            ),
+            ahu_fan=float(
+                hvac_ops.ahu_blower_power(hvac, env.hvac_params)
+            ),
+            ahu_thermal=float(
+                hvac_ops.ahu_thermal_energy_rate(
+                    hvac, state.grid_mean, jnp.float32(ambient),
+                    env.hvac_params,
+                )
+            ),
+        )
+        if (t + 1) % args.render_every == 0 or t + 1 == args.steps:
+            fig = dash.render(np.asarray(state.temp), wall_mask=wall)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+            print(f"step {t+1}: rendered dashboard frame", flush=True)
+
+    print(f"dashboard frames written to {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -436,6 +436,7 @@ class BuildingEnv:
             kwargs = dict(
                 convergence_threshold=self.config.convergence_threshold,
                 iteration_limit=self.config.iteration_limit,
+                block_envs=self.config.pallas_block_envs,
             )
             kernel_fn = fdm_pallas.fdm_step_pallas
             if solver == "pallas_cheby":

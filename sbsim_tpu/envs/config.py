@@ -205,6 +205,13 @@ class EnvConfig:
     # converged). Affects the throughput path only; Jacobi parity paths
     # always check every iteration (reference stopping-rule semantics).
     cheby_check_every: int = 1
+    # Envs vectorized per Pallas grid program (leading-axis block). 1 =
+    # the scalar-carry per-env kernels; E > 1 fills the VPU pipeline with
+    # E independent copies of every op and amortizes the per-iteration
+    # reduce+branch over the block (the solo kernels are latency-bound).
+    # Per-env freezing keeps results bitwise-independent of block
+    # composition either way.
+    pallas_block_envs: int = 1
     num_days_in_episode: int = 14
     discount_factor: float = 0.9
     time_zone: str = "US/Pacific"

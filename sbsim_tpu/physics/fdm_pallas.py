@@ -323,6 +323,288 @@ def _fdm_cheby_kernel(
 # are the measured winners anyway (TPU_PROBE_r02.md).
 
 
+# ---------------------------------------------------------------------------
+# Block-of-envs kernels: E envs per grid program on the LEADING axis
+# ---------------------------------------------------------------------------
+#
+# Round-4 motivation: the per-env-program kernels are latency-bound, not
+# op-bound - removing a third of the per-iteration vector ops (the
+# ring_exterior fast path) moved throughput only ~3%, because the serial
+# dependency chain (rolls -> multiply-adds -> full-grid max-reduce ->
+# scalar branch) stalls the VPU issue pipeline. Vectorizing E envs on the
+# leading axis multiplies every op's independent work by E, filling the
+# pipeline, and amortizes the one per-iteration reduce+branch over E envs.
+# Unlike the deleted lanes kernel, envs stay OFF the lane/sublane tiling
+# axes (the trailing (H, W) layout per env is identical to the solo
+# kernels), so no relayouts are involved.
+#
+# Per-env convergence freezing uses the same masked-select semantics as the
+# batched XLA solver (fdm.fdm_step): values are moved by selects only, and
+# the per-env max-delta reduce is exact (max is order-independent), so each
+# env's iterate path is bitwise-identical to its solo run regardless of
+# block composition.
+
+
+def _roll3(x, dy, dx):
+    """roll over the trailing (H, W) axes of an (E, H, W) block."""
+    if dy:
+        x = jnp.roll(x, dy, 1)
+    if dx:
+        x = jnp.roll(x, dx, 2)
+    return x
+
+
+def _block_apply_swaps(x, lead_word, foll_word, word, offsets):
+    """Convection swap rounds over an (E, H, W) block; the (H, W) static
+    mask planes broadcast over the env axis."""
+    rolled = {o: _roll3(word, o[0], o[1]) for o in set(offsets)}
+    out = x
+    for r, (dy, dx) in enumerate(offsets):
+        bit = jnp.uint32(1) << jnp.uint32(r)
+        lead = ((word & bit) > 0) & ((lead_word & bit) > 0)
+        foll = ((rolled[(dy, dx)] & bit) > 0) & ((foll_word & bit) > 0)
+        from_follower = _roll3(out, -dy, -dx)
+        from_lead = _roll3(out, dy, dx)
+        out = jnp.where(lead, from_follower, out)
+        out = jnp.where(foll, from_lead, out)
+    return out
+
+
+def _block_grid_stats(x, masks, row0, col0, window, out_shape):
+    """Zone/grid sums of an (E, H, W) block -> (E, 8, 128) tiles (row 0
+    lane z = zone z sum, row 1 lane 0 = grid sum); same fold sequence as
+    gridstats.zone_sums/grid_sum per env."""
+    hc, wc = window
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+    acc = jnp.zeros(out_shape, jnp.float32)
+    for z in range(len(row0)):
+        r, c = row0[z], col0[z]
+        win = x[:, r : r + hc, c : c + wc] * masks[z]
+        s = gridstats.fold_sum_2d(win)  # (E, 1, 1)
+        acc = jnp.where((row == 0) & (lane == z), s, acc)
+    g = gridstats.fold_sum_2d(x)
+    return jnp.where((row == 1) & (lane == 0), g, acc)
+
+
+def _fdm_kernel_block(
+    temp_ref,
+    const_ref,
+    denom_ref,
+    tinf_ref,
+    a_r_ref,
+    a_l_ref,
+    a_b_ref,
+    a_t_ref,
+    ext_ref,
+    conv_lead_ref,
+    conv_foll_ref,
+    conv_word_ref,
+    stat_masks_ref,
+    out_ref,
+    iters_ref,
+    stats_ref,
+    *,
+    threshold: float,
+    iteration_limit: int,
+    conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    edge_fill: bool = True,
+    stat_layout=None,
+):
+    x0 = temp_ref[:]  # (E, H, W)
+    const = const_ref[:]
+    denom = denom_ref[:]
+    tinf = tinf_ref[:, :, 0:1]  # (E, 1, 1) per-env ambient
+    a_r = a_r_ref[:]  # (H, W), broadcasts over envs
+    a_l = a_l_ref[:]
+    a_b = a_b_ref[:]
+    a_t = a_t_ref[:]
+    ext = ext_ref[:]
+    thr = jnp.float32(threshold)
+    tile = iters_ref.shape  # (E, 8, 128)
+
+    def jacobi(x):
+        if edge_fill:
+            num = (
+                a_r * _shift_with_fill(x, axis=2, shift=-1, fill=tinf)
+                + a_l * _shift_with_fill(x, axis=2, shift=1, fill=tinf)
+                + a_b * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
+                + a_t * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+                + const
+            )
+            return jnp.where(ext > 0, tinf, num / denom)
+        num = (
+            a_r * _roll3(x, 0, -1)
+            + a_l * _roll3(x, 0, 1)
+            + a_b * _roll3(x, -1, 0)
+            + a_t * _roll3(x, 1, 0)
+            + const
+        )
+        return num / denom
+
+    def body(carry):
+        # Per-env freezing by selects (fdm.fdm_step semantics): done/iters
+        # ride in tile-aligned (E, 8, 128) carries so the loop state never
+        # needs sub-tile layouts; the ONE reduce+branch per iteration is
+        # shared by all E envs.
+        x, done, iters, it = carry
+        x_new = jacobi(x)
+        delta = jnp.max(
+            jnp.abs(x_new - x), axis=(1, 2), keepdims=True
+        )  # (E, 1, 1)
+        active = done < 0.5  # (E, 8, 128) bool
+        x = jnp.where(active[:, 0:1, 0:1], x_new, x)
+        iters = jnp.where(active, it + 1, iters)
+        done = jnp.where(active & (delta <= thr), jnp.float32(1.0), done)
+        return x, done, iters, it + 1
+
+    def cond(carry):
+        _, done, _, it = carry
+        return jnp.logical_and(it < iteration_limit, jnp.min(done) < 0.5)
+
+    x_f, _, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            x0,
+            jnp.zeros(tile, jnp.float32),
+            jnp.zeros(tile, jnp.int32),
+            jnp.int32(0),
+        ),
+    )
+    if conv_offsets:
+        x_f = _block_apply_swaps(
+            x_f, conv_lead_ref[:], conv_foll_ref[:],
+            conv_word_ref[:], conv_offsets
+        )
+    out_ref[:] = x_f
+    iters_ref[:] = iters
+    if stat_layout is not None:
+        stats_ref[:] = _block_grid_stats(
+            x_f, stat_masks_ref[:], *stat_layout, tile
+        )
+    else:
+        stats_ref[:] = jnp.zeros(tile, jnp.float32)
+
+
+def _fdm_cheby_kernel_block(
+    temp_ref,
+    const_ref,
+    denom_ref,
+    tinf_ref,
+    a_r_ref,
+    a_l_ref,
+    a_b_ref,
+    a_t_ref,
+    ext_ref,
+    conv_lead_ref,
+    conv_foll_ref,
+    conv_word_ref,
+    stat_masks_ref,
+    out_ref,
+    iters_ref,
+    stats_ref,
+    *,
+    threshold: float,
+    iteration_limit: int,
+    rho2: float,
+    conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    edge_fill: bool = True,
+    stat_layout=None,
+    check_every: int = 1,
+):
+    """Chebyshev block kernel: E envs per program, per-env freezing.
+
+    The omega schedule advances globally per loop iteration (frozen envs
+    never consume it again), exactly as fdm.fdm_step_chebyshev's batched
+    semantics - each env's iterate path equals its solo run."""
+    x0 = temp_ref[:]
+    const = const_ref[:]
+    denom = denom_ref[:]
+    tinf = tinf_ref[:, :, 0:1]
+    a_r = a_r_ref[:]
+    a_l = a_l_ref[:]
+    a_b = a_b_ref[:]
+    a_t = a_t_ref[:]
+    ext = ext_ref[:]
+    thr = jnp.float32(threshold)
+    tile = iters_ref.shape
+
+    def jacobi(x):
+        if edge_fill:
+            num = (
+                a_r * _shift_with_fill(x, axis=2, shift=-1, fill=tinf)
+                + a_l * _shift_with_fill(x, axis=2, shift=1, fill=tinf)
+                + a_b * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
+                + a_t * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
+                + const
+            )
+            return jnp.where(ext > 0, tinf, num / denom)
+        num = (
+            a_r * _roll3(x, 0, -1)
+            + a_l * _roll3(x, 0, 1)
+            + a_b * _roll3(x, -1, 0)
+            + a_t * _roll3(x, 1, 0)
+            + const
+        )
+        return num / denom
+
+    x1 = jacobi(x0)
+    delta0 = jnp.max(jnp.abs(x1 - x0), axis=(1, 2), keepdims=True)
+    done0 = jnp.where(
+        delta0 <= thr,
+        jnp.ones(tile, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+    )
+    omega0 = jnp.float32(1.0 / (1.0 - rho2 / 2.0))
+
+    def body(carry):
+        x_prev, x, done, iters, it, omega = carry
+        for _ in range(check_every):
+            jx = jacobi(x)
+            delta = jnp.max(jnp.abs(jx - x), axis=(1, 2), keepdims=True)
+            omega_next = jnp.float32(1.0) / (
+                jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
+            )
+            x_next = omega_next * (jx - x_prev) + x_prev
+            x_next = jnp.where(ext > 0, tinf, x_next)
+            active = done < 0.5
+            active3 = active[:, 0:1, 0:1]
+            x_prev = jnp.where(active3, x, x_prev)
+            x = jnp.where(active3, x_next, x)
+            iters = jnp.where(active, it + 1, iters)
+            done = jnp.where(
+                active & (delta <= thr), jnp.float32(1.0), done
+            )
+            it = it + 1
+            omega = omega_next
+        return x_prev, x, done, iters, it, omega
+
+    def cond(carry):
+        _, _, done, _, it, _ = carry
+        return jnp.logical_and(it < iteration_limit, jnp.min(done) < 0.5)
+
+    _, x_f, _, iters, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, x1, done0, jnp.ones(tile, jnp.int32), jnp.int32(1), omega0),
+    )
+    x_out = jacobi(x_f)
+    if conv_offsets:
+        x_out = _block_apply_swaps(
+            x_out, conv_lead_ref[:], conv_foll_ref[:],
+            conv_word_ref[:], conv_offsets
+        )
+    out_ref[:] = x_out
+    iters_ref[:] = iters
+    if stat_layout is not None:
+        stats_ref[:] = _block_grid_stats(
+            x_out, stat_masks_ref[:], *stat_layout, tile
+        )
+    else:
+        stats_ref[:] = jnp.zeros(tile, jnp.float32)
+
+
 def fdm_step_pallas(
     temp: jnp.ndarray,  # (B, H, W)
     input_q: jnp.ndarray,  # (B, H, W)
@@ -343,12 +625,19 @@ def fdm_step_pallas(
     stat_layout=None,  # gridstats.ZoneStatLayout: emit in-kernel statistics
     check_every: int = 1,  # chebyshev sub-iterations per residual check
 ) -> Tuple[jnp.ndarray, ...]:
-    """VMEM-resident batched FDM step; one env per grid program.
+    """VMEM-resident batched FDM step.
 
     Returns (new_temp, iterations_per_env). The per-step constant/denominator
     fields are computed by XLA (one fused elementwise kernel) and streamed in.
-    `block_envs` is accepted for API compatibility; the kernel always runs
-    one env per program (trivially exact per-env freezing).
+
+    `block_envs` selects how many envs each grid program vectorizes on its
+    LEADING axis: 1 runs the scalar-carry per-env kernels; E > 1 runs the
+    block kernels, which fill the VPU pipeline with E independent copies of
+    every op and amortize the per-iteration reduce+branch (the solo kernels
+    are latency-bound). Per-env freezing uses the batched XLA solver's
+    masked-select semantics, so results are bitwise-independent of the
+    block composition; batches not divisible by E are padded by repeating
+    the last env and sliced back.
 
     method "jacobi" reproduces the reference solver's iterate path exactly
     (bitwise-equal to fdm.fdm_step on real v5e, artifacts/TPU_PROBE_r02.md);
@@ -369,8 +658,21 @@ def fdm_step_pallas(
     (B, 8, 128): row 0 lane z = zone z sum, row 1 lane 0 = grid sum.
     Requires n_zones <= 128.
     """
-    del block_envs
     b, h, w = temp.shape
+    block_envs = max(1, int(block_envs))
+    pad = (-b) % block_envs
+    if pad:
+        def _pad(x):
+            reps = jnp.concatenate([x[-1:]] * pad, axis=0)
+            return jnp.concatenate([x, reps], axis=0)
+
+        temp = _pad(temp)
+        input_q = _pad(input_q)
+        t_inf = _pad(t_inf)
+        h_conv = _pad(h_conv)
+        if conv_word is not None:
+            conv_word = _pad(conv_word)
+        b = b + pad
 
     hT = h_conv[:, None, None]
     tinf3 = t_inf[:, None, None]
@@ -395,8 +697,9 @@ def fdm_step_pallas(
     # Mosaic tiling restrictions, a broadcast lane vector does not.
     tinf_strip = jnp.broadcast_to(tinf3.astype(jnp.float32), (b, 1, 128))
 
+    e = block_envs
     per_env = pl.BlockSpec(
-        (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (e, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
@@ -408,11 +711,11 @@ def fdm_step_pallas(
     else:
         # Dummy single-tile inputs; the kernel's swap loop is empty.
         word_spec = pl.BlockSpec(
-            (1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (e, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
         conv_lead = jnp.zeros((h, w), jnp.uint32)
         conv_foll = jnp.zeros((h, w), jnp.uint32)
-        conv_word = jnp.zeros((1, h, w), jnp.uint32)
+        conv_word = jnp.zeros((e, h, w), jnp.uint32)
 
     if stat_layout is not None:
         if len(stat_layout.row0) > 128:
@@ -439,7 +742,7 @@ def fdm_step_pallas(
 
     if method == "chebyshev":
         kernel = functools.partial(
-            _fdm_cheby_kernel,
+            _fdm_cheby_kernel_block if e > 1 else _fdm_cheby_kernel,
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
             rho2=float(spectral_radius) ** 2,
@@ -450,7 +753,7 @@ def fdm_step_pallas(
         )
     else:
         kernel = functools.partial(
-            _fdm_kernel,
+            _fdm_kernel_block if e > 1 else _fdm_kernel,
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
             conv_offsets=tuple(conv_offsets),
@@ -459,13 +762,13 @@ def fdm_step_pallas(
         )
     out, iters, stats = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // e,),
         in_specs=[
             per_env,  # temp
             per_env,  # const
             per_env,  # denom
             pl.BlockSpec(
-                (1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (e, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),  # tinf strip
             shared,  # a_r
             shared,  # a_l
@@ -480,10 +783,10 @@ def fdm_step_pallas(
         out_specs=[
             per_env,
             pl.BlockSpec(
-                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (e, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (e, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
@@ -507,6 +810,8 @@ def fdm_step_pallas(
         conv_word,
         stat_masks,
     )
+    if pad:
+        out, iters, stats = out[:-pad], iters[:-pad], stats[:-pad]
     if stat_layout is not None:
         return out, iters[:, 0, 0], stats
     return out, iters[:, 0, 0]
