@@ -1,0 +1,263 @@
+"""Bisect which construct of the 3-D block kernels Mosaic rejects.
+
+probe_r4c: every block_envs > 1 kernel fails remote compile with SIGABRT
+(same failure class as the deleted lanes kernel). This probe compiles a
+ladder of minimal (E, H, W)-block kernels, each adding one construct, to
+find the breaking one. Compile-only (one tiny run each); every case is
+wrapped so one failure doesn't end the session.
+
+Usage: timeout 1800 env PYTHONPATH=/root/repo python benchmarks/probe_r4d_bisect.py
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+E, H, W = 8, 52, 67
+B = 64
+
+
+def record(payload):
+    with open(os.path.join(ART, "PROBE_r04.jsonl"), "a") as f:
+        f.write(json.dumps({"section": "block_bisect_r4", **payload}) + "\n")
+
+
+def run_case(name, kernel, n_out_tiles=0):
+    """Compile+run a kernel taking one (E,H,W) input block and producing
+    one (E,H,W) output plus optionally an (E,8,128) f32 tile output."""
+    x = jnp.asarray(np.random.default_rng(0).normal(294, 3, (B, H, W)),
+                    jnp.float32)
+    per = pl.BlockSpec((E, H, W), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((E, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = [jax.ShapeDtypeStruct((B, H, W), jnp.float32)]
+    specs = [per]
+    if n_out_tiles:
+        outs += [jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)] * n_out_tiles
+        specs += [tile] * n_out_tiles
+    t0 = time.time()
+    try:
+        got = pl.pallas_call(
+            kernel,
+            grid=(B // E,),
+            in_specs=[per],
+            out_specs=specs if len(specs) > 1 else specs[0],
+            out_shape=outs if len(outs) > 1 else outs[0],
+        )(x)
+        jax.block_until_ready(got)
+        print(f"  {name}: OK ({time.time()-t0:.1f}s)", flush=True)
+        record({"case": name, "ok": True})
+        return True
+    except Exception as exc:
+        print(f"  {name}: FAIL {type(exc).__name__} "
+              f"({str(exc)[:120]})", flush=True)
+        record({"case": name, "ok": False, "err": str(exc)[:200]})
+        return False
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+
+    # 1. plain 3-D elementwise
+    def k1(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + 1.0
+
+    run_case("k1_elementwise3d", k1)
+
+    # 2. + scalar-carried while loop
+    def k2(x_ref, o_ref):
+        def body(c):
+            x, it = c
+            return x * 0.5 + 1.0, it + 1
+
+        def cond(c):
+            return c[1] < 4
+
+        x, _ = jax.lax.while_loop(cond, body, (x_ref[:], jnp.int32(0)))
+        o_ref[:] = x
+
+    run_case("k2_while_scalar", k2)
+
+    # 3. + rolls over trailing axes
+    def k3(x_ref, o_ref):
+        x = x_ref[:]
+        x = jnp.roll(x, 1, 1) + jnp.roll(x, -1, 2)
+        o_ref[:] = x
+
+    run_case("k3_rolls3d", k3)
+
+    # 4. keepdims (E,1,1) reduce + broadcast compare/select
+    def k4(x_ref, o_ref):
+        x = x_ref[:]
+        m = jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True)  # (E,1,1)
+        o_ref[:] = jnp.where(m > 100.0, x, -x)
+
+    run_case("k4_keepdims_reduce", k4)
+
+    # 4b. two-step reduce instead of multi-axis
+    def k4b(x_ref, o_ref):
+        x = x_ref[:]
+        m = jnp.max(jnp.max(jnp.abs(x), axis=2, keepdims=True),
+                    axis=1, keepdims=True)
+        o_ref[:] = jnp.where(m > 100.0, x, -x)
+
+    run_case("k4b_twostep_reduce", k4b)
+
+    # 5. (E,8,128) tile carries in a while loop + global min cond
+    def k5(x_ref, o_ref, t_ref):
+        x0 = x_ref[:]
+        tile = (E, 8, 128)
+
+        def body(c):
+            x, done, it = c
+            x = x * 0.99
+            m = jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True)
+            done = jnp.where((done < 0.5) & (m < 250.0), 1.0, done)
+            return x, done, it + 1
+
+        def cond(c):
+            return jnp.logical_and(c[2] < 8, jnp.min(c[1]) < 0.5)
+
+        x, done, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.zeros(tile, jnp.float32), jnp.int32(0))
+        )
+        o_ref[:] = x
+        t_ref[:] = done
+
+    run_case("k5_tile_carry_while", k5, n_out_tiles=1)
+
+    # 6. select by (E,1,1) slice of a tile carry (the freeze pattern)
+    def k6(x_ref, o_ref, t_ref):
+        x0 = x_ref[:]
+        tile = (E, 8, 128)
+
+        def body(c):
+            x, done, it = c
+            x_new = x * 0.99
+            m = jnp.max(jnp.abs(x_new - x), axis=(1, 2), keepdims=True)
+            active = done < 0.5
+            x = jnp.where(active[:, 0:1, 0:1], x_new, x)
+            done = jnp.where(active & (m < 0.5), 1.0, done)
+            return x, done, it + 1
+
+        def cond(c):
+            return jnp.logical_and(c[2] < 8, jnp.min(c[1]) < 0.5)
+
+        x, done, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.zeros(tile, jnp.float32), jnp.int32(0))
+        )
+        o_ref[:] = x
+        t_ref[:] = done
+
+    run_case("k6_freeze_select", k6, n_out_tiles=1)
+
+    # 7. the stats fold (windows + fold + iota pack), no loop
+    def k7(x_ref, o_ref, t_ref):
+        from sbsim_tpu.physics import gridstats
+
+        x = x_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (E, 8, 128), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (E, 8, 128), 1)
+        acc = jnp.zeros((E, 8, 128), jnp.float32)
+        for z in range(4):
+            win = x[:, z : z + 16, z : z + 16]
+            s = gridstats.fold_sum_2d(win)
+            acc = jnp.where((row == 0) & (lane == z), s, acc)
+        g = gridstats.fold_sum_2d(x)
+        acc = jnp.where((row == 1) & (lane == 0), g, acc)
+        o_ref[:] = x
+        t_ref[:] = acc
+
+    run_case("k7_stats_fold", k7, n_out_tiles=1)
+
+    # 5b/6b: the tile-carry while + freeze select with TWO-STEP reduces
+    def two_step_max(x):
+        return jnp.max(jnp.max(x, axis=2, keepdims=True), axis=1,
+                       keepdims=True)
+
+    def k5b(x_ref, o_ref, t_ref):
+        x0 = x_ref[:]
+        tile = (E, 8, 128)
+
+        def body(c):
+            x, done, it = c
+            x = x * 0.99
+            m = two_step_max(jnp.abs(x))
+            done = jnp.where((done < 0.5) & (m < 250.0), 1.0, done)
+            return x, done, it + 1
+
+        def cond(c):
+            return jnp.logical_and(c[2] < 8, jnp.min(c[1]) < 0.5)
+
+        x, done, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.zeros(tile, jnp.float32), jnp.int32(0))
+        )
+        o_ref[:] = x
+        t_ref[:] = done
+
+    run_case("k5b_tile_carry_twostep", k5b, n_out_tiles=1)
+
+    def k6b(x_ref, o_ref, t_ref):
+        x0 = x_ref[:]
+        tile = (E, 8, 128)
+
+        def body(c):
+            x, done, it = c
+            x_new = x * 0.99
+            m = two_step_max(jnp.abs(x_new - x))
+            active = done < 0.5
+            x = jnp.where(active[:, 0:1, 0:1], x_new, x)
+            done = jnp.where(active & (m < 0.5), 1.0, done)
+            return x, done, it + 1
+
+        def cond(c):
+            return jnp.logical_and(c[2] < 8, jnp.min(c[1]) < 0.5)
+
+        x, done, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.zeros(tile, jnp.float32), jnp.int32(0))
+        )
+        o_ref[:] = x
+        t_ref[:] = done
+
+    run_case("k6b_freeze_twostep", k6b, n_out_tiles=1)
+
+    # 7 sub-bisect: windowed fold alone, then iota pack alone
+    def k7a(x_ref, o_ref, t_ref):
+        from sbsim_tpu.physics import gridstats
+
+        x = x_ref[:]
+        s = gridstats.fold_sum_2d(x[:, 3:19, 5:21])  # (E,1,1)
+        t_ref[:] = jnp.broadcast_to(s, (E, 8, 128))
+        o_ref[:] = x
+
+    run_case("k7a_window_fold", k7a, n_out_tiles=1)
+
+    def k7b(x_ref, o_ref, t_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (E, 8, 128), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (E, 8, 128), 1)
+        acc = jnp.zeros((E, 8, 128), jnp.float32)
+        s = two_step_max(x_ref[:])  # (E,1,1)
+        for z in range(4):
+            acc = jnp.where((row == 0) & (lane == z), s + z, acc)
+        t_ref[:] = acc
+        o_ref[:] = x_ref[:]
+
+    run_case("k7b_iota_pack", k7b, n_out_tiles=1)
+
+    print("bisect done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

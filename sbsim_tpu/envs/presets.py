@@ -215,6 +215,13 @@ def sb1_config(
         time_step_sec=300.0,
         convergence_threshold=0.1,
         iteration_limit=100,
+        # Amortize the chebyshev residual check over 4 sub-iterations: the
+        # per-iteration max-reduce + scalar branch stalls the VPU pipeline;
+        # measured on v5e this is +25-35% throughput at +0.4 mean
+        # iterations (artifacts/TPU_PROBE_r04.md, sections B/C). The
+        # throughput path only gets MORE converged; Jacobi parity paths
+        # are unaffected.
+        cheby_check_every=4,
         num_days_in_episode=num_days_in_episode,
         discount_factor=0.9,
         observation_normalization=SB1_OBSERVATION_NORMALIZATION,

@@ -370,21 +370,16 @@ def _block_apply_swaps(x, lead_word, foll_word, word, offsets):
     return out
 
 
-def _block_grid_stats(x, masks, row0, col0, window, out_shape):
-    """Zone/grid sums of an (E, H, W) block -> (E, 8, 128) tiles (row 0
-    lane z = zone z sum, row 1 lane 0 = grid sum); same fold sequence as
-    gridstats.zone_sums/grid_sum per env."""
-    hc, wc = window
-    lane = jax.lax.broadcasted_iota(jnp.int32, out_shape, 2)
-    row = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
-    acc = jnp.zeros(out_shape, jnp.float32)
-    for z in range(len(row0)):
-        r, c = row0[z], col0[z]
-        win = x[:, r : r + hc, c : c + wc] * masks[z]
-        s = gridstats.fold_sum_2d(win)  # (E, 1, 1)
-        acc = jnp.where((row == 0) & (lane == z), s, acc)
-    g = gridstats.fold_sum_2d(x)
-    return jnp.where((row == 1) & (lane == 0), g, acc)
+def _block_write_stats(stats_ref, x, masks, stat_layout):
+    """Per-env statistics of an (E, H, W) block, written one env at a time
+    through the proven 2-D path (_kernel_grid_stats): Mosaic rejects the
+    fold's unaligned lane slices on 3-D values (probe_r4d_bisect k7a) but
+    compiles them on 2-D values, and the 2-D path is exactly the fold
+    sequence gridstats uses - bitwise-equal sums across solver paths."""
+    for e in range(x.shape[0]):
+        stats_ref[e] = _kernel_grid_stats(
+            x[e], masks, *stat_layout, stats_ref.shape[1:]
+        )
 
 
 def _fdm_kernel_block(
@@ -449,8 +444,12 @@ def _fdm_kernel_block(
         # shared by all E envs.
         x, done, iters, it = carry
         x_new = jacobi(x)
+        # Two single-axis reduces: the fused multi-axis keepdims reduce
+        # SIGABRTs Mosaic on 3-D blocks (probe_r4d_bisect k4 vs k4b).
         delta = jnp.max(
-            jnp.abs(x_new - x), axis=(1, 2), keepdims=True
+            jnp.max(jnp.abs(x_new - x), axis=2, keepdims=True),
+            axis=1,
+            keepdims=True,
         )  # (E, 1, 1)
         active = done < 0.5  # (E, 8, 128) bool
         x = jnp.where(active[:, 0:1, 0:1], x_new, x)
@@ -480,9 +479,7 @@ def _fdm_kernel_block(
     out_ref[:] = x_f
     iters_ref[:] = iters
     if stat_layout is not None:
-        stats_ref[:] = _block_grid_stats(
-            x_f, stat_masks_ref[:], *stat_layout, tile
-        )
+        _block_write_stats(stats_ref, x_f, stat_masks_ref[:], stat_layout)
     else:
         stats_ref[:] = jnp.zeros(tile, jnp.float32)
 
@@ -550,7 +547,11 @@ def _fdm_cheby_kernel_block(
         return num / denom
 
     x1 = jacobi(x0)
-    delta0 = jnp.max(jnp.abs(x1 - x0), axis=(1, 2), keepdims=True)
+    delta0 = jnp.max(
+        jnp.max(jnp.abs(x1 - x0), axis=2, keepdims=True),
+        axis=1,
+        keepdims=True,
+    )
     done0 = jnp.where(
         delta0 <= thr,
         jnp.ones(tile, jnp.float32),
@@ -562,7 +563,11 @@ def _fdm_cheby_kernel_block(
         x_prev, x, done, iters, it, omega = carry
         for _ in range(check_every):
             jx = jacobi(x)
-            delta = jnp.max(jnp.abs(jx - x), axis=(1, 2), keepdims=True)
+            delta = jnp.max(
+                jnp.max(jnp.abs(jx - x), axis=2, keepdims=True),
+                axis=1,
+                keepdims=True,
+            )
             omega_next = jnp.float32(1.0) / (
                 jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
             )
@@ -598,9 +603,7 @@ def _fdm_cheby_kernel_block(
     out_ref[:] = x_out
     iters_ref[:] = iters
     if stat_layout is not None:
-        stats_ref[:] = _block_grid_stats(
-            x_out, stat_masks_ref[:], *stat_layout, tile
-        )
+        _block_write_stats(stats_ref, x_out, stat_masks_ref[:], stat_layout)
     else:
         stats_ref[:] = jnp.zeros(tile, jnp.float32)
 
