@@ -171,3 +171,52 @@ def test_pallas_fused_convection_matches_xla_swaps(geom, method):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(expected))
     # The mixing really happened (some cells moved).
     assert float(jnp.max(jnp.abs(fused - plain))) > 0.0
+
+
+def test_block_kernels_match_solo_bitwise(geom):
+    """The block-of-envs kernels (E envs per program, leading axis) are
+    bitwise-equal to the solo kernels for every env regardless of block
+    composition and padding (batch 6 with E=4 exercises the pad path),
+    for both methods, with in-kernel statistics."""
+    from sbsim_tpu.physics import gridstats
+
+    coeffs = fdm.stencil_coefficients(geom, 300.0)
+    assert coeffs.ring_exterior
+    rho = fdm.estimate_spectral_radius(coeffs, 12.0)
+    layout = gridstats.make_zone_stat_layout(geom)
+    rng = np.random.default_rng(5)
+    batch = 6  # not a multiple of 4
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+    t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
+    h = jnp.full((batch,), 12.0, jnp.float32)
+    for method in ("jacobi", "chebyshev"):
+        kw = dict(
+            convergence_threshold=0.1,
+            iteration_limit=100,
+            interpret=True,
+            method=method,
+            spectral_radius=rho,
+            stat_layout=layout,
+        )
+        o1, i1, s1 = fdm_pallas.fdm_step_pallas(
+            temp, q, t_inf, h, coeffs, block_envs=1, **kw
+        )
+        o4, i4, s4 = fdm_pallas.fdm_step_pallas(
+            temp, q, t_inf, h, coeffs, block_envs=4, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o4))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
+
+
+def test_sb1_preset_solver_tuning():
+    """The calibrated preset carries the measured-best solver tuning
+    (TPU_PROBE_r04.md session C: check_every=4, block_envs=1)."""
+    from sbsim_tpu.envs import presets
+
+    cfg = presets.sb1_config(num_days_in_episode=1)
+    assert cfg.cheby_check_every == 4
+    assert cfg.pallas_block_envs == 1
