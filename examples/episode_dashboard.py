@@ -20,13 +20,13 @@ def main():
     parser.add_argument("--out", default="/tmp/sbsim_dashboard")
     parser.add_argument("--steps", type=int, default=288)
     parser.add_argument("--render-every", type=int, default=72)
-    parser.add_argument("--cpu", action="store_true", default=True)
     args = parser.parse_args()
 
     import jax
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # Host plotting tool: always run the sim on CPU (the axon sitecustomize
+    # would otherwise route a matplotlib loop through the TPU relay).
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

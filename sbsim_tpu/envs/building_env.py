@@ -459,7 +459,7 @@ class BuildingEnv:
                 )
             if kernel_stats:
                 kwargs.update(stat_layout=self.zone_stats)
-                new_temp, n_iter, stats = kernel_fn(
+                new_temp, n_iter, converged, stats = kernel_fn(
                     states.temp,
                     states.input_q,
                     pre["ambient"],
@@ -471,7 +471,7 @@ class BuildingEnv:
                 new_zm = stats[:, 0, :n_zones] / self.zone_stats.sizes
                 new_gm = stats[:, 1, 0] / jnp.float32(self.zone_stats.grid_n)
             else:
-                new_temp, n_iter = kernel_fn(
+                new_temp, n_iter, converged = kernel_fn(
                     states.temp,
                     states.input_q,
                     pre["ambient"],
@@ -479,7 +479,6 @@ class BuildingEnv:
                     self.coeffs,
                     **kwargs,
                 )
-            converged = n_iter < self.config.iteration_limit
         else:
             new_temp, converged, n_iter = self._solve_fdm(
                 states.temp,

@@ -1,24 +1,29 @@
-"""Pallas TPU kernel for the FDM Jacobi convergence loop.
+"""Pallas TPU kernels for the FDM convergence loop.
 
 The XLA while_loop version (physics/fdm.py) round-trips the temperature field
-through HBM on every Jacobi iteration. This kernel keeps the whole
-convergence loop resident in VMEM: each grid program loads one env's (H, W)
-field plus the shared stencil coefficients once, iterates to convergence,
+through HBM on every Jacobi iteration. These kernels keep the whole
+convergence loop resident in VMEM: each grid program loads its envs' (H, W)
+fields plus the shared stencil coefficients once, iterates to convergence,
 and writes back once - HBM traffic drops from O(iterations) to O(1) per
-step. One env per program also makes per-env trajectory isolation trivial
-(BASELINE.md "per-env bitwise identity"): no cross-env masking at all.
+step.
 
 Numerics are identical to fdm.jacobi_iteration (the reference "Equation 22"
 semantics, tf_simulator.py:573-853): neighbor shifts padded with the ambient
 temperature, exterior CVs pinned, cp^2 absorption term, per-env max-|dT|
 stopping rule with post-update convergence check (simulator.py:348-364).
 
-Mosaic constraints shaping the code (discovered on real v5e):
-  * rank-1 / (1, 1) outputs don't tile; scalar-per-program outputs are
-    emitted broadcast over one minimal (8, 128) int32 tile.
-  * multi_reduction over both trailing dims must keep a trailing size-1
-    axis unless it reduces to a true scalar; tiny (B, 1, 1) bool vectors in
-    the loop carry crash the layout pass. Hence scalar `delta`/`it` carry.
+Mosaic constraints shaping the code (discovered on real v5e; the 3-D block
+rows come from the probe_r4d_bisect ladder):
+  * rank-1 / (1, 1) outputs don't tile; per-program scalars are emitted
+    broadcast over one minimal (8, 128) int32 tile.
+  * a fused multi-axis keepdims reduce (max over axes (1, 2) of an
+    (E, H, W) block) SIGABRTs the compiler; two single-axis reduces
+    (axis 2 then axis 1) lower fine.
+  * the statistics fold's unaligned lane slices fail on 3-D values but
+    compile on 2-D values - block kernels write stats one env at a time
+    through the 2-D path.
+  * tiny (E, 1, 1) bool vectors in a loop carry crash the layout pass;
+    per-env freeze state rides in tile-aligned (E, 8, 128) carries.
 """
 
 from __future__ import annotations
@@ -36,6 +41,98 @@ from sbsim_tpu.physics import gridstats
 from sbsim_tpu.physics.fdm import StencilCoefficients
 
 
+# ---------------------------------------------------------------------------
+# Shared kernel building blocks (2-D solo and 3-D block layouts)
+# ---------------------------------------------------------------------------
+
+
+def _rollt(x, dy, dx):
+    """roll over the trailing (H, W) axes, skipping no-op axes (a shift-0
+    jnp.roll lowers to a zero-size slice that Mosaic rejects)."""
+    if dy:
+        x = jnp.roll(x, dy, x.ndim - 2)
+    if dx:
+        x = jnp.roll(x, dx, x.ndim - 1)
+    return x
+
+
+def _shift_with_fill(x, axis, shift, fill):
+    """Shift x by `shift` along axis, filling vacated slots with `fill`.
+
+    y[..., i] = x[..., i - shift]; uses roll + iota mask (Pallas-friendly,
+    no concatenate inside the loop body).
+    """
+    rolled = jnp.roll(x, shift=shift, axis=axis)
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if shift > 0:
+        mask = idx < shift
+    else:
+        mask = idx >= n + shift
+    return jnp.where(mask, fill, rolled)
+
+
+def _jacobi_update(x, a_r, a_l, a_b, a_t, const, denom, ext, tinf, edge_fill):
+    """One Jacobi update over the trailing (H, W) axes of x (2-D solo or
+    3-D block; the (H, W) coefficient planes broadcast over leading axes).
+
+    a_r pairs with the right neighbor T[i, j+1] (shift left by one),
+    matching tf_simulator.py:719-722. With edge_fill=False (the
+    ring_exterior fast path) wraparound reads land only in
+    exterior-pinned cells and the pin is folded into the coefficients
+    (a*=0, denom=1, const=tinf at exterior CVs, see fdm_step_pallas) -
+    x_new[ext] = tinf/1 exactly, no selects.
+    """
+    ax_w = x.ndim - 1
+    ax_h = x.ndim - 2
+    if edge_fill:
+        num = (
+            a_r * _shift_with_fill(x, axis=ax_w, shift=-1, fill=tinf)
+            + a_l * _shift_with_fill(x, axis=ax_w, shift=1, fill=tinf)
+            + a_b * _shift_with_fill(x, axis=ax_h, shift=-1, fill=tinf)
+            + a_t * _shift_with_fill(x, axis=ax_h, shift=1, fill=tinf)
+            + const
+        )
+        return jnp.where(ext > 0, tinf, num / denom)
+    num = (
+        a_r * _rollt(x, 0, -1)
+        + a_l * _rollt(x, 0, 1)
+        + a_b * _rollt(x, -1, 0)
+        + a_t * _rollt(x, 1, 0)
+        + const
+    )
+    return num / denom
+
+
+def _kernel_apply_swaps(x, lead_word, foll_word, word, offsets):
+    """In-kernel stochastic convection: the same masked pair-swap rounds as
+    convection.apply_swaps_with_word, on the VMEM-resident solved field,
+    driven by the same packed decision word - so the fused path mixes
+    bitwise-identically to the XLA path. Saves ~R full HBM round-trips of
+    the (B, H, W) field per step (R=16 at sb1 calibration). Works on the
+    2-D solo and 3-D block layouts alike (rolls act on trailing axes; the
+    (H, W) static mask planes broadcast over the env axis).
+
+    The static per-round masks arrive packed one bit per round in two
+    uint32 planes (lead_word/foll_word, convection.make_convection_buckets)
+    instead of an (R, H, W) f32 tensor every program would re-DMA; the
+    rolled decision words are shared across rounds with equal offsets and
+    are independent of the serial swap chain."""
+    rolled = {o: _rollt(word, o[0], o[1]) for o in set(offsets)}
+    out = x
+    for r, (dy, dx) in enumerate(offsets):
+        bit = jnp.uint32(1) << jnp.uint32(r)
+        lead = ((word & bit) > 0) & ((lead_word & bit) > 0)
+        foll = ((rolled[(dy, dx)] & bit) > 0) & ((foll_word & bit) > 0)
+        # Both partner reads come from the PRE-round field: a pair swap
+        # exchanges the two original values.
+        from_follower = _rollt(out, -dy, -dx)
+        from_lead = _rollt(out, dy, dx)
+        out = jnp.where(lead, from_follower, out)
+        out = jnp.where(foll, from_lead, out)
+    return out
+
+
 def _kernel_grid_stats(
     x,
     masks,
@@ -44,8 +141,9 @@ def _kernel_grid_stats(
     window: Tuple[int, int],
     out_shape: Tuple[int, int],
 ):
-    """Zone sums + grid sum of the VMEM-resident field, packed into one
-    (8, 128) tile: row 0 lane z = zone z's sum, row 1 lane 0 = grid sum.
+    """Zone sums + grid sum of one env's VMEM-resident (H, W) field, packed
+    into one (8, 128) tile: row 0 lane z = zone z's sum, row 1 lane 0 =
+    grid sum.
 
     Runs the IDENTICAL fold sequence as the XLA statistics path
     (physics/gridstats.py), so the two solver paths emit bitwise-equal
@@ -64,57 +162,30 @@ def _kernel_grid_stats(
     return jnp.where((row == 1) & (lane == 0), gsum, acc)
 
 
-def _shift_with_fill(x, axis, shift, fill):
-    """Shift 2-D x by `shift` along axis, filling vacated slots with `fill`.
-
-    y[..., i] = x[..., i - shift]; uses roll + iota mask (Pallas-friendly,
-    no concatenate inside the loop body).
-    """
-    rolled = jnp.roll(x, shift=shift, axis=axis)
-    n = x.shape[axis]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    if shift > 0:
-        mask = idx < shift
-    else:
-        mask = idx >= n + shift
-    return jnp.where(mask, fill, rolled)
+def _two_step_max(d):
+    """Per-env max over the trailing (H, W) axes of an (E, H, W) block ->
+    (E, 1, 1), as two single-axis reduces (the fused multi-axis keepdims
+    reduce SIGABRTs Mosaic - probe_r4d_bisect k4 vs k4b). Exact: max is
+    order-independent."""
+    return jnp.max(jnp.max(d, axis=2, keepdims=True), axis=1, keepdims=True)
 
 
-def _roll2(x, dy, dx):
-    """roll along both axes, skipping no-op axes (a shift-0 jnp.roll lowers
-    to a zero-size slice that Mosaic rejects)."""
-    if dy:
-        x = jnp.roll(x, dy, 0)
-    if dx:
-        x = jnp.roll(x, dx, 1)
-    return x
+def _emit_iters(iters_ref, n_iter, converged):
+    """Writes the per-program int tile: row 0 = iteration count, row 1 = 1
+    iff the stopping rule was met (the residual criterion, NOT n_iter <
+    iteration_limit - with check_every > 1 the count can legitimately
+    exceed the limit by up to check_every - 1 sub-iterations)."""
+    rowi = jax.lax.broadcasted_iota(
+        jnp.int32, iters_ref.shape, len(iters_ref.shape) - 2
+    )
+    iters_ref[:] = jnp.where(
+        rowi == 1, converged.astype(jnp.int32), n_iter
+    )
 
 
-def _kernel_apply_swaps(x, lead_word, foll_word, word, offsets):
-    """In-kernel stochastic convection: the same masked pair-swap rounds as
-    convection.apply_swaps_with_word, on the VMEM-resident solved field,
-    driven by the same packed decision word - so the fused path mixes
-    bitwise-identically to the XLA path. Saves ~R full HBM round-trips of
-    the (B, H, W) field per env step (R=16 at sb1 calibration).
-
-    The static per-round masks arrive packed one bit per round in two
-    uint32 planes (lead_word/foll_word, convection.make_convection_buckets)
-    instead of an (R, H, W) f32 tensor every program would re-DMA; the
-    rolled decision words are shared across rounds with equal offsets and
-    are independent of the serial swap chain."""
-    rolled = {o: _roll2(word, o[0], o[1]) for o in set(offsets)}
-    out = x
-    for r, (dy, dx) in enumerate(offsets):
-        bit = jnp.uint32(1) << jnp.uint32(r)
-        lead = ((word & bit) > 0) & ((lead_word & bit) > 0)
-        foll = ((rolled[(dy, dx)] & bit) > 0) & ((foll_word & bit) > 0)
-        # Both partner reads come from the PRE-round field: a pair swap
-        # exchanges the two original values.
-        from_follower = _roll2(out, -dy, -dx)
-        from_lead = _roll2(out, dy, dx)
-        out = jnp.where(lead, from_follower, out)
-        out = jnp.where(foll, from_lead, out)
-    return out
+# ---------------------------------------------------------------------------
+# Solo kernels: one env per grid program (scalar delta/it carries)
+# ---------------------------------------------------------------------------
 
 
 def _fdm_kernel(
@@ -145,39 +216,22 @@ def _fdm_kernel(
     const = const_ref[0]
     denom = denom_ref[0]
     tinf = tinf_ref[0, 0, 0]  # scalar ambient for this env
-    a_r = a_r_ref[:]  # (H, W) shared across envs
-    a_l = a_l_ref[:]
-    a_b = a_b_ref[:]
-    a_t = a_t_ref[:]
-    ext = ext_ref[:]  # (H, W) 1.0 on exterior CVs
+    jacobi = functools.partial(
+        _jacobi_update,
+        a_r=a_r_ref[:],
+        a_l=a_l_ref[:],
+        a_b=a_b_ref[:],
+        a_t=a_t_ref[:],
+        const=const,
+        denom=denom,
+        ext=ext_ref[:],
+        tinf=tinf,
+        edge_fill=edge_fill,
+    )
 
     def body(carry):
         x, _, it = carry
-        # a_r pairs with the right neighbor T[i, j+1] (shift left by one),
-        # matching tf_simulator.py:719-722.
-        if edge_fill:
-            num = (
-                a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-                + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
-                + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
-                + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
-                + const
-            )
-            x_new = num / denom
-            x_new = jnp.where(ext > 0, tinf, x_new)
-        else:
-            # ring_exterior fast path: wraparound reads land only in
-            # exterior-pinned cells, and the pin is folded into the
-            # coefficients (a*=0, denom=1, const=tinf at exterior CVs) by
-            # fdm_step_pallas — x_new[ext] = tinf/1 exactly, no selects.
-            num = (
-                a_r * _roll2(x, 0, -1)
-                + a_l * _roll2(x, 0, 1)
-                + a_b * _roll2(x, -1, 0)
-                + a_t * _roll2(x, 1, 0)
-                + const
-            )
-            x_new = num / denom
+        x_new = jacobi(x)
         delta = jnp.max(jnp.abs(x_new - x))  # scalar
         return x_new, delta, it + 1
 
@@ -186,7 +240,7 @@ def _fdm_kernel(
         return jnp.logical_and(it < iteration_limit, delta > threshold)
 
     big = jnp.float32(threshold) + 1.0
-    x_final, _, n_iter = jax.lax.while_loop(
+    x_final, delta_f, n_iter = jax.lax.while_loop(
         cond, body, (x0, big, jnp.int32(0))
     )
     if conv_offsets:
@@ -195,15 +249,11 @@ def _fdm_kernel(
             conv_word_ref[0], conv_offsets
         )
     out_ref[0] = x_final
-    # Scalar outputs can't tile on Mosaic; broadcast the iteration count
-    # over one minimal (8, 128) tile and slice [0, 0] outside.
-    iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
+    _emit_iters(iters_ref, n_iter, delta_f <= threshold)
     if stat_layout is not None:
         stats_ref[0] = _kernel_grid_stats(
             x_final, stat_masks_ref[:], *stat_layout, stats_ref.shape[1:]
         )
-    else:
-        stats_ref[0] = jnp.zeros(stats_ref.shape[1:], jnp.float32)
 
 
 def _fdm_cheby_kernel(
@@ -237,38 +287,25 @@ def _fdm_cheby_kernel(
     Same VMEM-resident layout as _fdm_kernel; the loop runs the Chebyshev
     recombination of the Jacobi map (fdm.fdm_step_chebyshev, Golub & Van
     Loan sec. 10.1.5), reaching the same residual criterion in ~sqrt of the
-    Jacobi iteration count. One env per program keeps per-env trajectory
-    isolation bitwise regardless of batch composition.
+    Jacobi iteration count.
     """
     x0 = temp_ref[0]  # (H, W)
     const = const_ref[0]
     denom = denom_ref[0]
     tinf = tinf_ref[0, 0, 0]
-    a_r = a_r_ref[:]
-    a_l = a_l_ref[:]
-    a_b = a_b_ref[:]
-    a_t = a_t_ref[:]
     ext = ext_ref[:]
-
-    def jacobi(x):
-        if edge_fill:
-            num = (
-                a_r * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-                + a_l * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
-                + a_b * _shift_with_fill(x, axis=0, shift=-1, fill=tinf)
-                + a_t * _shift_with_fill(x, axis=0, shift=1, fill=tinf)
-                + const
-            )
-            return jnp.where(ext > 0, tinf, num / denom)
-        # ring_exterior fast path: see _fdm_kernel.
-        num = (
-            a_r * _roll2(x, 0, -1)
-            + a_l * _roll2(x, 0, 1)
-            + a_b * _roll2(x, -1, 0)
-            + a_t * _roll2(x, 1, 0)
-            + const
-        )
-        return num / denom
+    jacobi = functools.partial(
+        _jacobi_update,
+        a_r=a_r_ref[:],
+        a_l=a_l_ref[:],
+        a_b=a_b_ref[:],
+        a_t=a_t_ref[:],
+        const=const,
+        denom=denom,
+        ext=ext,
+        tinf=tinf,
+        edge_fill=edge_fill,
+    )
 
     x1 = jacobi(x0)
     delta0 = jnp.max(jnp.abs(x1 - x0))
@@ -296,7 +333,7 @@ def _fdm_cheby_kernel(
         _, _, delta, it, _ = carry
         return jnp.logical_and(it < iteration_limit, delta > threshold)
 
-    _, x_f, _, n_iter, _ = jax.lax.while_loop(
+    _, x_f, delta_f, n_iter, _ = jax.lax.while_loop(
         cond, body, (x0, x1, delta0, jnp.int32(1), omega0)
     )
     # Emit J(x) for the converged iterate, mirroring fdm.fdm_step_chebyshev.
@@ -307,67 +344,37 @@ def _fdm_cheby_kernel(
             conv_word_ref[0], conv_offsets
         )
     out_ref[0] = x_out
-    iters_ref[:] = jnp.broadcast_to(n_iter, iters_ref.shape)
+    _emit_iters(iters_ref, n_iter, delta_f <= threshold)
     if stat_layout is not None:
         stats_ref[0] = _kernel_grid_stats(
             x_out, stat_masks_ref[:], *stat_layout, stats_ref.shape[1:]
         )
-    else:
-        stats_ref[0] = jnp.zeros(stats_ref.shape[1:], jnp.float32)
-
-
-# The former envs-in-lanes kernel (_fdm_lanes_kernel / fdm_step_pallas_lanes)
-# was removed in round 3: it stopped compiling on current libtpu (Mosaic
-# relayout regression, re-confirmed via benchmarks/probe_r3.py section 3 -
-# artifacts/PROBE_r03.jsonl "lanes"), and the per-env-program kernels below
-# are the measured winners anyway (TPU_PROBE_r02.md).
 
 
 # ---------------------------------------------------------------------------
 # Block-of-envs kernels: E envs per grid program on the LEADING axis
 # ---------------------------------------------------------------------------
 #
-# Round-4 motivation: the per-env-program kernels are latency-bound, not
-# op-bound - removing a third of the per-iteration vector ops (the
-# ring_exterior fast path) moved throughput only ~3%, because the serial
-# dependency chain (rolls -> multiply-adds -> full-grid max-reduce ->
-# scalar branch) stalls the VPU issue pipeline. Vectorizing E envs on the
-# leading axis multiplies every op's independent work by E, filling the
-# pipeline, and amortizes the one per-iteration reduce+branch over E envs.
-# Unlike the deleted lanes kernel, envs stay OFF the lane/sublane tiling
-# axes (the trailing (H, W) layout per env is identical to the solo
-# kernels), so no relayouts are involved.
+# (The former envs-in-lanes kernel was removed in round 3: it stopped
+# compiling on current libtpu - Mosaic relayout regression. The block
+# kernels keep envs OFF the lane/sublane tiling axes: the trailing (H, W)
+# layout per env is identical to the solo kernels.)
+#
+# Round-4 outcome: the block kernels compile after working around two
+# Mosaic crashes (see the module docstring) but measure SLOWER than solo
+# on this libtpu - leading-axis ops lower as per-slice loops, so the block
+# adds freeze/carry overhead and whole-block convergence without pipeline
+# fill (TPU_PROBE_r04.md session D/E). Kept because they are
+# bitwise-equal to solo per env (tests/test_fdm_pallas.py) and become the
+# lever of choice the moment Mosaic vectorizes the leading axis.
 #
 # Per-env convergence freezing uses the same masked-select semantics as the
 # batched XLA solver (fdm.fdm_step): values are moved by selects only, and
 # the per-env max-delta reduce is exact (max is order-independent), so each
 # env's iterate path is bitwise-identical to its solo run regardless of
-# block composition.
-
-
-def _roll3(x, dy, dx):
-    """roll over the trailing (H, W) axes of an (E, H, W) block."""
-    if dy:
-        x = jnp.roll(x, dy, 1)
-    if dx:
-        x = jnp.roll(x, dx, 2)
-    return x
-
-
-def _block_apply_swaps(x, lead_word, foll_word, word, offsets):
-    """Convection swap rounds over an (E, H, W) block; the (H, W) static
-    mask planes broadcast over the env axis."""
-    rolled = {o: _roll3(word, o[0], o[1]) for o in set(offsets)}
-    out = x
-    for r, (dy, dx) in enumerate(offsets):
-        bit = jnp.uint32(1) << jnp.uint32(r)
-        lead = ((word & bit) > 0) & ((lead_word & bit) > 0)
-        foll = ((rolled[(dy, dx)] & bit) > 0) & ((foll_word & bit) > 0)
-        from_follower = _roll3(out, -dy, -dx)
-        from_lead = _roll3(out, dy, dx)
-        out = jnp.where(lead, from_follower, out)
-        out = jnp.where(foll, from_lead, out)
-    return out
+# block composition - including under check_every > 1, where freezing
+# happens only at chunk boundaries, exactly as the solo kernel's stopping
+# rule samples the residual.
 
 
 def _block_write_stats(stats_ref, x, masks, stat_layout):
@@ -407,50 +414,28 @@ def _fdm_kernel_block(
     stat_layout=None,
 ):
     x0 = temp_ref[:]  # (E, H, W)
-    const = const_ref[:]
-    denom = denom_ref[:]
-    tinf = tinf_ref[:, :, 0:1]  # (E, 1, 1) per-env ambient
-    a_r = a_r_ref[:]  # (H, W), broadcasts over envs
-    a_l = a_l_ref[:]
-    a_b = a_b_ref[:]
-    a_t = a_t_ref[:]
-    ext = ext_ref[:]
     thr = jnp.float32(threshold)
     tile = iters_ref.shape  # (E, 8, 128)
-
-    def jacobi(x):
-        if edge_fill:
-            num = (
-                a_r * _shift_with_fill(x, axis=2, shift=-1, fill=tinf)
-                + a_l * _shift_with_fill(x, axis=2, shift=1, fill=tinf)
-                + a_b * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-                + a_t * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
-                + const
-            )
-            return jnp.where(ext > 0, tinf, num / denom)
-        num = (
-            a_r * _roll3(x, 0, -1)
-            + a_l * _roll3(x, 0, 1)
-            + a_b * _roll3(x, -1, 0)
-            + a_t * _roll3(x, 1, 0)
-            + const
-        )
-        return num / denom
+    jacobi = functools.partial(
+        _jacobi_update,
+        a_r=a_r_ref[:],
+        a_l=a_l_ref[:],
+        a_b=a_b_ref[:],
+        a_t=a_t_ref[:],
+        const=const_ref[:],
+        denom=denom_ref[:],
+        ext=ext_ref[:],
+        tinf=tinf_ref[:, :, 0:1],  # (E, 1, 1) per-env ambient
+        edge_fill=edge_fill,
+    )
 
     def body(carry):
         # Per-env freezing by selects (fdm.fdm_step semantics): done/iters
-        # ride in tile-aligned (E, 8, 128) carries so the loop state never
-        # needs sub-tile layouts; the ONE reduce+branch per iteration is
-        # shared by all E envs.
+        # ride in tile-aligned (E, 8, 128) carries; the ONE reduce+branch
+        # per iteration is shared by all E envs.
         x, done, iters, it = carry
         x_new = jacobi(x)
-        # Two single-axis reduces: the fused multi-axis keepdims reduce
-        # SIGABRTs Mosaic on 3-D blocks (probe_r4d_bisect k4 vs k4b).
-        delta = jnp.max(
-            jnp.max(jnp.abs(x_new - x), axis=2, keepdims=True),
-            axis=1,
-            keepdims=True,
-        )  # (E, 1, 1)
+        delta = _two_step_max(jnp.abs(x_new - x))  # (E, 1, 1)
         active = done < 0.5  # (E, 8, 128) bool
         x = jnp.where(active[:, 0:1, 0:1], x_new, x)
         iters = jnp.where(active, it + 1, iters)
@@ -461,7 +446,7 @@ def _fdm_kernel_block(
         _, done, _, it = carry
         return jnp.logical_and(it < iteration_limit, jnp.min(done) < 0.5)
 
-    x_f, _, iters, _ = jax.lax.while_loop(
+    x_f, done, iters, _ = jax.lax.while_loop(
         cond,
         body,
         (
@@ -472,16 +457,14 @@ def _fdm_kernel_block(
         ),
     )
     if conv_offsets:
-        x_f = _block_apply_swaps(
+        x_f = _kernel_apply_swaps(
             x_f, conv_lead_ref[:], conv_foll_ref[:],
             conv_word_ref[:], conv_offsets
         )
     out_ref[:] = x_f
-    iters_ref[:] = iters
+    _emit_iters(iters_ref, iters, done > 0.5)
     if stat_layout is not None:
         _block_write_stats(stats_ref, x_f, stat_masks_ref[:], stat_layout)
-    else:
-        stats_ref[:] = jnp.zeros(tile, jnp.float32)
 
 
 def _fdm_cheby_kernel_block(
@@ -512,46 +495,31 @@ def _fdm_cheby_kernel_block(
 ):
     """Chebyshev block kernel: E envs per program, per-env freezing.
 
-    The omega schedule advances globally per loop iteration (frozen envs
-    never consume it again), exactly as fdm.fdm_step_chebyshev's batched
-    semantics - each env's iterate path equals its solo run."""
+    The omega schedule advances globally per sub-iteration (frozen envs
+    never consume it again) and - matching the solo kernel's stopping
+    cadence exactly - an env's freeze state is sampled only at
+    check_every-chunk boundaries, with the chunk's LAST residual deciding:
+    each env's iterate path equals its solo run bitwise."""
     x0 = temp_ref[:]
-    const = const_ref[:]
-    denom = denom_ref[:]
-    tinf = tinf_ref[:, :, 0:1]
-    a_r = a_r_ref[:]
-    a_l = a_l_ref[:]
-    a_b = a_b_ref[:]
-    a_t = a_t_ref[:]
     ext = ext_ref[:]
+    tinf = tinf_ref[:, :, 0:1]
     thr = jnp.float32(threshold)
     tile = iters_ref.shape
-
-    def jacobi(x):
-        if edge_fill:
-            num = (
-                a_r * _shift_with_fill(x, axis=2, shift=-1, fill=tinf)
-                + a_l * _shift_with_fill(x, axis=2, shift=1, fill=tinf)
-                + a_b * _shift_with_fill(x, axis=1, shift=-1, fill=tinf)
-                + a_t * _shift_with_fill(x, axis=1, shift=1, fill=tinf)
-                + const
-            )
-            return jnp.where(ext > 0, tinf, num / denom)
-        num = (
-            a_r * _roll3(x, 0, -1)
-            + a_l * _roll3(x, 0, 1)
-            + a_b * _roll3(x, -1, 0)
-            + a_t * _roll3(x, 1, 0)
-            + const
-        )
-        return num / denom
+    jacobi = functools.partial(
+        _jacobi_update,
+        a_r=a_r_ref[:],
+        a_l=a_l_ref[:],
+        a_b=a_b_ref[:],
+        a_t=a_t_ref[:],
+        const=const_ref[:],
+        denom=denom_ref[:],
+        ext=ext,
+        tinf=tinf,
+        edge_fill=edge_fill,
+    )
 
     x1 = jacobi(x0)
-    delta0 = jnp.max(
-        jnp.max(jnp.abs(x1 - x0), axis=2, keepdims=True),
-        axis=1,
-        keepdims=True,
-    )
+    delta0 = _two_step_max(jnp.abs(x1 - x0))
     done0 = jnp.where(
         delta0 <= thr,
         jnp.ones(tile, jnp.float32),
@@ -561,51 +529,45 @@ def _fdm_cheby_kernel_block(
 
     def body(carry):
         x_prev, x, done, iters, it, omega = carry
+        # Freeze state fixed for the whole chunk (the solo kernel only
+        # samples the residual at chunk boundaries too).
+        active = done < 0.5
+        active3 = active[:, 0:1, 0:1]
         for _ in range(check_every):
             jx = jacobi(x)
-            delta = jnp.max(
-                jnp.max(jnp.abs(jx - x), axis=2, keepdims=True),
-                axis=1,
-                keepdims=True,
-            )
+            delta = _two_step_max(jnp.abs(jx - x))
             omega_next = jnp.float32(1.0) / (
                 jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
             )
             x_next = omega_next * (jx - x_prev) + x_prev
             x_next = jnp.where(ext > 0, tinf, x_next)
-            active = done < 0.5
-            active3 = active[:, 0:1, 0:1]
             x_prev = jnp.where(active3, x, x_prev)
             x = jnp.where(active3, x_next, x)
-            iters = jnp.where(active, it + 1, iters)
-            done = jnp.where(
-                active & (delta <= thr), jnp.float32(1.0), done
-            )
             it = it + 1
             omega = omega_next
+        iters = jnp.where(active, it, iters)
+        done = jnp.where(active & (delta <= thr), jnp.float32(1.0), done)
         return x_prev, x, done, iters, it, omega
 
     def cond(carry):
         _, _, done, _, it, _ = carry
         return jnp.logical_and(it < iteration_limit, jnp.min(done) < 0.5)
 
-    _, x_f, _, iters, _, _ = jax.lax.while_loop(
+    _, x_f, done, iters, _, _ = jax.lax.while_loop(
         cond,
         body,
         (x0, x1, done0, jnp.ones(tile, jnp.int32), jnp.int32(1), omega0),
     )
     x_out = jacobi(x_f)
     if conv_offsets:
-        x_out = _block_apply_swaps(
+        x_out = _kernel_apply_swaps(
             x_out, conv_lead_ref[:], conv_foll_ref[:],
             conv_word_ref[:], conv_offsets
         )
     out_ref[:] = x_out
-    iters_ref[:] = iters
+    _emit_iters(iters_ref, iters, done > 0.5)
     if stat_layout is not None:
         _block_write_stats(stats_ref, x_out, stat_masks_ref[:], stat_layout)
-    else:
-        stats_ref[:] = jnp.zeros(tile, jnp.float32)
 
 
 def fdm_step_pallas(
@@ -630,17 +592,21 @@ def fdm_step_pallas(
 ) -> Tuple[jnp.ndarray, ...]:
     """VMEM-resident batched FDM step.
 
-    Returns (new_temp, iterations_per_env). The per-step constant/denominator
-    fields are computed by XLA (one fused elementwise kernel) and streamed in.
+    Returns (new_temp, iterations, converged) - or with `stat_layout`,
+    (new_temp, iterations, converged, stats). `converged` is the residual
+    criterion itself (max |dT| <= threshold when the loop stopped), NOT
+    `iterations < iteration_limit`: with check_every > 1 the reported
+    count can legitimately exceed the limit by up to check_every - 1
+    sub-iterations while still being converged. The per-step
+    constant/denominator fields are computed by XLA (one fused elementwise
+    kernel) and streamed in.
 
     `block_envs` selects how many envs each grid program vectorizes on its
-    LEADING axis: 1 runs the scalar-carry per-env kernels; E > 1 runs the
-    block kernels, which fill the VPU pipeline with E independent copies of
-    every op and amortize the per-iteration reduce+branch (the solo kernels
-    are latency-bound). Per-env freezing uses the batched XLA solver's
-    masked-select semantics, so results are bitwise-independent of the
-    block composition; batches not divisible by E are padded by repeating
-    the last env and sliced back.
+    LEADING axis: 1 runs the scalar-carry per-env kernels (the measured
+    best on current libtpu); E > 1 runs the block kernels. Per-env
+    freezing uses the batched XLA solver's masked-select semantics, so
+    results are bitwise-independent of the block composition; batches not
+    divisible by E are padded by repeating the last env and sliced back.
 
     method "jacobi" reproduces the reference solver's iterate path exactly
     (bitwise-equal to fdm.fdm_step on real v5e, artifacts/TPU_PROBE_r02.md);
@@ -657,9 +623,8 @@ def fdm_step_pallas(
     When `stat_layout` (a gridstats.ZoneStatLayout) is given, the kernel
     also emits zone/grid temperature SUMS of the post-convection field
     from VMEM - the same fold sequence as gridstats.zone_sums/grid_sum -
-    and the call returns (new_temp, iterations, stats) with stats
-    (B, 8, 128): row 0 lane z = zone z sum, row 1 lane 0 = grid sum.
-    Requires n_zones <= 128.
+    as stats (B, 8, 128): row 0 lane z = zone z sum, row 1 lane 0 = grid
+    sum. Requires n_zones <= 128.
     """
     b, h, w = temp.shape
     block_envs = max(1, int(block_envs))
@@ -703,6 +668,9 @@ def fdm_step_pallas(
     e = block_envs
     per_env = pl.BlockSpec(
         (e, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_spec = pl.BlockSpec(
+        (e, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
@@ -763,8 +731,23 @@ def fdm_step_pallas(
             edge_fill=edge_fill,
             stat_layout=kernel_stat_layout,
         )
-    out, iters, stats = pl.pallas_call(
-        kernel,
+
+    out_specs = [per_env, tile_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        jax.ShapeDtypeStruct((b, 8, 128), jnp.int32),
+    ]
+    if stat_layout is not None:
+        out_specs.append(tile_spec)
+        out_shape.append(jax.ShapeDtypeStruct((b, 8, 128), jnp.float32))
+        wrapped = kernel
+    else:
+        # No stats output allocated at all: the (B, 8, 128) f32 zeros
+        # would otherwise round-trip to HBM every step for no consumer.
+        wrapped = lambda *refs: kernel(*refs, None)
+
+    results = pl.pallas_call(
+        wrapped,
         grid=(b // e,),
         in_specs=[
             per_env,  # temp
@@ -783,20 +766,8 @@ def fdm_step_pallas(
             word_spec,  # convection decision words
             stat_mask_spec,  # zone statistic masks
         ],
-        out_specs=[
-            per_env,
-            pl.BlockSpec(
-                (e, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (e, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         temp.astype(jnp.float32),
@@ -813,8 +784,12 @@ def fdm_step_pallas(
         conv_word,
         stat_masks,
     )
+    out, iters = results[0], results[1]
     if pad:
-        out, iters, stats = out[:-pad], iters[:-pad], stats[:-pad]
+        out, iters = out[:-pad], iters[:-pad]
+    n_iter = iters[:, 0, 0]
+    converged = iters[:, 1, 0] > 0
     if stat_layout is not None:
-        return out, iters[:, 0, 0], stats
-    return out, iters[:, 0, 0]
+        stats = results[2][: out.shape[0]]
+        return out, n_iter, converged, stats
+    return out, n_iter, converged

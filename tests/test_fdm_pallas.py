@@ -48,7 +48,7 @@ def test_pallas_matches_xla_solver(geom):
         temp, q, t_inf, h, coeffs,
         convergence_threshold=0.1, iteration_limit=100,
     )
-    got, iters = fdm_pallas.fdm_step_pallas(
+    got, iters, conv = fdm_pallas.fdm_step_pallas(
         temp, q, t_inf, h, coeffs,
         convergence_threshold=0.1, iteration_limit=100,
         block_envs=4, interpret=True,
@@ -80,7 +80,7 @@ def test_pallas_chebyshev_matches_xla_chebyshev(geom):
         convergence_threshold=0.1, iteration_limit=100,
         spectral_radius=rho,
     )
-    got, iters = fdm_pallas.fdm_step_pallas(
+    got, iters, conv = fdm_pallas.fdm_step_pallas(
         temp, q, t_inf, h, coeffs,
         convergence_threshold=0.1, iteration_limit=100,
         interpret=True, method="chebyshev", spectral_radius=rho,
@@ -119,9 +119,9 @@ def test_pallas_per_env_batch_isolation(geom, method):
     kw = dict(convergence_threshold=0.1, iteration_limit=100, interpret=True,
               method=method, spectral_radius=rho)
 
-    full, full_iters = fdm_pallas.fdm_step_pallas(temp, q, t_inf, h, coeffs,
+    full, full_iters, _ = fdm_pallas.fdm_step_pallas(temp, q, t_inf, h, coeffs,
                                                   **kw)
-    solo, solo_iters = fdm_pallas.fdm_step_pallas(
+    solo, solo_iters, _ = fdm_pallas.fdm_step_pallas(
         temp[2:3], q[2:3], t_inf[2:3], h[2:3], coeffs, **kw
     )
     np.testing.assert_array_equal(np.asarray(solo[0]), np.asarray(full[2]))
@@ -156,8 +156,8 @@ def test_pallas_fused_convection_matches_xla_swaps(geom, method):
     kw = dict(convergence_threshold=0.1, iteration_limit=100, interpret=True,
               method=method, spectral_radius=rho)
 
-    plain, _ = fdm_pallas.fdm_step_pallas(temp, q, t_inf, h, coeffs, **kw)
-    fused, _ = fdm_pallas.fdm_step_pallas(
+    plain, _, _ = fdm_pallas.fdm_step_pallas(temp, q, t_inf, h, coeffs, **kw)
+    fused, _, _ = fdm_pallas.fdm_step_pallas(
         temp, q, t_inf, h, coeffs,
         conv_offsets=buckets.offsets,
         conv_lead=buckets.lead_words,
@@ -192,7 +192,12 @@ def test_block_kernels_match_solo_bitwise(geom):
     q = jnp.zeros((batch,) + geom.shape, jnp.float32)
     t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
     h = jnp.full((batch,), 12.0, jnp.float32)
-    for method in ("jacobi", "chebyshev"):
+    # check_every > 1 is included for chebyshev: the original block
+    # kernel froze envs at sub-iteration granularity while the solo kernel
+    # samples the residual only at chunk boundaries, so block results
+    # depended on block composition (code-review r4 finding, confirmed at
+    # 0.038 K divergence before the fix).
+    for method, ce in (("jacobi", 1), ("chebyshev", 1), ("chebyshev", 4)):
         kw = dict(
             convergence_threshold=0.1,
             iteration_limit=100,
@@ -200,15 +205,17 @@ def test_block_kernels_match_solo_bitwise(geom):
             method=method,
             spectral_radius=rho,
             stat_layout=layout,
+            check_every=ce,
         )
-        o1, i1, s1 = fdm_pallas.fdm_step_pallas(
+        o1, i1, c1, s1 = fdm_pallas.fdm_step_pallas(
             temp, q, t_inf, h, coeffs, block_envs=1, **kw
         )
-        o4, i4, s4 = fdm_pallas.fdm_step_pallas(
+        o4, i4, c4, s4 = fdm_pallas.fdm_step_pallas(
             temp, q, t_inf, h, coeffs, block_envs=4, **kw
         )
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o4))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c4))
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
 
 
@@ -220,3 +227,43 @@ def test_sb1_preset_solver_tuning():
     cfg = presets.sb1_config(num_days_in_episode=1)
     assert cfg.cheby_check_every == 4
     assert cfg.pallas_block_envs == 1
+
+
+def test_converged_flag_semantics(geom):
+    """The kernels report the residual criterion itself, not
+    `iterations < iteration_limit`: a capped solve is unconverged even
+    when the count equals the cap, and with check_every > 1 a converged
+    chebyshev solve may legitimately report a count above the limit."""
+    coeffs = fdm.stencil_coefficients(geom, 300.0)
+    rho = fdm.estimate_spectral_radius(coeffs, 12.0)
+    rng = np.random.default_rng(0)
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (2,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((2,) + geom.shape, jnp.float32)
+    t_inf = jnp.full((2,), 270.0, jnp.float32)
+    h = jnp.full((2,), 12.0, jnp.float32)
+
+    # Cap far below convergence: unconverged, count == cap.
+    _, iters, conv = fdm_pallas.fdm_step_pallas(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=3, interpret=True,
+    )
+    assert not np.asarray(conv).any()
+    assert (np.asarray(iters) == 3).all()
+
+    # Generous cap: converged; chebyshev check_every=4 may report counts
+    # off the ce grid only through the +1 initial iterate.
+    _, iters_j, conv_j = fdm_pallas.fdm_step_pallas(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100, interpret=True,
+    )
+    assert np.asarray(conv_j).all()
+    assert (np.asarray(iters_j) < 100).all()
+    _, iters_c, conv_c = fdm_pallas.fdm_step_pallas(
+        temp, q, t_inf, h, coeffs,
+        convergence_threshold=0.1, iteration_limit=100, interpret=True,
+        method="chebyshev", spectral_radius=rho, check_every=4,
+    )
+    assert np.asarray(conv_c).all()
+    assert ((np.asarray(iters_c) - 1) % 4 == 0).all()
