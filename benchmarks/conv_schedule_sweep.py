@@ -1,0 +1,72 @@
+"""CPU study (round-5 prep): can a different 12-round swap SCHEDULE pass
+the KS budget that the default schedule only meets at 16 rounds?
+
+The in-kernel swap rounds are the largest non-FDM floor item
+(~1.4 us/env, 16 serial rounds). CONV_ROUNDS_r03.json showed the DEFAULT
+schedule needs 16 rounds (KS 0.28 at 12 vs the 0.25 budget), but the
+extra-offset selection beyond the 4 core rounds is seeded randomness
+(ConvectionConfig.seed) - schedule composition is a free variable this
+sweep explores: several 12-round schedules (different seeds) against the
+16-round control, scored exactly like
+tests/test_convection.py::TestSwapVsExactShuffleStatistics.
+
+A 12-round schedule inside the budget would buy ~0.3 us/env next round
+(pending on-chip re-validation); a null result pins 16 rounds as
+schedule-robust, not seed luck.
+"""
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+
+from conv_rounds_sweep import run_exact, run_swap, worst_stats  # noqa: E402
+from sbsim_tpu.envs import presets  # noqa: E402
+
+
+def main():
+    base = presets.sb1_config(num_days_in_episode=1)
+    base = dataclasses.replace(
+        base,
+        occupancy=dataclasses.replace(base.occupancy, kind="step_function"),
+    )
+    exact = run_exact(base)
+    rows = []
+    variants = [(16, 5), (12, 5), (12, 11), (12, 23), (12, 101), (10, 101), (8, 101)]
+    for rounds, seed in variants:
+        cfg = dataclasses.replace(
+            base,
+            convection=dataclasses.replace(
+                base.convection, rounds=rounds, seed=seed
+            ),
+        )
+        swap, env = run_swap(cfg)
+        ks, dmean = worst_stats(env, swap, exact)
+        row = dict(
+            rounds=rounds,
+            schedule_seed=seed,
+            offsets=[list(o) for o in env.convection.offsets],
+            p_round=env.convection.p_round,
+            worst_zone_ks=round(float(ks), 4),
+            worst_zone_dmean_K=round(float(dmean), 4),
+        )
+        rows.append(row)
+        print(json.dumps({k: v for k, v in row.items() if k != "offsets"}),
+              flush=True)
+    import os
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts", "CONV_SCHEDULES_r04.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=2)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

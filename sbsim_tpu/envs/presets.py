@@ -207,8 +207,18 @@ def sb1_config(
             latest_expected_departure_hour=18,
             time_zone="US/Pacific",
         ),
+        # rounds=10 with the seed-101 offset schedule: the round-4 schedule
+        # sweep (artifacts/CONV_SCHEDULES_r04.json) measured worst-zone KS
+        # vs the exact reference shuffle of 0.096 (dmean 0.051 K) - BETTER
+        # than the 16-round default-seed schedule (0.134/0.060) at 37%
+        # fewer serial in-kernel swap rounds. Schedule composition, not
+        # round count, is the fidelity lever: 12-round schedules span KS
+        # 0.10-0.67 across seeds.
         convection=ConvectionConfig(
-            p=convection_p, distance=convection_distance, seed=5
+            p=convection_p,
+            distance=convection_distance,
+            seed=101,
+            rounds=10,
         ),
         reward=RegretRewardConfig(),
         start_timestamp="2023-07-06 07:00:00+00:00",
