@@ -178,3 +178,35 @@ def test_synthetic_office_plan_processes():
     plan = geometry.make_synthetic_office_plan(2, 3, room_cvs=8)
     processed = floorplan.process_floor_plan(plan)
     assert processed.n_rooms == 6
+
+
+class TestGridStats:
+    """physics/gridstats: the deterministic windowed fold."""
+
+    def test_fold_matches_f64_sum_and_is_batch_invariant(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sbsim_tpu.envs import presets
+        from sbsim_tpu.envs.building_env import build_geometry
+        from sbsim_tpu.physics import gridstats
+
+        geom = build_geometry(presets.sb1_config(num_days_in_episode=1))
+        layout = gridstats.make_zone_stat_layout(geom)
+        rng = np.random.default_rng(3)
+        temp = jnp.asarray(
+            294.0 + rng.normal(0, 3.0, geom.shape), jnp.float32
+        )
+        zs = np.asarray(gridstats.zone_sums(temp, layout))
+        zone_ids = np.asarray(geom.zone_ids)
+        t64 = np.asarray(temp, np.float64)
+        for z in range(geom.n_zones):
+            expect = t64[zone_ids == z].sum()
+            assert abs(zs[z] - expect) / abs(expect) < 1e-6
+        gs = float(gridstats.grid_sum(temp))
+        assert abs(gs - t64.sum()) / abs(t64.sum()) < 1e-6
+        # Batch-size invariance: identical bits under vmap at any width.
+        f = lambda t: gridstats.zone_sums(t, layout)
+        b1 = jax.vmap(f)(temp[None])
+        b8 = jax.vmap(f)(jnp.stack([temp] * 8))
+        assert np.array_equal(np.asarray(b1[0]), np.asarray(b8[0]))
