@@ -40,7 +40,14 @@ def main():
     )
     exact = run_exact(base)
     rows = []
-    variants = [(16, 5), (12, 5), (12, 11), (12, 23), (12, 101), (10, 101), (8, 101)]
+    import os
+
+    env_var = os.environ.get("CONV_SWEEP_VARIANTS")
+    if env_var:
+        variants = [tuple(map(int, v.split(":"))) for v in env_var.split(",")]
+    else:
+        variants = [(16, 5), (12, 5), (12, 11), (12, 23), (12, 101),
+                    (10, 101), (8, 101)]
     for rounds, seed in variants:
         cfg = dataclasses.replace(
             base,
@@ -62,7 +69,7 @@ def main():
         print(json.dumps({k: v for k, v in row.items() if k != "offsets"}),
               flush=True)
     import os
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts", "CONV_SCHEDULES_r04.json")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts", os.environ.get("CONV_SWEEP_OUT", "CONV_SCHEDULES_r04.json"))
     with open(out, "w") as f:
         json.dump(rows, f, indent=2)
         f.write("\n")
