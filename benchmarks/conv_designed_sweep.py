@@ -1,0 +1,89 @@
+"""CPU study: DESIGNED 8-round swap schedules vs the adopted 10-round one.
+
+Seeded schedule search found 8 rounds failing at every seed tried (KS
+0.38-0.85, CONV_SCHEDULES_r04b.json) while one 10-round schedule (seed
+101) beats the 16-round default. This sweep tests hand-designed 8-round
+compositions through the new ConvectionConfig.schedule knob - balanced
+diagonals, long axes in both phases, and the winner's long-range motif -
+scored identically to the seeded sweeps.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conv_rounds_sweep import run_exact, run_swap, worst_stats  # noqa: E402
+from sbsim_tpu.envs import presets  # noqa: E402
+
+CORE = ((0, 1, 0), (1, 0, 0), (0, 1, 1), (1, 0, 1))
+DESIGNS = {
+    "d8_balanced_diag": CORE + ((1, 1, 0), (1, -1, 1), (2, 1, 0), (2, -1, 1)),
+    "d8_long_axes": CORE + ((2, 0, 0), (2, 0, 1), (0, 2, 0), (0, 2, 1)),
+    "d8_winner_motif": CORE + ((2, 1, 0), (2, 1, 1), (1, 1, 0), (1, -2, 1)),
+    "d8_max_disp": CORE + ((2, 1, 0), (1, 2, 1), (2, -1, 0), (1, -2, 1)),
+    "d10_winner_motif": CORE
+    + ((2, 1, 0), (2, 1, 1), (1, 1, 0), (1, -2, 1), (2, -1, 0), (1, 2, 1)),
+}
+
+
+def main():
+    base = presets.sb1_config(num_days_in_episode=1)
+    base = dataclasses.replace(
+        base,
+        occupancy=dataclasses.replace(base.occupancy, kind="step_function"),
+    )
+    exact = run_exact(base)
+    rows = []
+    # Adopted seeded 10-round schedule as the in-sweep control.
+    control = dataclasses.replace(
+        base,
+        convection=dataclasses.replace(
+            base.convection, rounds=10, seed=101
+        ),
+    )
+    swap, env = run_swap(control)
+    ks, dmean = worst_stats(env, swap, exact)
+    rows.append(dict(name="control_seed101_r10",
+                     worst_zone_ks=round(float(ks), 4),
+                     worst_zone_dmean_K=round(float(dmean), 4)))
+    print(json.dumps(rows[-1]), flush=True)
+    for name, sched in DESIGNS.items():
+        cfg = dataclasses.replace(
+            base,
+            convection=dataclasses.replace(
+                base.convection, schedule=sched
+            ),
+        )
+        swap, env = run_swap(cfg)
+        ks, dmean = worst_stats(env, swap, exact)
+        rows.append(dict(
+            name=name,
+            schedule=[list(s) for s in sched],
+            p_round=env.convection.p_round,
+            worst_zone_ks=round(float(ks), 4),
+            worst_zone_dmean_K=round(float(dmean), 4),
+        ))
+        print(json.dumps({k: v for k, v in rows[-1].items()
+                          if k != "schedule"}), flush=True)
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",
+        "CONV_DESIGNED_r04.json",
+    )
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=2)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,7 @@ class BuildingEnv:
             variants=config.convection.variants,
             seed=config.convection.seed,
             rng=config.convection.rng,
+            schedule=config.convection.schedule,
         )
         self.reward_params = reward_lib.make_reward_params(config.reward)
         # Zone/grid statistics use the deterministic windowed fold

@@ -106,6 +106,14 @@ class ConvectionConfig:
     # Both generators pass the same bit-rate/independence and KS-vs-exact-
     # shuffle validation (tests/test_convection.py).
     rng: str = "mix32"
+    # Explicit swap-round schedule: a tuple of (dy, dx, phase) triples,
+    # applied in order (overrides seed/rounds selection entirely). The
+    # round-4 sweep showed schedule COMPOSITION dominates fidelity at a
+    # fixed round count (KS 0.10-0.82 across seeded schedules of the same
+    # length, artifacts/CONV_SCHEDULES_r04*.json); this knob makes designed
+    # schedules first-class. Offsets must respect the distance bound;
+    # phases are the lead-parity alternation (physics/convection._lead_mask).
+    schedule: Optional[Tuple[Tuple[int, int, int], ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

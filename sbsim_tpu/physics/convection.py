@@ -145,6 +145,7 @@ def make_convection_buckets(
     variants: int = 0,
     seed: int = 5,
     rng: str = "threefry",
+    schedule=None,
 ) -> ConvectionBuckets:
     """Precomputes the mixing structure.
 
@@ -152,7 +153,10 @@ def make_convection_buckets(
     lead mask per round. Rounds r and per-round swap probability p_round are
     sized so expected participations per CV ~= 2p, matching the reference's
     one initiated + one expected received swap (`rounds`=0 -> auto).
-    `variants` is unused by "swap" (kept for config compatibility).
+    `schedule` (a sequence of (dy, dx, phase) triples) overrides the
+    seeded offset selection entirely - the designed-schedule knob
+    (ConvectionConfig.schedule). `variants` is unused by "swap" (kept for
+    config compatibility).
     """
     del variants
     zone_ids = np.asarray(geom.zone_ids)
@@ -180,20 +184,47 @@ def make_convection_buckets(
     enabled = bool(p != 0 and distance != 0)
     p_round = 0.5
     if enabled and method == "swap":
-        schedule = _offset_schedule(distance, h, w)
+        in_bound = _offset_schedule(distance, h, w)
         # Core rounds: unit axis steps (or the full doubling ladder) in BOTH
         # parity phases - this is what makes each room's swap graph
         # connected so repeated steps mix globally.
         if distance == -1:
-            core = [(o, ph) for ph in (0, 1) for o in schedule]
+            core = [(o, ph) for ph in (0, 1) for o in in_bound]
         else:
             core = [(o, ph) for ph in (0, 1) for o in ((0, 1), (1, 0))]
         extras = [
             (o, ph)
             for ph in (0, 1)
-            for o in schedule
+            for o in in_bound
             if (o, ph) not in core
         ]
+        if schedule is not None:
+            chosen = [((dy, dx), ph) for dy, dx, ph in schedule]
+            if len(chosen) > 32:
+                raise ValueError(
+                    f"explicit schedule has {len(chosen)} rounds; swap "
+                    "decisions pack one bit per round into a uint32 word"
+                )
+            bound = set(in_bound)
+            for (dy, dx), ph in chosen:
+                if (dy, dx) not in bound or ph not in (0, 1):
+                    raise ValueError(
+                        f"schedule entry ({dy}, {dx}, {ph}) outside the "
+                        f"distance={distance} offset bound or phase range"
+                    )
+            rounds = len(chosen)
+            p_round = 2.0 * min(p, 1.0) / rounds
+            lead_masks = np.stack(
+                [
+                    _lead_mask(zone_ids, geom.n_zones, o, ph)
+                    for o, ph in chosen
+                ]
+            )
+            offsets = tuple(o for o, _ in chosen)
+            return _finish_buckets(
+                lead_masks, offsets, flat, segments, enabled, method,
+                p_round, rng,
+            )
         if rounds > 32:
             raise ValueError(
                 f"ConvectionConfig rounds={rounds} exceeds 32: swap "
@@ -241,14 +272,25 @@ def make_convection_buckets(
     else:
         lead_masks = np.zeros((1, h, w), bool)
         offsets = ((0, 1),)
-    # Static masks packed one bit per round into two uint32 planes: the
-    # (R, H, W) f32 masks tensor would be re-DMA'd into VMEM by every one
-    # of B kernel programs (~0.5 MB each at R=16 sb1 scale); the packed
-    # planes are 8x smaller and turn the per-round mask test into a bit
-    # test. foll_words[y, x] bit r == lead_masks[r] rolled by offset r
-    # (the follower of a pair is the lead shifted by the round's offset;
-    # the roll wraparound is harmless because lead_masks exclude pairs
-    # that cross the grid edge).
+    return _finish_buckets(
+        lead_masks, offsets, flat, segments, enabled, method, p_round, rng
+    )
+
+
+def _finish_buckets(
+    lead_masks, offsets, flat, segments, enabled, method, p_round, rng
+) -> ConvectionBuckets:
+    """Packs the per-round masks and builds the ConvectionBuckets.
+
+    Static masks pack one bit per round into two uint32 planes: the
+    (R, H, W) f32 masks tensor would be re-DMA'd into VMEM by every one
+    of B kernel programs (~0.5 MB each at R=16 sb1 scale); the packed
+    planes are 8x smaller and turn the per-round mask test into a bit
+    test. foll_words[y, x] bit r == lead_masks[r] rolled by offset r
+    (the follower of a pair is the lead shifted by the round's offset;
+    the roll wraparound is harmless because lead_masks exclude pairs
+    that cross the grid edge)."""
+    h, w = lead_masks.shape[1:]
     lead_words_np = np.zeros((h, w), np.uint32)
     foll_words_np = np.zeros((h, w), np.uint32)
     for r, (dy, dx) in enumerate(offsets):

@@ -389,3 +389,49 @@ def test_swap_decision_word_bit_rates(rng):
     # per-env half of the bitwise batch-isolation guarantee).
     solo = convection.swap_decision_word(buckets, keys[3], geom.shape)
     assert np.array_equal(np.asarray(solo), words[3])
+
+
+class TestExplicitSchedule:
+    """ConvectionConfig.schedule: designed swap schedules are first-class."""
+
+    def test_schedule_override_and_validation(self):
+        import dataclasses
+
+        from sbsim_tpu.envs import presets
+        from sbsim_tpu.envs.building_env import BuildingEnv
+
+        sched = ((0, 1, 0), (1, 0, 0), (0, 1, 1), (1, 0, 1), (2, 1, 0))
+        cfg = presets.sb1_config(num_days_in_episode=1)
+        cfg = dataclasses.replace(
+            cfg,
+            convection=dataclasses.replace(cfg.convection, schedule=sched),
+        )
+        env = BuildingEnv(cfg)
+        assert env.convection.offsets == tuple((s[0], s[1]) for s in sched)
+        assert env.convection.p_round == pytest.approx(2.0 / len(sched))
+        # Swaps still apply as permutations (room multisets preserved).
+        key = jax.random.PRNGKey(0)
+        temp = jnp.asarray(
+            294.0
+            + np.random.default_rng(0).normal(0, 2, env.geom.shape),
+            jnp.float32,
+        )
+        mixed = convection.apply_convection(temp, env.convection, key)
+        zone_ids = np.asarray(env.geom.zone_ids)
+        for z in range(env.geom.n_zones):
+            m = zone_ids == z
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(temp)[m]),
+                np.sort(np.asarray(mixed)[m]),
+            )
+
+        # Out-of-bound offsets and bad phases are rejected.
+        for bad in (((3, 3, 0),), ((0, 1, 2),)):
+            bad_cfg = dataclasses.replace(
+                cfg,
+                convection=dataclasses.replace(
+                    cfg.convection, schedule=sched + bad
+                ),
+            )
+            with pytest.raises(ValueError):
+                BuildingEnv(bad_cfg)
