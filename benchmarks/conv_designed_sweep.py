@@ -13,17 +13,14 @@ import json
 import os
 import sys
 
-import numpy as np
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from conv_rounds_sweep import run_exact, run_swap, worst_stats  # noqa: E402
+from conv_rounds_sweep import run_exact, score_config  # noqa: E402
 from sbsim_tpu.envs import presets  # noqa: E402
 
 CORE = ((0, 1, 0), (1, 0, 0), (0, 1, 1), (1, 0, 1))
@@ -52,11 +49,9 @@ def main():
             base.convection, rounds=10, seed=101
         ),
     )
-    swap, env = run_swap(control)
-    ks, dmean = worst_stats(env, swap, exact)
+    _, ks, dmean = score_config(control, exact)
     rows.append(dict(name="control_seed101_r10",
-                     worst_zone_ks=round(float(ks), 4),
-                     worst_zone_dmean_K=round(float(dmean), 4)))
+                     worst_zone_ks=ks, worst_zone_dmean_K=dmean))
     print(json.dumps(rows[-1]), flush=True)
     for name, sched in DESIGNS.items():
         cfg = dataclasses.replace(
@@ -65,14 +60,13 @@ def main():
                 base.convection, schedule=sched
             ),
         )
-        swap, env = run_swap(cfg)
-        ks, dmean = worst_stats(env, swap, exact)
+        env, ks, dmean = score_config(cfg, exact)
         rows.append(dict(
             name=name,
             schedule=[list(s) for s in sched],
             p_round=env.convection.p_round,
-            worst_zone_ks=round(float(ks), 4),
-            worst_zone_dmean_K=round(float(dmean), 4),
+            worst_zone_ks=ks,
+            worst_zone_dmean_K=dmean,
         ))
         print(json.dumps({k: v for k, v in rows[-1].items()
                           if k != "schedule"}), flush=True)

@@ -82,6 +82,15 @@ def worst_stats(env, a, b):
     return worst_ks, worst_dmean
 
 
+def score_config(cfg, exact):
+    """Runs the swap path for `cfg` and scores it against the exact-oracle
+    fields. Returns (env, worst_zone_ks, worst_zone_dmean); shared by the
+    schedule sweeps."""
+    swap, env = run_swap(cfg)
+    ks, dmean = worst_stats(env, swap, exact)
+    return env, round(float(ks), 4), round(float(dmean), 4)
+
+
 def main():
     base = presets.sb1_config(num_days_in_episode=1)
     base = dataclasses.replace(

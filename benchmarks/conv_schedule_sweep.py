@@ -28,7 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, ".")
 
-from conv_rounds_sweep import run_exact, run_swap, worst_stats  # noqa: E402
+from conv_rounds_sweep import run_exact, score_config  # noqa: E402
 from sbsim_tpu.envs import presets  # noqa: E402
 
 
@@ -38,10 +38,10 @@ def main():
         base,
         occupancy=dataclasses.replace(base.occupancy, kind="step_function"),
     )
-    exact = run_exact(base)
-    rows = []
     import os
 
+    exact = run_exact(base)
+    rows = []
     env_var = os.environ.get("CONV_SWEEP_VARIANTS")
     if env_var:
         variants = [tuple(map(int, v.split(":"))) for v in env_var.split(",")]
@@ -55,20 +55,18 @@ def main():
                 base.convection, rounds=rounds, seed=seed
             ),
         )
-        swap, env = run_swap(cfg)
-        ks, dmean = worst_stats(env, swap, exact)
+        env, ks, dmean = score_config(cfg, exact)
         row = dict(
             rounds=rounds,
             schedule_seed=seed,
             offsets=[list(o) for o in env.convection.offsets],
             p_round=env.convection.p_round,
-            worst_zone_ks=round(float(ks), 4),
-            worst_zone_dmean_K=round(float(dmean), 4),
+            worst_zone_ks=ks,
+            worst_zone_dmean_K=dmean,
         )
         rows.append(row)
         print(json.dumps({k: v for k, v in row.items() if k != "offsets"}),
               flush=True)
-    import os
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts", os.environ.get("CONV_SWEEP_OUT", "CONV_SCHEDULES_r04.json"))
     with open(out, "w") as f:
         json.dump(rows, f, indent=2)

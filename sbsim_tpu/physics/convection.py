@@ -185,20 +185,8 @@ def make_convection_buckets(
     p_round = 0.5
     if enabled and method == "swap":
         in_bound = _offset_schedule(distance, h, w)
-        # Core rounds: unit axis steps (or the full doubling ladder) in BOTH
-        # parity phases - this is what makes each room's swap graph
-        # connected so repeated steps mix globally.
-        if distance == -1:
-            core = [(o, ph) for ph in (0, 1) for o in in_bound]
-        else:
-            core = [(o, ph) for ph in (0, 1) for o in ((0, 1), (1, 0))]
-        extras = [
-            (o, ph)
-            for ph in (0, 1)
-            for o in in_bound
-            if (o, ph) not in core
-        ]
         if schedule is not None:
+            # Explicit designed schedule: bypass the seeded selection.
             chosen = [((dy, dx), ph) for dy, dx, ph in schedule]
             if len(chosen) > 32:
                 raise ValueError(
@@ -212,19 +200,30 @@ def make_convection_buckets(
                         f"schedule entry ({dy}, {dx}, {ph}) outside the "
                         f"distance={distance} offset bound or phase range"
                     )
-            rounds = len(chosen)
-            p_round = 2.0 * min(p, 1.0) / rounds
+            p_round = 2.0 * min(p, 1.0) / len(chosen)
             lead_masks = np.stack(
                 [
                     _lead_mask(zone_ids, geom.n_zones, o, ph)
                     for o, ph in chosen
                 ]
             )
-            offsets = tuple(o for o, _ in chosen)
             return _finish_buckets(
-                lead_masks, offsets, flat, segments, enabled, method,
-                p_round, rng,
+                lead_masks, tuple(o for o, _ in chosen), flat, segments,
+                enabled, method, p_round, rng,
             )
+        # Core rounds: unit axis steps (or the full doubling ladder) in BOTH
+        # parity phases - this is what makes each room's swap graph
+        # connected so repeated steps mix globally.
+        if distance == -1:
+            core = [(o, ph) for ph in (0, 1) for o in in_bound]
+        else:
+            core = [(o, ph) for ph in (0, 1) for o in ((0, 1), (1, 0))]
+        extras = [
+            (o, ph)
+            for ph in (0, 1)
+            for o in in_bound
+            if (o, ph) not in core
+        ]
         if rounds > 32:
             raise ValueError(
                 f"ConvectionConfig rounds={rounds} exceeds 32: swap "

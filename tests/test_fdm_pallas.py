@@ -227,6 +227,9 @@ def test_sb1_preset_solver_tuning():
     cfg = presets.sb1_config(num_days_in_episode=1)
     assert cfg.cheby_check_every == 4
     assert cfg.pallas_block_envs == 1
+    # The 10-round seed-101 convection schedule (KS 0.096 vs the 16-round
+    # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json).
+    assert cfg.convection.rounds == 10 and cfg.convection.seed == 101
 
 
 def test_converged_flag_semantics(geom):
