@@ -144,7 +144,8 @@ def sb1_config(
     replay a different record, or `weather_kind="sinusoid"` for the
     synthetic 273-283 K diurnal profile (WeatherController semantics).
     """
-    if floor_plan is None:
+    default_plan = floor_plan is None
+    if default_plan:
         floor_plan = make_synthetic_office_plan(
             n_rooms_x=3, n_rooms_y=4, room_cvs=14
         )
@@ -207,18 +208,27 @@ def sb1_config(
             latest_expected_departure_hour=18,
             time_zone="US/Pacific",
         ),
-        # rounds=10 with the seed-101 offset schedule: the round-4 schedule
-        # sweep (artifacts/CONV_SCHEDULES_r04.json) measured worst-zone KS
-        # vs the exact reference shuffle of 0.096 (dmean 0.051 K) - BETTER
-        # than the 16-round default-seed schedule (0.134/0.060) at 37%
-        # fewer serial in-kernel swap rounds. Schedule composition, not
-        # round count, is the fidelity lever: 12-round schedules span KS
-        # 0.10-0.67 across seeds.
-        convection=ConvectionConfig(
-            p=convection_p,
-            distance=convection_distance,
-            seed=101,
-            rounds=10,
+        # Default plan only: rounds=10 with the seed-101 offset schedule -
+        # the round-4 schedule sweep (artifacts/CONV_SCHEDULES_r04.json)
+        # measured worst-zone KS vs the exact reference shuffle of 0.096
+        # (dmean 0.051 K), BETTER than the 16-round default-seed schedule
+        # (0.134/0.060) at 37% fewer serial in-kernel swap rounds, and the
+        # win replicates under independent evaluation randomness. The
+        # validation is PLAN-SPECIFIC: on other room sizes the pinned
+        # schedule scores worse than auto-sizing (CONV_SCHEDULES_r04_
+        # transfer.json), so custom floor plans keep the conservative
+        # auto-sized 16 rounds.
+        convection=(
+            ConvectionConfig(
+                p=convection_p,
+                distance=convection_distance,
+                seed=101,
+                rounds=10,
+            )
+            if default_plan
+            else ConvectionConfig(
+                p=convection_p, distance=convection_distance, seed=5
+            )
         ),
         reward=RegretRewardConfig(),
         start_timestamp="2023-07-06 07:00:00+00:00",

@@ -35,6 +35,13 @@ match the exact reference shuffle to worst-zone two-sample KS <= 0.25
 and worst-zone mean difference <= 0.5 K (measured ~0.2 K, within the
 seed-to-seed trajectory noise of the exact path itself). On the two-zone
 plan: KS ~0.08-0.10, p > 0.7.
+
+Round-4 finding: at a FIXED round count, the offset-schedule composition
+dominates fidelity (KS 0.10-0.82 across same-length seeded schedules).
+The calibrated preset therefore pins an explicit measured-best schedule —
+rounds=10, seed=101, KS 0.096, replicated under independent evaluation
+randomness (artifacts/CONV_SCHEDULES_r04*.json) — and designed schedules
+are first-class via ConvectionConfig.schedule.
 """
 
 from __future__ import annotations

@@ -229,7 +229,17 @@ def test_sb1_preset_solver_tuning():
     assert cfg.pallas_block_envs == 1
     # The 10-round seed-101 convection schedule (KS 0.096 vs the 16-round
     # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json).
+    # Plan-specific: custom floor plans keep the conservative auto-sizing
+    # (the schedule does not transfer across room sizes,
+    # CONV_SCHEDULES_r04_transfer.json).
     assert cfg.convection.rounds == 10 and cfg.convection.seed == 101
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+
+    custom = presets.sb1_config(
+        num_days_in_episode=1,
+        floor_plan=make_synthetic_office_plan(2, 6, room_cvs=16),
+    )
+    assert custom.convection.rounds == 0 and custom.convection.seed == 5
 
 
 def test_converged_flag_semantics(geom):
