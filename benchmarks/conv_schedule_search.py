@@ -1,0 +1,124 @@
+"""Per-plan convection schedule search (build-time tool).
+
+The round-4 studies showed the swap-round offset schedule is the
+convection-fidelity lever AND that good schedules are plan-specific
+(artifacts/CONV_SCHEDULES_r04*.json): the 10-round schedule that beats
+16 rounds on the default sb1 plan scores worse than auto-sizing on other
+room sizes. This tool runs that search for ANY floor plan: it scores
+seeded candidate schedules at the requested round counts against the
+bit-exact reference shuffle oracle and reports every schedule that beats
+the auto-sized default, with the explicit (dy, dx, phase) triples ready
+to paste into ConvectionConfig.schedule.
+
+Usage (CPU, ~2-4 min per candidate — a build-time cost, not a runtime
+one):
+
+  python benchmarks/conv_schedule_search.py                    # default plan
+  python benchmarks/conv_schedule_search.py --rooms-x 2 --rooms-y 6 \
+      --room-cvs 16 --rounds 10 12 --seeds 5 11 23 47 101 \
+      --out artifacts/CONV_SEARCH_myplan.json
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conv_rounds_sweep import run_exact, score_config  # noqa: E402
+from sbsim_tpu.core.geometry import make_synthetic_office_plan  # noqa: E402
+from sbsim_tpu.envs import presets  # noqa: E402
+from sbsim_tpu.envs.building_env import BuildingEnv  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rooms-x", type=int, default=3)
+    p.add_argument("--rooms-y", type=int, default=4)
+    p.add_argument("--room-cvs", type=int, default=14)
+    p.add_argument("--rounds", type=int, nargs="+", default=[10, 12])
+    p.add_argument("--seeds", type=int, nargs="+",
+                   default=[5, 11, 23, 47, 101])
+    p.add_argument(
+        "--budget", type=float, default=0.25,
+        help="worst-zone KS acceptance budget (tests/test_convection.py)",
+    )
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    plan = make_synthetic_office_plan(
+        args.rooms_x, args.rooms_y, room_cvs=args.room_cvs
+    )
+    base = presets.sb1_config(num_days_in_episode=1, floor_plan=plan)
+    base = dataclasses.replace(
+        base,
+        occupancy=dataclasses.replace(base.occupancy, kind="step_function"),
+    )
+    exact = run_exact(base)
+
+    # Auto-sized default as the bar to beat.
+    _, ks0, dmean0 = score_config(base, exact)
+    auto_rounds = len(BuildingEnv(base).convection.offsets)
+    print(json.dumps({"candidate": "auto_default", "rounds": auto_rounds,
+                      "worst_zone_ks": ks0, "worst_zone_dmean_K": dmean0}),
+          flush=True)
+
+    rows = [dict(candidate="auto_default", rounds=auto_rounds,
+                 worst_zone_ks=ks0, worst_zone_dmean_K=dmean0)]
+    best = None
+    for rounds in args.rounds:
+        for seed in args.seeds:
+            cfg = dataclasses.replace(
+                base,
+                convection=dataclasses.replace(
+                    base.convection, rounds=rounds, seed=seed
+                ),
+            )
+            env, ks, dmean = score_config(cfg, exact)
+            row = dict(
+                candidate=f"r{rounds}_s{seed}",
+                rounds=rounds,
+                seed=seed,
+                worst_zone_ks=ks,
+                worst_zone_dmean_K=dmean,
+                beats_auto=bool(ks < ks0),
+                within_budget=bool(ks <= args.budget),
+                offsets=[list(o) for o in env.convection.offsets],
+            )
+            rows.append(row)
+            print(json.dumps({k: v for k, v in row.items()
+                              if k != "offsets"}), flush=True)
+            if row["within_budget"] and (
+                best is None
+                or rounds < best["rounds"]
+                or (rounds == best["rounds"]
+                    and ks < best["worst_zone_ks"])
+            ):
+                best = row
+    verdict = {
+        "plan": f"{args.rooms_x}x{args.rooms_y} rooms, "
+                f"{args.room_cvs} CVs/side",
+        "auto_default_ks": ks0,
+        "recommendation": (
+            best["candidate"] if best and (
+                best["rounds"] < auto_rounds
+                or best["worst_zone_ks"] < ks0
+            ) else "auto_default"
+        ),
+    }
+    print(json.dumps(verdict), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"verdict": verdict, "rows": rows}, f, indent=2)
+            f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
