@@ -1,0 +1,94 @@
+"""Full-scale (126-zone) stats-placement probe — ONE long-lived process.
+
+The round-4 full-scale bench measured 22.1k env-steps/s at batch 512
+(round 2: 57.0k on the OLD sinusoid-weather contract). Two suspects:
+
+  1. the in-kernel zone statistics are SERIAL per program and scale with
+     zone count (126 windowed folds per env per step);
+  2. replay weather drives a different FDM iteration count at this scale.
+
+This probe measures the same full-scale rollout with kernel stats ON vs
+OFF (XLA-side fold; bitwise-identical sums) and records the FDM iteration
+count, separating the two effects.
+
+Usage: timeout 3500 env PYTHONPATH=/root/repo python benchmarks/probe_r4e_fullscale.py
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "artifacts")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def record(payload):
+    with open(os.path.join(ART, "PROBE_r04.jsonl"), "a") as f:
+        f.write(json.dumps({"section": "fullscale_stats_r4", **payload}) + "\n")
+
+
+def main():
+    quick = "--cpu-smoke" in sys.argv
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+    solver = "xla_chebyshev" if quick else "pallas_cheby"
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    batch = 16 if quick else 512
+    scan = 2 if quick else 16
+    plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+
+    for label, max_zones in (("kernel_stats", 128), ("xla_stats", 0)):
+        env = BuildingEnv(
+            dataclasses.replace(
+                presets.sb1_config(num_days_in_episode=2, floor_plan=plan),
+                kernel_stats_max_zones=max_zones,
+            )
+        )
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+        act = jnp.broadcast_to(table[0], (batch, env.n_actions))
+
+        def rollout(s):
+            def body(s, _):
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, out.reward
+
+            s, r = jax.lax.scan(body, s, None, length=scan)
+            return s, jnp.mean(r)
+
+        r = jax.jit(rollout)
+        t0 = time.time()
+        s, _ = jax.block_until_ready(r(states))
+        print(f"{label}: compile+run {time.time()-t0:.0f}s", flush=True)
+        best = 0.0
+        for _ in range(4):
+            t1 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            best = max(best, batch * scan / (time.perf_counter() - t1))
+        iters = float(np.asarray(s.fdm_iterations).mean())
+        print(f"{label}: {best:.0f} env-steps/s, fdm iters mean {iters:.1f}",
+              flush=True)
+        record({"variant": label, "batch": batch,
+                "env_steps_per_sec": round(best, 1),
+                "fdm_iters_mean": round(iters, 2)})
+
+    print("probe_r4e done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

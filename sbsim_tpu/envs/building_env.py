@@ -430,7 +430,8 @@ class BuildingEnv:
         kernel_stats = (
             solver.startswith("pallas")
             and (fuse_conv or not conv.enabled)
-            and self.geom.n_zones <= 128
+            and self.geom.n_zones
+            <= min(128, self.config.kernel_stats_max_zones)
         )
         new_zm = new_gm = None
         if solver.startswith("pallas"):

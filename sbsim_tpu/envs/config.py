@@ -220,6 +220,14 @@ class EnvConfig:
     # Per-env freezing keeps results bitwise-independent of block
     # composition either way.
     pallas_block_envs: int = 1
+    # Zone-count ceiling for kernel-emitted statistics. The in-kernel zone
+    # folds are SERIAL per program (one windowed fold per zone on tiny
+    # tiles), so their cost grows linearly with zone count while the
+    # XLA-side fold vectorizes over the batch; at high zone counts the
+    # XLA path can win. 0 forces XLA-side statistics everywhere (both
+    # paths produce bitwise-identical sums). Hard cap 128 regardless
+    # (zone sums pack into one 128-lane row).
+    kernel_stats_max_zones: int = 128
     num_days_in_episode: int = 14
     discount_factor: float = 0.9
     time_zone: str = "US/Pacific"
