@@ -200,17 +200,21 @@ def main():
     reps = []
     t_start = time.perf_counter()
     while len(reps) < args.max_repeats:
+        # Budget is checked before every repeat (not only past min-repeats)
+        # so a slow chip/config cannot exceed the stated wall budget by more
+        # than one repeat's duration; at least one repeat always runs.
+        if reps and time.perf_counter() - t_start > args.budget_sec:
+            break
         t0 = time.perf_counter()
         states, mean_r = rollout(states)
         jax.block_until_ready(states)
         dt = time.perf_counter() - t0
         reps.append(batch * n_steps / dt)
         if len(reps) >= max(args.min_repeats, 5):
-            if time.perf_counter() - t_start > args.budget_sec:
-                break
             if max(reps) <= max(reps[:-4]) * 1.01:
                 break
     best = max(reps)
+    median = float(sorted(reps)[len(reps) // 2])
     plateaued = len(reps) >= 5 and max(reps[-4:]) <= max(reps[:-4]) * 1.01
 
     unit = "env-steps/s" if not on_cpu else "env-steps/s (cpu fallback)"
@@ -221,6 +225,9 @@ def main():
                 "value": round(best, 1),
                 "unit": unit,
                 "vs_baseline": round(best / PER_CHIP_TARGET, 3),
+                "best": round(best, 1),
+                "median": round(median, 1),
+                "median_vs_baseline": round(median / PER_CHIP_TARGET, 3),
                 "solver": solver,
                 "batch": batch,
                 "weather": env.config.weather.kind,

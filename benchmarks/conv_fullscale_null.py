@@ -1,0 +1,151 @@
+"""Full-scale convection-fidelity NULL calibration.
+
+The full-scale schedule search (CONV_SEARCH_fullscale_9x14_12cv.json) found
+no candidate inside the 0.25 worst-zone-KS budget that was calibrated at 12
+zones (auto-16 reads 0.549). Before treating that as a fidelity failure,
+measure the NULLS at this scale:
+
+  * exact-vs-exact: two independent reference-shuffle oracle runs
+    (different seeds) — the distributional distance attributable to chaos +
+    finite samples alone, under the reference's own semantics;
+  * swap-vs-swap: two independent swap-path runs (different eval keys) —
+    the same-method null for the device path.
+
+If the exact-vs-exact null is the same order as the swap-vs-exact score,
+the score measures chaos at 126 zones, not a mixing mismatch, and the
+budget must be stated relative to the null.
+
+Usage: python benchmarks/conv_fullscale_null.py [--rooms-x 9 --rooms-y 14]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+import numpy as np  # noqa: E402
+
+from conv_rounds_sweep import (  # noqa: E402
+    N_STEPS,
+    SEEDS,
+    SETPOINTS,
+    run_exact,
+    run_swap,
+    worst_stats,
+)
+from sbsim_tpu.core.geometry import make_synthetic_office_plan  # noqa: E402
+from sbsim_tpu.envs import presets  # noqa: E402
+from sbsim_tpu.envs.building_env import BuildingEnv  # noqa: E402
+from sbsim_tpu.envs.exact_host import ExactHostSimulator  # noqa: E402
+
+
+def run_exact_seedbase(cfg, seed_base):
+    out = []
+    for s in range(SEEDS):
+        c2 = dataclasses.replace(
+            cfg,
+            convection=dataclasses.replace(
+                cfg.convection, seed=seed_base + s
+            ),
+        )
+        host = ExactHostSimulator(BuildingEnv(c2))
+        for _ in range(N_STEPS):
+            host.step(SETPOINTS)
+        out.append(host.temp.copy())
+    return np.stack(out)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rooms-x", type=int, default=9)
+    p.add_argument("--rooms-y", type=int, default=14)
+    p.add_argument("--room-cvs", type=int, default=12)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    plan = make_synthetic_office_plan(
+        args.rooms_x, args.rooms_y, room_cvs=args.room_cvs
+    )
+    base = presets.sb1_config(num_days_in_episode=1, floor_plan=plan)
+    base = dataclasses.replace(
+        base,
+        occupancy=dataclasses.replace(base.occupancy, kind="step_function"),
+    )
+    env = BuildingEnv(base)
+
+    exact_a = run_exact(base)  # seeds 100..103 (the search oracle)
+    exact_b = run_exact_seedbase(base, 200)
+    ks_ee, dmean_ee = worst_stats(env, exact_a, exact_b)
+    print(json.dumps({"null": "exact_vs_exact",
+                      "worst_zone_ks": round(float(ks_ee), 4),
+                      "worst_zone_dmean_K": round(float(dmean_ee), 4)}),
+          flush=True)
+
+    swap_a, _ = run_swap(base)
+    # Independent swap draw: different env reset key stream via a shifted
+    # convection seed variant (the swap path keys decisions off env rng,
+    # seeded by reset; shifting the config seed redraws the schedule too,
+    # so instead redraw via different reset keys).
+    import jax.numpy as jnp
+    from sbsim_tpu.agents import schedule_policy  # noqa: F401
+
+    def run_swap_keys(cfg, key0):
+        env2 = BuildingEnv(cfg)
+        action = jnp.asarray(env2.default_action(SETPOINTS))
+        keys = jax.random.split(jax.random.PRNGKey(key0), SEEDS)
+        states, _ = jax.jit(jax.vmap(env2.reset))(keys)
+
+        def roll(s):
+            def body(s, _):
+                s, _ = env2.step_batched(
+                    s,
+                    jnp.broadcast_to(action, (SEEDS, action.shape[0])),
+                    use_pallas=False,
+                )
+                return s, None
+
+            s, _ = jax.lax.scan(body, s, None, length=N_STEPS)
+            return s
+
+        return np.asarray(jax.jit(roll)(states).temp)
+
+    swap_b = run_swap_keys(base, 1042)
+    ks_ss, dmean_ss = worst_stats(env, swap_a, swap_b)
+    print(json.dumps({"null": "swap_vs_swap",
+                      "worst_zone_ks": round(float(ks_ss), 4),
+                      "worst_zone_dmean_K": round(float(dmean_ss), 4)}),
+          flush=True)
+
+    ks_se, dmean_se = worst_stats(env, swap_a, exact_a)
+    print(json.dumps({"score": "swap_vs_exact (auto default)",
+                      "worst_zone_ks": round(float(ks_se), 4),
+                      "worst_zone_dmean_K": round(float(dmean_se), 4)}),
+          flush=True)
+
+    out = args.out or "artifacts/CONV_FULLSCALE_NULL_r05.json"
+    with open(out, "w") as f:
+        json.dump({
+            "plan": f"{args.rooms_x}x{args.rooms_y} rooms, "
+                    f"{args.room_cvs} CVs/side",
+            "exact_vs_exact": {"worst_zone_ks": float(ks_ee),
+                               "worst_zone_dmean_K": float(dmean_ee)},
+            "swap_vs_swap": {"worst_zone_ks": float(ks_ss),
+                             "worst_zone_dmean_K": float(dmean_ss)},
+            "swap_vs_exact_auto": {"worst_zone_ks": float(ks_se),
+                                   "worst_zone_dmean_K": float(dmean_se)},
+        }, f, indent=2)
+        f.write("\n")
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

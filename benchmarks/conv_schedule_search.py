@@ -51,6 +51,12 @@ def main():
         help="worst-zone KS acceptance budget (tests/test_convection.py)",
     )
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--write-cache",
+        action="store_true",
+        help="record the winner in sbsim_tpu/data/conv_schedules.json so "
+        "presets.sb1_config(floor_plan=...) picks it up automatically",
+    )
     args = p.parse_args()
 
     plan = make_synthetic_office_plan(
@@ -118,6 +124,19 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"verdict": verdict, "rows": rows}, f, indent=2)
             f.write("\n")
+    if args.write_cache and verdict["recommendation"] != "auto_default":
+        from sbsim_tpu.scenario import conv_cache
+
+        key = conv_cache.record(
+            plan,
+            rounds=best["rounds"],
+            seed=best["seed"],
+            worst_zone_ks=best["worst_zone_ks"],
+            worst_zone_dmean_k=best["worst_zone_dmean_K"],
+            plan_desc=verdict["plan"],
+            source=args.out or "conv_schedule_search run",
+        )
+        print(json.dumps({"cache_key": key, **best}), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,197 @@
+"""Round-5 full-scale performance probe — ONE long-lived TPU process.
+
+VERDICT r4 next-round item #1: close the full-scale (126-room) gap from
+59.3k to >= 62.5k env-steps/s per chip. Three prepared levers, measured in
+one session:
+
+  1. stats-placement crossover: kernel-emitted vs XLA-side zone statistics
+     at 36/48/64/96/126 zones (the `kernel_stats_max_zones=32` default is
+     an interpolation between the measured 12-zone win and 126-zone loss);
+  2. grid orientation: the 124x189 full-scale grid pads its lane axis
+     189 -> 256 under Mosaic's (8, 128) f32 tiling (~26% of every VPU op
+     wasted); the transposed 189x124 layout pads 124 -> 128 (~3%);
+  3. full-scale TRAIN throughput (shard_map train step with the
+     recipe_for() settings) — previously only measured at 12 zones.
+
+Usage:
+  timeout 3500 env PYTHONPATH=/root/repo python benchmarks/probe_r5a.py
+  python benchmarks/probe_r5a.py --cpu-smoke          # fast CPU sanity
+  python benchmarks/probe_r5a.py --skip 1 2           # sections to skip
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(HERE, "..", "artifacts")
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(section, payload):
+    with open(os.path.join(ART, "PROBE_r05.jsonl"), "a") as f:
+        f.write(json.dumps({"section": section, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-smoke", action="store_true")
+    p.add_argument("--skip", type=int, nargs="*", default=[])
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--scan", type=int, default=16)
+    args = p.parse_args()
+    quick = args.cpu_smoke
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+    solver = "xla_chebyshev" if quick else "pallas_cheby"
+    skip = set(args.skip)
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    batch = 16 if quick else args.batch
+    scan = 2 if quick else args.scan
+
+    def measure_rollout(env, repeats=4):
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+        def rollout(s):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, out.reward
+
+            s, r = jax.lax.scan(body, s, None, length=scan)
+            return s, jnp.mean(r)
+
+        r = jax.jit(rollout)
+        t0 = time.time()
+        s, _ = jax.block_until_ready(r(states))
+        compile_s = time.time() - t0
+        best = 0.0
+        for _ in range(repeats):
+            t1 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            best = max(best, batch * scan / (time.perf_counter() - t1))
+        iters = float(np.asarray(s.fdm_iterations).mean())
+        return best, iters, compile_s
+
+    if 1 not in skip:
+        log("== section 1: stats-placement crossover ==")
+        plans = [(6, 6), (6, 8), (8, 8), (8, 12), (9, 14)]
+        if quick:
+            plans = [(2, 2), (3, 4)]
+        for rx, ry in plans:
+            plan = make_synthetic_office_plan(rx, ry, room_cvs=12)
+            zones = rx * ry
+            row = {"zones": zones, "plan": f"{rx}x{ry}", "batch": batch}
+            for label, max_zones in (("kernel", 128), ("xla", 0)):
+                env = BuildingEnv(
+                    dataclasses.replace(
+                        presets.sb1_config(
+                            num_days_in_episode=2, floor_plan=plan
+                        ),
+                        kernel_stats_max_zones=max_zones,
+                    )
+                )
+                rate, iters, comp = measure_rollout(env)
+                row[f"{label}_stats"] = round(rate, 1)
+                row[f"{label}_iters"] = round(iters, 2)
+                log(f"  {rx}x{ry} ({zones}z) {label}: {rate:.0f} "
+                    f"env-steps/s (iters {iters:.1f}, compile {comp:.0f}s)")
+            row["kernel_wins"] = bool(row["kernel_stats"] > row["xla_stats"])
+            record("stats_crossover_r5", row)
+
+    if 2 not in skip:
+        log("== section 2: full-scale grid orientation ==")
+        for rx, ry in ((9, 14), (14, 9)):
+            plan = make_synthetic_office_plan(rx, ry, room_cvs=12)
+            env = BuildingEnv(
+                presets.sb1_config(num_days_in_episode=2, floor_plan=plan)
+            )
+            h, w = env.geom.shape
+            pad_w = -w % 128
+            rate, iters, comp = measure_rollout(env)
+            log(f"  {rx}x{ry} grid {h}x{w} (lane pad {w}->{w + pad_w}): "
+                f"{rate:.0f} env-steps/s (iters {iters:.1f}, "
+                f"compile {comp:.0f}s)")
+            record("orientation_r5", {
+                "plan": f"{rx}x{ry}", "grid": [int(h), int(w)],
+                "lane_pad": int(pad_w), "batch": batch,
+                "env_steps_per_sec": round(rate, 1),
+                "fdm_iters_mean": round(iters, 2),
+            })
+
+    if 3 not in skip:
+        log("== section 3: full-scale shard_map TRAIN throughput ==")
+        from sbsim_tpu.agents import train as train_lib
+        from sbsim_tpu.agents.train import SACTrainer
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+        if quick:
+            plan = make_synthetic_office_plan(3, 4, room_cvs=12)
+        env = BuildingEnv(
+            presets.sb1_config(num_days_in_episode=2, floor_plan=plan)
+        )
+        n_envs = batch
+        trainer = SACTrainer(
+            env,
+            train_lib.recipe_for(
+                env,
+                n_envs=n_envs,
+                replay_capacity=n_envs * 16,
+                batch_size=n_envs,
+                seed_steps=0,
+                updates_per_env_step=1,
+            ),
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+        state = mesh_lib.shard_train_state(state, mesh)
+        step = mesh_lib.make_shardmapped_train_step(
+            trainer, mesh, state.replay,
+            solver="xla_chebyshev" if quick else "pallas_cheby",
+        )
+        t0 = time.time()
+        state, m = step(state)
+        jax.block_until_ready(m["reward_mean"])
+        log(f"  compile+run: {time.time()-t0:.1f}s")
+        chain = 2 if quick else 8
+        best_t = 0.0
+        for _ in range(2 if quick else 4):
+            t1 = time.perf_counter()
+            for _ in range(chain):
+                state, m = step(state)
+            jax.block_until_ready(m["reward_mean"])
+            best_t = max(best_t, chain * n_envs / (time.perf_counter() - t1))
+        log(f"  full-scale train: best {best_t:.0f} env-steps/s "
+            f"(chained x{chain})")
+        record("fullscale_train_r5", {
+            "zones": int(env.n_zones), "n_envs": n_envs,
+            "min_alpha": float(trainer.config.sac.min_alpha),
+            "env_steps_per_sec_best": round(best_t, 1),
+        })
+
+    log("probe_r5a done")
+
+
+if __name__ == "__main__":
+    main()

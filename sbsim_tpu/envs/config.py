@@ -207,6 +207,14 @@ class EnvConfig:
     # criterion) in ~2x fewer iterations - solutions agree within the
     # convergence threshold, iterate paths differ. Use for throughput.
     fdm_solver: str = "jacobi"
+    # Which reference simulator wiring the HOST/exact path replicates:
+    # "jacobi" = TFSimulator (sim_config.gin:168, f32 whole-grid Jacobi);
+    # "gauss_seidel" = SimulatorFlexibleGeometries
+    # (sim_config_legacy.gin:182, f64 scalar in-place sweep,
+    # simulator.py:98-316). Consumed by envs/exact_host.ExactHostSimulator
+    # when its solver arg is left as None; the device path always follows
+    # the TFSimulator (Jacobi fixed-point) semantics.
+    host_solver: str = "jacobi"
     # Chebyshev sub-iterations per residual check (Pallas kernel): >1
     # amortizes the per-iteration max-reduce + scalar branch at the cost
     # of at most (N-1) extra sub-iterations (the solve only gets more

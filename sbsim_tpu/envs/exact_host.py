@@ -144,7 +144,7 @@ class ExactHostSimulator:
         self,
         env: BuildingEnv,
         naive_timestamps: bool = False,
-        solver: str = "jacobi",
+        solver: Optional[str] = None,
     ):
         """Args:
         env: the configured BuildingEnv (for geometry/config/tables).
@@ -154,12 +154,16 @@ class ExactHostSimulator:
         solver: "jacobi" replicates TFSimulator (the sb1 default,
           tf_simulator.py:573-853); "gauss_seidel" replicates the legacy
           scalar in-place sweep (simulator.py:98-316, the
-          SimulatorFlexibleGeometries path).
+          SimulatorFlexibleGeometries path). None follows the config's
+          host_solver (which gin_compat sets from the simulator wiring the
+          gin file selects, sim_config_legacy.gin:182).
         """
         self.env = env
         self.cfg = env.config
         self.geom = env.geom
         self._naive = naive_timestamps
+        if solver is None:
+            solver = getattr(env.config, "host_solver", "jacobi")
         if solver not in ("jacobi", "gauss_seidel"):
             raise ValueError(f"unknown solver: {solver}")
         self.solver = solver

@@ -239,6 +239,16 @@ def env_config_from_gin(
         name: tuple(edges) for name, edges in hist_raw
     } if hist_raw else {}
 
+    # Which simulator the file wires into SimulatorBuilding decides the
+    # host-path solver semantics: TFSimulator (sim_config.gin:195) is the
+    # f32 whole-grid Jacobi; SimulatorFlexibleGeometries
+    # (sim_config_legacy.gin:208) is the f64 scalar Gauss-Seidel sweep.
+    simulator_ref = str(b.get("SimulatorBuilding.simulator", ""))
+    if "SimulatorFlexibleGeometries" in simulator_ref:
+        host_solver = "gauss_seidel"
+    else:
+        host_solver = "jacobi"
+
     cfg = presets.sb1_config(
         floor_plan=floor_plan, weather_csv=weather_csv
     )
@@ -314,6 +324,7 @@ def env_config_from_gin(
             energy_cost_weight=float(get("energy_cost_weight", 0.4)),
             carbon_emission_weight=float(get("carbon_emission_weight", 0.4)),
         ),
+        host_solver=host_solver,
         start_timestamp=str(
             b.get("start_timestamp", "2023-07-06 07:00:00+00:00")
         ),

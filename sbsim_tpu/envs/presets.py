@@ -128,6 +128,23 @@ SB1_WEATHER_NPZ = os.path.join(
 )
 
 
+def _searched_convection(
+    floor_plan: np.ndarray, p: float, distance: int
+) -> ConvectionConfig:
+    """ConvectionConfig carrying the plan's searched schedule, if any."""
+    from sbsim_tpu.scenario import conv_cache
+
+    entry = conv_cache.lookup(floor_plan)
+    if entry is not None:
+        return ConvectionConfig(
+            p=p,
+            distance=distance,
+            seed=int(entry["seed"]),
+            rounds=int(entry["rounds"]),
+        )
+    return ConvectionConfig(p=p, distance=distance, seed=5)
+
+
 def sb1_config(
     floor_plan: Optional[np.ndarray] = None,
     weather_csv: Optional[str] = None,
@@ -208,27 +225,17 @@ def sb1_config(
             latest_expected_departure_hour=18,
             time_zone="US/Pacific",
         ),
-        # Default plan only: rounds=10 with the seed-101 offset schedule -
-        # the round-4 schedule sweep (artifacts/CONV_SCHEDULES_r04.json)
-        # measured worst-zone KS vs the exact reference shuffle of 0.096
-        # (dmean 0.051 K), BETTER than the 16-round default-seed schedule
-        # (0.134/0.060) at 37% fewer serial in-kernel swap rounds, and the
-        # win replicates under independent evaluation randomness. The
-        # validation is PLAN-SPECIFIC: on other room sizes the pinned
-        # schedule scores worse than auto-sizing (CONV_SCHEDULES_r04_
-        # transfer.json), so custom floor plans keep the conservative
-        # auto-sized 16 rounds.
-        convection=(
-            ConvectionConfig(
-                p=convection_p,
-                distance=convection_distance,
-                seed=101,
-                rounds=10,
-            )
-            if default_plan
-            else ConvectionConfig(
-                p=convection_p, distance=convection_distance, seed=5
-            )
+        # Measured-best swap schedule PER PLAN: good schedules are
+        # plan-specific (the default plan's 10-round seed-101 schedule wins
+        # there with KS 0.096 vs auto-16's 0.134, but scores worse than
+        # auto-sizing on other room sizes - CONV_SCHEDULES_r04*.json +
+        # _transfer.json), so every plan that has been through the
+        # build-time search (benchmarks/conv_schedule_search.py
+        # --write-cache) picks up its own searched (rounds, seed) from
+        # scenario/conv_cache; unsearched plans keep the conservative
+        # auto-sized selection.
+        convection=_searched_convection(
+            floor_plan, convection_p, convection_distance
         ),
         reward=RegretRewardConfig(),
         start_timestamp="2023-07-06 07:00:00+00:00",

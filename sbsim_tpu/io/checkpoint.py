@@ -39,7 +39,12 @@ class TrainCheckpointer:
     def latest_step(self) -> Optional[int]:
         return self._manager.latest_step()
 
-    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+    def restore(
+        self,
+        template: TrainState,
+        step: Optional[int] = None,
+        env=None,
+    ) -> TrainState:
         """Restores into the structure of `template` (an initialized
         TrainState, used for shapes/dtypes).
 
@@ -48,7 +53,15 @@ class TrainCheckpointer:
         distributed.mesh.shard_train_state), the restore lands DIRECTLY on
         those shardings - each device reads only its shard, so resuming a
         multi-chip run never materializes the full replay ring on one host.
-        Plain numpy/host templates restore to host arrays as before."""
+        Plain numpy/host templates restore to host arrays as before.
+
+        Round-4 format break: EnvState gained zone_means/grid_mean (stats
+        computed where the field is produced), so round-3 checkpoints no
+        longer match the template structure. Pass `env` (the BuildingEnv
+        the template was built for) to restore such legacy checkpoints:
+        the shim reads the saved structure as-is and recomputes the
+        missing stats from the saved `temp` fields with the same
+        deterministic fold the env itself uses."""
         if step is None:
             step = self._manager.latest_step()
         if step is None:
@@ -61,11 +74,73 @@ class TrainCheckpointer:
                 )
             return np.asarray(x)
 
-        restored = self._manager.restore(
-            step,
-            args=ocp.args.StandardRestore(jax.tree.map(abstract, template)),
-        )
+        try:
+            restored = self._manager.restore(
+                step,
+                args=ocp.args.StandardRestore(
+                    jax.tree.map(abstract, template)
+                ),
+            )
+        except (ValueError, KeyError, TypeError):
+            if env is None:
+                raise
+            restored = self._restore_legacy(step, template, env)
         return jax.tree.map(lambda x: x, restored)
+
+    def _restore_legacy(self, step: int, template: TrainState, env):
+        """Restores a pre-round-4 checkpoint (EnvState without
+        zone_means/grid_mean) into the current TrainState structure."""
+        raw = self._manager.restore(step)  # saved structure, nested dicts
+
+        def lookup(node, path):
+            for key in path:
+                if hasattr(key, "idx"):  # SequenceKey (tuples of opt state)
+                    name, idx = str(key.idx), key.idx
+                else:  # GetAttrKey / DictKey
+                    name = getattr(key, "name", getattr(key, "key", None))
+                    idx = None
+                if isinstance(node, dict) and name in node:
+                    node = node[name]
+                elif (
+                    isinstance(node, (list, tuple))
+                    and idx is not None
+                    and idx < len(node)
+                ):
+                    node = node[idx]
+                else:
+                    return None
+            return node
+
+        paths_and_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+        treedef = jax.tree_util.tree_structure(template)
+        leaves = []
+        missing = []
+        for path, leaf in paths_and_leaves:
+            value = lookup(raw, path)
+            if value is None:
+                missing.append(tuple(
+                    getattr(k, "name", getattr(k, "key", "?")) for k in path
+                ))
+                leaves.append(leaf)  # placeholder; stats filled below
+            else:
+                leaves.append(np.asarray(value))
+        allowed = {"zone_means", "grid_mean"}
+        bad = [p for p in missing if p[-1] not in allowed]
+        if bad:
+            raise ValueError(
+                f"checkpoint step {step} is missing non-stat fields {bad}; "
+                "not a recognized legacy format"
+            )
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        zone_means, grid_mean = jax.jit(jax.vmap(env._grid_stats))(
+            state.env_states.temp
+        )
+        return state.replace(
+            env_states=state.env_states.replace(
+                zone_means=np.asarray(zone_means),
+                grid_mean=np.asarray(grid_mean),
+            )
+        )
 
     def close(self) -> None:
         self._manager.close()

@@ -195,10 +195,11 @@ def make_convection_buckets(
         if schedule is not None:
             # Explicit designed schedule: bypass the seeded selection.
             chosen = [((dy, dx), ph) for dy, dx, ph in schedule]
-            if len(chosen) > 32:
+            if not 0 < len(chosen) <= 32:
                 raise ValueError(
-                    f"explicit schedule has {len(chosen)} rounds; swap "
-                    "decisions pack one bit per round into a uint32 word"
+                    f"explicit schedule has {len(chosen)} rounds; need "
+                    "1..32 (swap decisions pack one bit per round into a "
+                    "uint32 word)"
                 )
             bound = set(in_bound)
             for (dy, dx), ph in chosen:
@@ -208,6 +209,13 @@ def make_convection_buckets(
                         f"distance={distance} offset bound or phase range"
                     )
             p_round = 2.0 * min(p, 1.0) / len(chosen)
+            if p_round > 1.0:
+                raise ValueError(
+                    f"explicit schedule of {len(chosen)} rounds gives "
+                    f"per-round swap probability {p_round:.3f} > 1 for "
+                    f"p={p}: every round would swap deterministically. "
+                    f"Use at least {int(np.ceil(2.0 * min(p, 1.0)))} rounds."
+                )
             lead_masks = np.stack(
                 [
                     _lead_mask(zone_ids, geom.n_zones, o, ph)

@@ -1,0 +1,88 @@
+"""Per-plan convection schedule cache.
+
+The round-4 studies established that the swap-round schedule is the
+convection-fidelity lever and that good schedules are PLAN-SPECIFIC
+(artifacts/CONV_SCHEDULES_r04*.json: the 10-round schedule that wins on the
+default sb1 plan scores worse than auto-sizing on other room sizes). The
+build-time search tool (benchmarks/conv_schedule_search.py) measures the
+best (rounds, seed) per plan against the bit-exact reference shuffle oracle
+(stochastic_convection_simulator.py:62-145 semantics); this module is the
+persistence layer that lets presets.sb1_config pick up those measured
+results automatically for ANY plan that has been searched, while unsearched
+plans keep the conservative auto-sized default.
+
+Cache entries are keyed by a content fingerprint of the floor-plan raster,
+so the same plan array always maps to the same searched schedule no matter
+how it was constructed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+_CACHE_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "conv_schedules.json"
+)
+
+
+def plan_fingerprint(plan: np.ndarray) -> str:
+    """Content hash of a floor-plan raster (shape + cell codes)."""
+    arr = np.ascontiguousarray(np.asarray(plan, np.float64))
+    h = hashlib.sha256()
+    h.update(np.asarray(arr.shape, np.int64).tobytes())
+    h.update(arr.tobytes())
+    return h.hexdigest()[:16]
+
+
+def _load(path: Optional[str] = None) -> Dict[str, Any]:
+    path = path or _CACHE_PATH
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def lookup(
+    plan: np.ndarray, path: Optional[str] = None
+) -> Optional[Dict[str, Any]]:
+    """Searched schedule entry for this plan, or None if never searched.
+
+    An entry carries {"rounds", "seed", "worst_zone_ks",
+    "worst_zone_dmean_K", "plan_desc", "source"}; rounds/seed feed
+    ConvectionConfig directly (the search expresses winners as seeded
+    selections, not explicit triples).
+    """
+    return _load(path).get(plan_fingerprint(plan))
+
+
+def record(
+    plan: np.ndarray,
+    rounds: int,
+    seed: int,
+    worst_zone_ks: float,
+    worst_zone_dmean_k: float,
+    plan_desc: str,
+    source: str,
+    path: Optional[str] = None,
+) -> str:
+    """Writes/updates the cache entry for this plan; returns the key."""
+    path = path or _CACHE_PATH
+    cache = _load(path)
+    key = plan_fingerprint(plan)
+    cache[key] = {
+        "rounds": int(rounds),
+        "seed": int(seed),
+        "worst_zone_ks": float(worst_zone_ks),
+        "worst_zone_dmean_K": float(worst_zone_dmean_k),
+        "plan_desc": plan_desc,
+        "source": source,
+    }
+    with open(path, "w") as f:
+        json.dump(cache, f, indent=2, sort_keys=True)
+        f.write("\n")
+    return key

@@ -435,3 +435,16 @@ class TestExplicitSchedule:
             )
             with pytest.raises(ValueError):
                 BuildingEnv(bad_cfg)
+
+        # Degenerate schedules fail loudly: an empty schedule (would divide
+        # by zero), and one with so few rounds that p_round = 2p/len > 1
+        # saturates every swap to probability 1 (p=1.0 default needs >= 2).
+        for degenerate in ((), ((0, 1, 0),)):
+            bad_cfg = dataclasses.replace(
+                cfg,
+                convection=dataclasses.replace(
+                    cfg.convection, schedule=degenerate
+                ),
+            )
+            with pytest.raises(ValueError):
+                BuildingEnv(bad_cfg)

@@ -228,18 +228,28 @@ def test_sb1_preset_solver_tuning():
     assert cfg.cheby_check_every == 4
     assert cfg.pallas_block_envs == 1
     # The 10-round seed-101 convection schedule (KS 0.096 vs the 16-round
-    # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json).
-    # Plan-specific: custom floor plans keep the conservative auto-sizing
-    # (the schedule does not transfer across room sizes,
-    # CONV_SCHEDULES_r04_transfer.json).
+    # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json),
+    # served from the per-plan schedule cache (scenario/conv_cache).
     assert cfg.convection.rounds == 10 and cfg.convection.seed == 101
     from sbsim_tpu.core.geometry import make_synthetic_office_plan
 
-    custom = presets.sb1_config(
+    # Searched custom plans pick up THEIR OWN measured-best schedule from
+    # the cache (2x6/16-CV: r12_s5, KS 0.1113 vs auto-16's 0.1904 -
+    # artifacts/CONV_SEARCH_2x6_16cv.json); schedules do not transfer
+    # across plans (CONV_SCHEDULES_r04_transfer.json), which is exactly
+    # why the lookup is per-plan.
+    searched = presets.sb1_config(
         num_days_in_episode=1,
         floor_plan=make_synthetic_office_plan(2, 6, room_cvs=16),
     )
-    assert custom.convection.rounds == 0 and custom.convection.seed == 5
+    assert searched.convection.rounds == 12 and searched.convection.seed == 5
+    # Never-searched plans keep the conservative auto-sizing.
+    unsearched = presets.sb1_config(
+        num_days_in_episode=1,
+        floor_plan=make_synthetic_office_plan(2, 2, room_cvs=9),
+    )
+    assert unsearched.convection.rounds == 0
+    assert unsearched.convection.seed == 5
 
 
 def test_converged_flag_semantics(geom):

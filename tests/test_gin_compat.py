@@ -7,6 +7,10 @@ import pytest
 from sbsim_tpu.envs import gin_compat
 
 SB1_GIN = "/root/reference/smart_control/configs/resources/sb1/sim_config.gin"
+SB1_GIN_LEGACY = (
+    "/root/reference/smart_control/configs/resources/sb1/"
+    "sim_config_legacy.gin"
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(SB1_GIN), reason="reference gin file not mounted"
@@ -93,8 +97,34 @@ def test_env_config_from_gin_builds_env():
     assert cfg.schedule.comfort_temp_window == (294.0, 297.0)
     assert cfg.reward.productivity_weight == 0.2
     assert "zone_air_temperature_sensor" in cfg.histogram_parameters
+    assert cfg.host_solver == "jacobi"  # TFSimulator wiring
     env = BuildingEnv(cfg)
     state, obs = env.reset(jax.random.PRNGKey(0))
     assert obs.shape == (env.obs_dim,)
     _, out = jax.jit(env.step)(state, jnp.zeros(env.n_actions))
     assert -1.0 <= float(out.reward) <= 0.0
+
+
+def test_env_config_from_legacy_gin():
+    """sim_config_legacy.gin wires SimulatorFlexibleGeometries (the f64
+    scalar Gauss-Seidel sweep) instead of TFSimulator; everything else
+    carries the same calibration constants."""
+    from sbsim_tpu.envs.exact_host import ExactHostSimulator
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    cfg = gin_compat.env_config_from_gin(SB1_GIN_LEGACY)
+    assert cfg.host_solver == "gauss_seidel"
+    # Shared calibration constants parse identically from both files.
+    base = gin_compat.env_config_from_gin(SB1_GIN)
+    assert cfg.time_step_sec == base.time_step_sec
+    assert cfg.schedule == base.schedule
+    assert cfg.reward == base.reward
+    assert cfg.hvac == base.hvac
+    assert cfg.observation_normalization == base.observation_normalization
+    assert cfg.action_normalizers == base.action_normalizers
+    assert cfg.histogram_parameters == base.histogram_parameters
+    # ExactHostSimulator picks the legacy scalar sweep from the config.
+    env = BuildingEnv(cfg)
+    sim = ExactHostSimulator(env)
+    assert sim.solver == "gauss_seidel"
+    assert ExactHostSimulator(env, solver="jacobi").solver == "jacobi"

@@ -134,3 +134,44 @@ class TestCheckpoint:
         cont, _ = step(restored)
         assert int(cont.env_steps) == int(state.env_steps) + 2
         ckpt.close()
+
+    def test_legacy_restore_without_stats_fields(self, env, tmp_path):
+        """Round-3 checkpoints predate EnvState.zone_means/grid_mean; the
+        restore shim recomputes them from the saved temp fields."""
+        import flax.serialization
+        import orbax.checkpoint as ocp
+
+        trainer = SACTrainer(
+            env, TrainConfig(n_envs=2, replay_capacity=64, batch_size=8,
+                             seed_steps=0)
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        state, _ = jax.jit(trainer.train_step)(state)
+
+        legacy = flax.serialization.to_state_dict(
+            jax.tree.map(np.asarray, state)
+        )
+        del legacy["env_states"]["zone_means"]
+        del legacy["env_states"]["grid_mean"]
+        ckpt = TrainCheckpointer(str(tmp_path / "legacy"))
+        ckpt._manager.save(7, args=ocp.args.StandardSave(legacy))
+        ckpt._manager.wait_until_finished()
+
+        template = trainer.init(jax.random.PRNGKey(1))
+        with pytest.raises((ValueError, KeyError, TypeError)):
+            ckpt.restore(template)  # strict restore fails without env
+        restored = ckpt.restore(template, env=env)
+        np.testing.assert_array_equal(
+            np.asarray(restored.env_states.temp),
+            np.asarray(state.env_states.temp),
+        )
+        # Stats recomputed with the env's own fold == the saved state's.
+        np.testing.assert_array_equal(
+            np.asarray(restored.env_states.zone_means),
+            np.asarray(state.env_states.zone_means),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(restored.env_states.grid_mean),
+            np.asarray(state.env_states.grid_mean),
+        )
+        ckpt.close()
