@@ -106,9 +106,17 @@ def main():
         # The recorded sb1 telemetry shows 126 VAV zones
         # (observation_response_2024.08.29.00).
         floor_plan = make_synthetic_office_plan(9, 14, room_cvs=12)
-    env = BuildingEnv(
-        presets.sb1_config(num_days_in_episode=2, floor_plan=floor_plan)
-    )
+    cfg = presets.sb1_config(num_days_in_episode=2, floor_plan=floor_plan)
+    if args.full_scale:
+        import dataclasses
+
+        # layout="auto" transposes the 124x189 grid so the Mosaic lane
+        # axis pads 124->128 instead of 189->256 (+9.4% measured,
+        # PROBE_r05.jsonl orientation_r5).
+        cfg = dataclasses.replace(
+            cfg, building=dataclasses.replace(cfg.building, layout="auto")
+        )
+    env = BuildingEnv(cfg)
     actions = jnp.asarray(schedule_policy.build_schedule_actions(env))
 
     keys = jax.random.split(jax.random.PRNGKey(0), batch)

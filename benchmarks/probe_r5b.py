@@ -1,0 +1,188 @@
+"""Round-5 probe B: fine stats-placement crossover + full-scale tuning.
+
+Session A (probe_r5a) bracketed the stats crossover to (12, 36) zones —
+kernel-emitted stats win at 12 (r4) but lose 2x already at 36. This
+session pins it with 16/20/24/28/32-zone plans, then tunes the
+transposed-layout full-scale config: batch sweep and the shard_map TRAIN
+step under layout="auto".
+
+Usage:
+  timeout 5400 env PYTHONPATH=/root/repo python benchmarks/probe_r5b.py
+  python benchmarks/probe_r5b.py --cpu-smoke
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(HERE, "..", "artifacts")
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(section, payload):
+    with open(os.path.join(ART, "PROBE_r05.jsonl"), "a") as f:
+        f.write(json.dumps({"section": section, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-smoke", action="store_true")
+    p.add_argument("--skip", type=int, nargs="*", default=[])
+    p.add_argument("--scan", type=int, default=16)
+    args = p.parse_args()
+    quick = args.cpu_smoke
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+    solver = "xla_chebyshev" if quick else "pallas_cheby"
+    skip = set(args.skip)
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    scan = 2 if quick else args.scan
+
+    def measure_rollout(env, batch, repeats=4):
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+        def rollout(s):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, out.reward
+
+            s, r = jax.lax.scan(body, s, None, length=scan)
+            return s, jnp.mean(r)
+
+        r = jax.jit(rollout)
+        t0 = time.time()
+        s, _ = jax.block_until_ready(r(states))
+        compile_s = time.time() - t0
+        best = 0.0
+        for _ in range(repeats):
+            t1 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            best = max(best, batch * scan / (time.perf_counter() - t1))
+        return best, compile_s
+
+    if 1 not in skip:
+        log("== section 1: fine stats crossover (16-32 zones) ==")
+        batch = 16 if quick else 512
+        plans = [(4, 4), (4, 5), (4, 6), (4, 7), (4, 8)]
+        if quick:
+            plans = [(2, 2)]
+        for rx, ry in plans:
+            plan = make_synthetic_office_plan(rx, ry, room_cvs=12)
+            zones = rx * ry
+            row = {"zones": zones, "plan": f"{rx}x{ry}", "batch": batch}
+            for label, max_zones in (("kernel", 128), ("xla", 0)):
+                env = BuildingEnv(
+                    dataclasses.replace(
+                        presets.sb1_config(
+                            num_days_in_episode=2, floor_plan=plan
+                        ),
+                        kernel_stats_max_zones=max_zones,
+                    )
+                )
+                rate, comp = measure_rollout(env, batch)
+                row[f"{label}_stats"] = round(rate, 1)
+                log(f"  {rx}x{ry} ({zones}z) {label}: {rate:.0f} "
+                    f"env-steps/s (compile {comp:.0f}s)")
+            row["kernel_wins"] = bool(row["kernel_stats"] > row["xla_stats"])
+            record("stats_crossover_fine_r5", row)
+
+    if 2 not in skip:
+        log("== section 2: full-scale batch sweep (auto layout) ==")
+        plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+        if quick:
+            plan = make_synthetic_office_plan(3, 4, room_cvs=12)
+        env = BuildingEnv(
+            presets.sb1_config(
+                num_days_in_episode=2, floor_plan=plan, layout="auto"
+            )
+        )
+        log(f"  grid={env.geom.shape}")
+        for batch in ((8, 16) if quick else (512, 1024, 2048)):
+            rate, comp = measure_rollout(env, batch)
+            log(f"  batch {batch}: {rate:.0f} env-steps/s "
+                f"(compile {comp:.0f}s)")
+            record("fullscale_batch_r5", {
+                "batch": batch, "grid": list(env.geom.shape),
+                "env_steps_per_sec": round(rate, 1),
+            })
+
+    if 3 not in skip:
+        log("== section 3: full-scale TRAIN, auto layout ==")
+        from sbsim_tpu.agents import train as train_lib
+        from sbsim_tpu.agents.train import SACTrainer
+        from sbsim_tpu.distributed import mesh as mesh_lib
+
+        plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+        if quick:
+            plan = make_synthetic_office_plan(3, 4, room_cvs=12)
+        env = BuildingEnv(
+            presets.sb1_config(
+                num_days_in_episode=2, floor_plan=plan, layout="auto"
+            )
+        )
+        n_envs = 16 if quick else 512
+        trainer = SACTrainer(
+            env,
+            train_lib.recipe_for(
+                env,
+                n_envs=n_envs,
+                replay_capacity=n_envs * 16,
+                batch_size=n_envs,
+                seed_steps=0,
+                updates_per_env_step=1,
+            ),
+        )
+        state = trainer.init(jax.random.PRNGKey(0))
+        mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+        state = mesh_lib.shard_train_state(state, mesh)
+        step = mesh_lib.make_shardmapped_train_step(
+            trainer, mesh, state.replay,
+            solver="xla_chebyshev" if quick else "pallas_cheby",
+        )
+        t0 = time.time()
+        state, m = step(state)
+        jax.block_until_ready(m["reward_mean"])
+        log(f"  compile+run: {time.time()-t0:.1f}s")
+        chain = 2 if quick else 8
+        best_t = 0.0
+        for _ in range(2 if quick else 4):
+            t1 = time.perf_counter()
+            for _ in range(chain):
+                state, m = step(state)
+            jax.block_until_ready(m["reward_mean"])
+            best_t = max(best_t, chain * n_envs / (time.perf_counter() - t1))
+        log(f"  full-scale train (auto layout): best {best_t:.0f} "
+            f"env-steps/s (chained x{chain})")
+        record("fullscale_train_auto_r5", {
+            "zones": int(env.n_zones), "grid": list(env.geom.shape),
+            "n_envs": n_envs,
+            "env_steps_per_sec_best": round(best_t, 1),
+        })
+
+    log("probe_r5b done")
+
+
+if __name__ == "__main__":
+    main()

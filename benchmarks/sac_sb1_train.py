@@ -80,7 +80,11 @@ def main():
         label = "sb1_126room"
     label += args.label_suffix
     env = BuildingEnv(
-        presets.sb1_config(num_days_in_episode=1, floor_plan=floor_plan)
+        presets.sb1_config(
+            num_days_in_episode=1,
+            floor_plan=floor_plan,
+            layout="auto" if args.full_scale else "ref",
+        )
     )
     n_eval = env.steps_per_episode  # one simulated day
     print(

@@ -204,6 +204,59 @@ def build_geometry(
     )
 
 
+def transpose_geometry(geom: BuildingGeometry) -> BuildingGeometry:
+    """The same building with the grid axes swapped (layout lever).
+
+    Mosaic tiles f32 arrays (8, 128): a grid whose LANE (last) axis pads
+    badly wastes VPU lanes on every vector op (the 124x189 full-scale grid
+    pads 189 -> 256, ~26% waste; transposed, 124 -> 128, ~3%). Physics is
+    orientation-symmetric, so the transpose just permutes the oriented
+    face tensors: the new left neighbor (i, j-1) is the old top neighbor
+    of the transposed coordinate, u/v swap, zone labels are UNCHANGED
+    (labeling happened on the original orientation). Trajectories are
+    statistically identical but not bitwise (the 4-term stencil sum
+    rounds in a different order); measured +9.4% on v5e at full scale
+    (artifacts/PROBE_r05.jsonl orientation_r5).
+    """
+
+    def T(a):
+        return np.ascontiguousarray(np.asarray(a).T)
+
+    return BuildingGeometry(
+        conductivity=T(geom.conductivity),
+        heat_capacity=T(geom.heat_capacity),
+        density=T(geom.density),
+        k_left=T(geom.k_top),
+        k_right=T(geom.k_bottom),
+        k_top=T(geom.k_left),
+        k_bottom=T(geom.k_right),
+        h_left=T(geom.h_top),
+        h_right=T(geom.h_bottom),
+        h_top=T(geom.h_left),
+        h_bottom=T(geom.h_right),
+        u=T(geom.v),
+        v=T(geom.u),
+        exterior_mask=T(geom.exterior_mask),
+        diffusers=T(geom.diffusers),
+        zone_ids=T(geom.zone_ids),
+        zone_sizes=np.asarray(geom.zone_sizes),
+        reset_temps=T(geom.reset_temps),
+        n_zones=geom.n_zones,
+        cv_size_m=geom.cv_size_m,
+        floor_height_m=geom.floor_height_m,
+        zone_names=geom.zone_names,
+        zone_ext_ids=geom.zone_ext_ids,
+        shape=(geom.shape[1], geom.shape[0]),
+    )
+
+
+def padded_grid_cost(shape: Tuple[int, int]) -> int:
+    """Positions of the Mosaic-padded (8, 128) f32 tiling of this grid —
+    the per-vector-op VPU cost model behind layout='auto'."""
+    h, w = shape
+    return ((h + 7) // 8 * 8) * ((w + 127) // 128 * 128)
+
+
 # ---------------------------------------------------------------------------
 # Floor-plan based construction (FloorPlanBasedBuilding, building.py:608-893)
 # ---------------------------------------------------------------------------

@@ -849,7 +849,7 @@ def build_geometry(config: EnvConfig) -> BuildingGeometry:
             plan = floorplan_lib.read_floor_plan(b.floor_plan_path)
         if plan is None:
             raise ValueError("floor_plan or floor_plan_path required")
-        return geometry_lib.geometry_from_floor_plan(
+        geom = geometry_lib.geometry_from_floor_plan(
             plan,
             cv_size_cm=b.cv_size_cm,
             floor_height_cm=b.floor_height_cm,
@@ -861,8 +861,8 @@ def build_geometry(config: EnvConfig) -> BuildingGeometry:
             buffer_from_walls=b.buffer_from_walls,
             reset_temps=b.reset_temps,
         )
-    if b.kind == "rectangular":
-        return geometry_lib.geometry_rectangular(
+    elif b.kind == "rectangular":
+        geom = geometry_lib.geometry_rectangular(
             cv_size_cm=b.cv_size_cm,
             floor_height_cm=b.floor_height_cm,
             room_shape=b.room_shape,
@@ -872,4 +872,21 @@ def build_geometry(config: EnvConfig) -> BuildingGeometry:
             inside_wall=b.inside_wall,
             building_exterior=b.building_exterior,
         )
-    raise ValueError(f"Unknown building kind: {b.kind}")
+    else:
+        raise ValueError(f"Unknown building kind: {b.kind}")
+
+    layout = b.layout
+    if layout == "auto":
+        # Transpose when it shrinks the Mosaic-padded (8, 128) tiling the
+        # VPU actually operates on (strictly — ties keep the reference
+        # orientation so default configs are bit-stable across versions).
+        transposed = geometry_lib.padded_grid_cost(
+            (geom.shape[1], geom.shape[0])
+        ) < geometry_lib.padded_grid_cost(geom.shape)
+    elif layout in ("ref", "transposed"):
+        transposed = layout == "transposed"
+    else:
+        raise ValueError(f"unknown building layout: {layout!r}")
+    if transposed:
+        geom = geometry_lib.transpose_geometry(geom)
+    return geom

@@ -173,6 +173,16 @@ class BuildingConfig:
     zone_map: Optional[np.ndarray] = None
     buffer_from_walls: int = 3
     reset_temps: Optional[np.ndarray] = None
+    # Grid-axis layout on device: "ref" keeps the floor plan's orientation
+    # (bit-stable vs prior versions, required for reference-parity
+    # artifacts); "transposed" swaps the axes; "auto" transposes when that
+    # shrinks the Mosaic (8, 128) f32 tile padding the VPU pays on every
+    # vector op (+9.4% at the 124x189 full-scale grid on v5e, where the
+    # lane axis pads 189 -> 256 vs 124 -> 128 transposed;
+    # PROBE_r05.jsonl orientation_r5). Zone labels/order are unchanged;
+    # trajectories are statistically identical but not bitwise (the
+    # 4-term stencil sum rounds in a different order).
+    layout: str = "ref"
     # rectangular variant
     room_shape: Tuple[int, int] = (8, 6)
     building_shape: Tuple[int, int] = (2, 1)

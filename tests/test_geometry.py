@@ -210,3 +210,115 @@ class TestGridStats:
         b1 = jax.vmap(f)(temp[None])
         b8 = jax.vmap(f)(jnp.stack([temp] * 8))
         assert np.array_equal(np.asarray(b1[0]), np.asarray(b8[0]))
+
+
+class TestTransposedLayout:
+    """core/geometry.transpose_geometry + BuildingConfig.layout: the grid
+    orientation lever (Mosaic lane-padding; PROBE_r05 orientation_r5)."""
+
+    def test_transpose_geometry_field_mapping(self):
+        from sbsim_tpu.core.geometry import transpose_geometry
+        from sbsim_tpu.envs import presets
+        from sbsim_tpu.envs.building_env import build_geometry
+
+        geom = build_geometry(presets.sb1_config(num_days_in_episode=1))
+        t = transpose_geometry(geom)
+        assert t.shape == (geom.shape[1], geom.shape[0])
+        assert t.zone_names == geom.zone_names
+        np.testing.assert_array_equal(
+            np.asarray(t.zone_ids), np.asarray(geom.zone_ids).T
+        )
+        # Face roles permute: new left neighbor = old top neighbor.
+        np.testing.assert_array_equal(
+            np.asarray(t.k_left), np.asarray(geom.k_top).T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t.h_bottom), np.asarray(geom.h_right).T
+        )
+        np.testing.assert_array_equal(np.asarray(t.u), np.asarray(geom.v).T)
+        np.testing.assert_array_equal(
+            np.asarray(t.zone_sizes), np.asarray(geom.zone_sizes)
+        )
+
+    def test_auto_layout_picks_smaller_padded_tiling(self):
+        import dataclasses
+
+        from sbsim_tpu.core.geometry import (
+            make_synthetic_office_plan,
+            padded_grid_cost,
+        )
+        from sbsim_tpu.envs import presets
+        from sbsim_tpu.envs.building_env import BuildingEnv
+
+        # Full-scale plan: 124x189 pads to 128x256; transposed 192x128.
+        plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+        cfg = presets.sb1_config(num_days_in_episode=1, floor_plan=plan)
+        cfg = dataclasses.replace(
+            cfg, building=dataclasses.replace(cfg.building, layout="auto")
+        )
+        env = BuildingEnv(cfg)
+        assert env.geom.shape == (189, 124)
+        assert padded_grid_cost((189, 124)) < padded_grid_cost((124, 189))
+        # The 12-zone default keeps the reference orientation under auto.
+        cfg12 = presets.sb1_config(num_days_in_episode=1)
+        cfg12 = dataclasses.replace(
+            cfg12,
+            building=dataclasses.replace(cfg12.building, layout="auto"),
+        )
+        assert BuildingEnv(cfg12).geom.shape == (52, 67)
+
+    def test_transposed_env_physics_matches_ref_layout(self):
+        """Same building, both layouts: one deterministic step lands on the
+        same converged field modulo f32 summation-order rounding."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from sbsim_tpu.envs import presets
+        from sbsim_tpu.envs.building_env import BuildingEnv
+
+        base = presets.sb1_config(
+            num_days_in_episode=1, convection_p=0.0
+        )
+        base = dataclasses.replace(
+            base,
+            occupancy=dataclasses.replace(
+                base.occupancy, kind="step_function"
+            ),
+        )
+        envs = {}
+        for layout in ("ref", "transposed"):
+            cfg = dataclasses.replace(
+                base,
+                building=dataclasses.replace(base.building, layout=layout),
+            )
+            envs[layout] = BuildingEnv(cfg)
+        outs = {}
+        for layout, env in envs.items():
+            state, _ = env.reset(jax.random.PRNGKey(0))
+            for _ in range(3):
+                state, out = jax.jit(env.step)(
+                    state, jnp.zeros(env.n_actions)
+                )
+            outs[layout] = (state, out)
+        s_ref, o_ref = outs["ref"]
+        s_t, o_t = outs["transposed"]
+        np.testing.assert_array_equal(
+            np.asarray(s_t.temp).shape[::-1], np.asarray(s_ref.temp).shape
+        )
+        # Tolerance: both layouts stop inside the 0.1 K residual band of
+        # the same fixed point, but at different iterates (summation-order
+        # rounding flips the last residual check) - measured max field
+        # delta ~0.05 K after 3 steps.
+        np.testing.assert_allclose(
+            np.asarray(s_t.temp).T, np.asarray(s_ref.temp), atol=0.15
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_t.zone_means),
+            np.asarray(s_ref.zone_means),
+            atol=0.05,
+        )
+        np.testing.assert_allclose(
+            float(o_t.reward), float(o_ref.reward), atol=1e-3
+        )
