@@ -241,14 +241,16 @@ class EnvConfig:
     # Zone-count ceiling for kernel-emitted statistics. The in-kernel zone
     # folds are SERIAL per program (one windowed fold per zone on tiny
     # tiles), so their cost grows linearly with zone count while the
-    # XLA-side fold vectorizes over the batch. Measured on v5e
-    # (PROBE_r04.jsonl fullscale_stats_r4): kernel stats win at 12 zones
-    # but cost 2.45x at 126 zones (21.3k vs 52.3k env-steps/s at batch
-    # 512), so the default hands configs above 32 zones to the XLA fold.
-    # 0 forces XLA-side statistics everywhere; both paths produce
-    # bitwise-identical sums either way. Hard cap 128 regardless (zone
-    # sums pack into one 128-lane row).
-    kernel_stats_max_zones: int = 32
+    # XLA-side fold vectorizes over the batch. Measured on v5e: kernel
+    # stats win at 12 zones (PROBE_r04) but lose at EVERY zone count
+    # probed from 16 up — 9% at 16 zones (132.0k vs 120.8k), 33% at 32
+    # (115.7k vs 77.6k), 2.45x at 126 (PROBE_r05.jsonl
+    # stats_crossover_fine_r5 + stats_crossover_r5) — so the default
+    # hands configs above 12 zones to the XLA fold. 0 forces XLA-side
+    # statistics everywhere; both paths produce bitwise-identical sums
+    # either way. Hard cap 128 regardless (zone sums pack into one
+    # 128-lane row).
+    kernel_stats_max_zones: int = 12
     num_days_in_episode: int = 14
     discount_factor: float = 0.9
     time_zone: str = "US/Pacific"
