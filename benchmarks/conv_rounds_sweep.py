@@ -69,7 +69,17 @@ def run_exact(cfg):
     return np.stack(out)
 
 
-def worst_stats(env, a, b):
+def worst_stats(env, a, b, min_std=0.0):
+    """Worst-zone two-sample KS + mean shift of a vs b.
+
+    min_std > 0 restricts the KS max to zones whose ORACLE (b) spread is
+    at least that many Kelvin — the audited metric from the round-5
+    full-scale study (artifacts/CONV_FULLSCALE_r05.json): near-isothermal
+    zones (the 126-room building's center zones sit within ~4 mK) make KS
+    compare milli-Kelvin-wide distributions, where a physically
+    meaningless ~2 mK offset reads as KS ~0.5. The mean-shift max always
+    covers ALL zones.
+    """
     from scipy import stats
 
     zone_ids = np.asarray(env.geom.zone_ids)
@@ -77,17 +87,19 @@ def worst_stats(env, a, b):
     for z in range(env.n_zones):
         m = zone_ids == z
         x, y = a[:, m].ravel(), b[:, m].ravel()
-        worst_ks = max(worst_ks, stats.ks_2samp(x, y).statistic)
         worst_dmean = max(worst_dmean, abs(x.mean() - y.mean()))
+        if y.std() >= min_std:
+            worst_ks = max(worst_ks, stats.ks_2samp(x, y).statistic)
     return worst_ks, worst_dmean
 
 
-def score_config(cfg, exact):
+def score_config(cfg, exact, min_std=0.0):
     """Runs the swap path for `cfg` and scores it against the exact-oracle
     fields. Returns (env, worst_zone_ks, worst_zone_dmean); shared by the
-    schedule sweeps."""
+    schedule sweeps. min_std applies the spread-floor audit (see
+    worst_stats)."""
     swap, env = run_swap(cfg)
-    ks, dmean = worst_stats(env, swap, exact)
+    ks, dmean = worst_stats(env, swap, exact, min_std=min_std)
     return env, round(float(ks), 4), round(float(dmean), 4)
 
 

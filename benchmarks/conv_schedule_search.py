@@ -50,6 +50,13 @@ def main():
         "--budget", type=float, default=0.25,
         help="worst-zone KS acceptance budget (tests/test_convection.py)",
     )
+    p.add_argument(
+        "--spread-floor", type=float, default=0.0,
+        help="restrict the KS max to zones with oracle spread >= this "
+        "many K (the round-5 audited metric; 0.02 recommended for "
+        "large buildings whose center zones are near-isothermal — "
+        "artifacts/CONV_FULLSCALE_r05.json)",
+    )
     p.add_argument("--out", default=None)
     p.add_argument(
         "--write-cache",
@@ -70,7 +77,7 @@ def main():
     exact = run_exact(base)
 
     # Auto-sized default as the bar to beat.
-    _, ks0, dmean0 = score_config(base, exact)
+    _, ks0, dmean0 = score_config(base, exact, min_std=args.spread_floor)
     auto_rounds = len(BuildingEnv(base).convection.offsets)
     print(json.dumps({"candidate": "auto_default", "rounds": auto_rounds,
                       "worst_zone_ks": ks0, "worst_zone_dmean_K": dmean0}),
@@ -87,7 +94,9 @@ def main():
                     base.convection, rounds=rounds, seed=seed
                 ),
             )
-            env, ks, dmean = score_config(cfg, exact)
+            env, ks, dmean = score_config(
+                cfg, exact, min_std=args.spread_floor
+            )
             row = dict(
                 candidate=f"r{rounds}_s{seed}",
                 rounds=rounds,
