@@ -1,0 +1,118 @@
+"""Round-5 probe C: check_every sweep at full scale + 12-zone re-check.
+
+The cheby residual-check amortization (`cheby_check_every`) was tuned to 4
+at 12 zones (r4). At full scale the planes are 24 vregs (vs 7), so the
+per-check stall is a smaller fraction — but iterations are ~13-17, so a
+larger chunk may still pay. One session sweeps ce at both scales on the
+CURRENT defaults (auto layout + r10_s11 schedule at full scale).
+
+Usage: timeout 3600 env PYTHONPATH=/root/repo python benchmarks/probe_r5c.py
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(HERE, "..", "artifacts")
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(section, payload):
+    with open(os.path.join(ART, "PROBE_r05.jsonl"), "a") as f:
+        f.write(json.dumps({"section": section, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-smoke", action="store_true")
+    p.add_argument("--scan", type=int, default=16)
+    args = p.parse_args()
+    quick = args.cpu_smoke
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+    solver = "xla_chebyshev" if quick else "pallas_cheby"
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    scan = 2 if quick else args.scan
+
+    def measure(env, batch, repeats=4):
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+        def rollout(s):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, out.reward
+
+            s, r = jax.lax.scan(body, s, None, length=scan)
+            return s, jnp.mean(r)
+
+        r = jax.jit(rollout)
+        s, _ = jax.block_until_ready(r(states))
+        best = 0.0
+        for _ in range(repeats):
+            t1 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            best = max(best, batch * scan / (time.perf_counter() - t1))
+        iters = float(np.asarray(s.fdm_iterations).mean())
+        return best, iters
+
+    log("== full-scale ce sweep (auto layout, cached schedule) ==")
+    plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+    if quick:
+        plan = make_synthetic_office_plan(3, 4, room_cvs=12)
+    batch = 16 if quick else 512
+    for ce in (2, 4, 6, 8):
+        cfg = presets.sb1_config(
+            num_days_in_episode=2, floor_plan=plan, layout="auto"
+        )
+        cfg = dataclasses.replace(cfg, cheby_check_every=ce)
+        env = BuildingEnv(cfg)
+        rate, iters = measure(env, batch)
+        log(f"  fullscale ce={ce}: {rate:.0f} env-steps/s "
+            f"(iters {iters:.1f})")
+        record("fullscale_ce_r5", {
+            "ce": ce, "batch": batch,
+            "env_steps_per_sec": round(rate, 1),
+            "fdm_iters_mean": round(iters, 2),
+        })
+
+    log("== 12-zone ce sweep ==")
+    batch = 16 if quick else 2048
+    for ce in (4, 6, 8):
+        cfg = presets.sb1_config(num_days_in_episode=2)
+        cfg = dataclasses.replace(cfg, cheby_check_every=ce)
+        env = BuildingEnv(cfg)
+        rate, iters = measure(env, batch)
+        log(f"  12-zone ce={ce}: {rate:.0f} env-steps/s (iters {iters:.1f})")
+        record("sb1_ce_r5", {
+            "ce": ce, "batch": batch,
+            "env_steps_per_sec": round(rate, 1),
+            "fdm_iters_mean": round(iters, 2),
+        })
+
+    log("probe_r5c done")
+
+
+if __name__ == "__main__":
+    main()
