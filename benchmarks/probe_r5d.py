@@ -1,0 +1,168 @@
+"""Round-5 probe D: interleaved block kernels (E independent 2-D streams).
+
+The roofline (docs/ARCHITECTURE.md) names dependent-issue latency as the
+12-zone binding constraint (~48% issue occupancy on 7-vreg planes). The
+3-D block kernels could not fill those stalls (Mosaic serializes
+leading-axis ops per slice). The interleaved variant unrolls E envs as E
+data-independent 2-D op streams in one program - the layout the scheduler
+CAN interleave. This probe (a) gates it BITWISE against the solo kernel
+on real hardware, (b) measures E in {2, 4} at both scales.
+
+Usage: timeout 3600 env PYTHONPATH=/root/repo python benchmarks/probe_r5d.py
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(HERE, "..", "artifacts")
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(section, payload):
+    with open(os.path.join(ART, "PROBE_r05.jsonl"), "a") as f:
+        f.write(json.dumps({"section": section, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-smoke", action="store_true")
+    p.add_argument("--scan", type=int, default=16)
+    args = p.parse_args()
+    quick = args.cpu_smoke
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+    from sbsim_tpu.physics import fdm, fdm_pallas, gridstats
+
+    scan = 2 if quick else args.scan
+
+    # --- (a) bitwise gate: solo vs interleave on this backend -----------
+    log("== gate: interleave vs solo, one FDM step ==")
+    env0 = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+    geom = env0.geom
+    coeffs = env0.coeffs
+    rho = env0._spectral_radius
+    layout = gridstats.make_zone_stat_layout(geom)
+    rng = np.random.default_rng(7)
+    batch = 8
+    temp = jnp.asarray(
+        294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32
+    )
+    q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+    t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
+    h = jnp.full((batch,), 100.0, jnp.float32)
+    kw = dict(
+        convergence_threshold=0.1,
+        iteration_limit=100,
+        interpret=quick,
+        method="chebyshev",
+        spectral_radius=rho,
+        stat_layout=layout,
+        check_every=4,
+    )
+    o1, i1, c1, s1 = jax.jit(
+        lambda *a: fdm_pallas.fdm_step_pallas(*a, coeffs, block_envs=1, **kw)
+    )(temp, q, t_inf, h)
+    bitwise = {}
+    for e in (2, 4):
+        oi, ii, ci, si = jax.jit(
+            lambda *a, e=e: fdm_pallas.fdm_step_pallas(
+                *a, coeffs, block_envs=e, block_mode="interleave", **kw
+            )
+        )(temp, q, t_inf, h)
+        same = (
+            np.array_equal(np.asarray(o1), np.asarray(oi))
+            and np.array_equal(np.asarray(i1), np.asarray(ii))
+            and np.array_equal(np.asarray(c1), np.asarray(ci))
+            and np.array_equal(np.asarray(s1), np.asarray(si))
+        )
+        md = float(np.abs(np.asarray(o1) - np.asarray(oi)).max())
+        log(f"  E={e}: bitwise={same} (max |dT| {md:.2e})")
+        bitwise[e] = same
+        record("interleave_gate_r5", {
+            "E": e, "bitwise": bool(same), "max_abs_diff": md,
+            "backend": str(jax.devices()[0].platform),
+        })
+
+    # --- (b) throughput ---------------------------------------------------
+    def measure(env, batch, block, mode, repeats=4):
+        cfg = dataclasses.replace(
+            env.config, pallas_block_envs=block, pallas_block_mode=mode
+        )
+        env2 = BuildingEnv(cfg, geom=env.geom)
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env2))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env2.reset))(keys)
+
+        def rollout(s):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env2.step_batched(s, act, solver="pallas_cheby")
+                return s, out.reward
+
+            s, r = jax.lax.scan(body, s, None, length=scan)
+            return s, jnp.mean(r)
+
+        r = jax.jit(rollout)
+        s, _ = jax.block_until_ready(r(states))
+        best = 0.0
+        for _ in range(repeats):
+            t1 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            best = max(best, batch * scan / (time.perf_counter() - t1))
+        return best
+
+    if quick:
+        log("cpu smoke done (no throughput rows)")
+        return
+
+    for label, plan, layout_kind, batch in (
+        ("12zone", None, "ref", 2048),
+        ("fullscale", make_synthetic_office_plan(9, 14, room_cvs=12),
+         "auto", 512),
+    ):
+        env = BuildingEnv(
+            presets.sb1_config(
+                num_days_in_episode=2, floor_plan=plan, layout=layout_kind
+            )
+        )
+        base = measure(env, batch, 1, "stack")
+        log(f"  {label} solo: {base:.0f} env-steps/s")
+        record("interleave_perf_r5", {
+            "config": label, "E": 1, "mode": "solo", "batch": batch,
+            "env_steps_per_sec": round(base, 1),
+        })
+        for e in (2, 4):
+            rate = measure(env, batch, e, "interleave")
+            log(f"  {label} interleave E={e}: {rate:.0f} env-steps/s "
+                f"({rate / base - 1:+.1%})")
+            record("interleave_perf_r5", {
+                "config": label, "E": e, "mode": "interleave",
+                "batch": batch, "env_steps_per_sec": round(rate, 1),
+                "vs_solo": round(rate / base, 4),
+            })
+
+    log("probe_r5d done")
+
+
+if __name__ == "__main__":
+    main()

@@ -439,6 +439,7 @@ class BuildingEnv:
                 convergence_threshold=self.config.convergence_threshold,
                 iteration_limit=self.config.iteration_limit,
                 block_envs=self.config.pallas_block_envs,
+                block_mode=self.config.pallas_block_mode,
             )
             kernel_fn = fdm_pallas.fdm_step_pallas
             if solver == "pallas_cheby":

@@ -238,6 +238,13 @@ class EnvConfig:
     # Per-env freezing keeps results bitwise-independent of block
     # composition either way.
     pallas_block_envs: int = 1
+    # Kernel layout for block_envs > 1: "stack" = the r4 3-D block kernels
+    # (leading-axis ops; Mosaic serializes them per slice - measured
+    # negative); "interleave" = E independent 2-D op streams unrolled in
+    # one program (chebyshev only), giving the scheduler E data-
+    # independent dependency chains to fill the issue-latency stalls the
+    # roofline identifies (docs/ARCHITECTURE.md).
+    pallas_block_mode: str = "stack"
     # Zone-count ceiling for kernel-emitted statistics. The in-kernel zone
     # folds are SERIAL per program (one windowed fold per zone on tiny
     # tiles), so their cost grows linearly with zone count while the

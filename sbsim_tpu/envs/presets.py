@@ -128,6 +128,19 @@ SB1_WEATHER_NPZ = os.path.join(
 )
 
 
+def _padded_vregs(floor_plan: np.ndarray, layout: str) -> int:
+    """(8, 128) f32 vregs per grid plane under the config's layout
+    (geometry grid shape == floor-plan raster shape)."""
+    from sbsim_tpu.core.geometry import padded_grid_cost
+
+    h, w = floor_plan.shape
+    cost = padded_grid_cost((h, w))
+    if layout in ("auto", "transposed"):
+        t = padded_grid_cost((w, h))
+        cost = min(cost, t) if layout == "auto" else t
+    return cost // (8 * 128)
+
+
 def _searched_convection(
     floor_plan: np.ndarray, p: float, distance: int
 ) -> ConvectionConfig:
@@ -254,6 +267,21 @@ def sb1_config(
         # throughput path only gets MORE converged; Jacobi parity paths
         # are unaffected.
         cheby_check_every=4,
+        # Interleaved block kernels (E independent 2-D streams per
+        # program) fill dependent-issue stalls on LARGE grids: measured
+        # +9.8% at the full-scale 24-vreg plane (E=4, bitwise-equal to
+        # solo on-chip) but -35% at the 12-zone 7-vreg plane, where the
+        # extra VMEM traffic and whole-program convergence dominate
+        # (PROBE_r05.jsonl interleave_perf_r5). Gate at the measured
+        # winning size: plane >= 24 (8, 128) vregs.
+        pallas_block_envs=(
+            4 if _padded_vregs(floor_plan, layout) >= 24 else 1
+        ),
+        pallas_block_mode=(
+            "interleave"
+            if _padded_vregs(floor_plan, layout) >= 24
+            else "stack"
+        ),
         num_days_in_episode=num_days_in_episode,
         discount_factor=0.9,
         observation_normalization=SB1_OBSERVATION_NORMALIZATION,

@@ -570,6 +570,167 @@ def _fdm_cheby_kernel_block(
         _block_write_stats(stats_ref, x_out, stat_masks_ref[:], stat_layout)
 
 
+def _emit_iters_env(iters_ref, e, n_iter, converged):
+    """Per-env variant of _emit_iters for the interleaved kernels: writes
+    one (8, 128) int tile through the known-good 2-D path."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, iters_ref.shape[1:], 0)
+    iters_ref[e] = jnp.where(
+        rowi == 1,
+        converged.astype(jnp.int32),
+        jnp.broadcast_to(n_iter, iters_ref.shape[1:]),
+    )
+
+
+def _fdm_cheby_kernel_interleaved(
+    temp_ref,
+    const_ref,
+    denom_ref,
+    tinf_ref,
+    a_r_ref,
+    a_l_ref,
+    a_b_ref,
+    a_t_ref,
+    ext_ref,
+    conv_lead_ref,
+    conv_foll_ref,
+    conv_word_ref,
+    stat_masks_ref,
+    out_ref,
+    iters_ref,
+    stats_ref,
+    *,
+    threshold: float,
+    iteration_limit: int,
+    rho2: float,
+    conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    edge_fill: bool = True,
+    stat_layout=None,
+    check_every: int = 1,
+):
+    """Chebyshev with E envs per program as E INDEPENDENT 2-D op streams.
+
+    The 3-D block kernels measure slower than solo because Mosaic lowers
+    leading-axis ops as per-slice loops — E sequential copies of each op
+    with no pipeline fill (TPU_PROBE_r04.md session D/E). This variant
+    keeps every value 2-D (the layout the solo kernels use) and unrolls
+    the env loop in Python, so one basic block contains E data-independent
+    dependency chains; the scheduler is free to interleave them into the
+    issue-latency stalls the roofline identifies as the 12-zone binding
+    constraint (docs/ARCHITECTURE.md). Freeze semantics and the stopping
+    cadence mirror _fdm_cheby_kernel_block exactly (per-env select
+    freezing, chunk-boundary residual sampling), so each env's iterate
+    path is bitwise-equal to its solo run regardless of pairing.
+    """
+    E = temp_ref.shape[0]
+    thr = jnp.float32(threshold)
+    ext = ext_ref[:]
+    jacobis = [
+        functools.partial(
+            _jacobi_update,
+            a_r=a_r_ref[:],
+            a_l=a_l_ref[:],
+            a_b=a_b_ref[:],
+            a_t=a_t_ref[:],
+            const=const_ref[e],
+            denom=denom_ref[e],
+            ext=ext,
+            tinf=tinf_ref[e, 0, 0],
+            edge_fill=edge_fill,
+        )
+        for e in range(E)
+    ]
+
+    xs0 = [temp_ref[e] for e in range(E)]
+    x1s = [jacobis[e](xs0[e]) for e in range(E)]
+    deltas0 = [jnp.max(jnp.abs(x1s[e] - xs0[e])) for e in range(E)]
+    dones0 = [
+        jnp.where(d <= thr, jnp.float32(1.0), jnp.float32(0.0))
+        for d in deltas0
+    ]
+    omega0 = jnp.float32(1.0 / (1.0 - rho2 / 2.0))
+
+    def body(carry):
+        x_prev, x, done, iters, it, omega = carry
+        x_prev, x, done, iters = (
+            list(x_prev), list(x), list(done), list(iters)
+        )
+        active = [d < 0.5 for d in done]
+        for _ in range(check_every):
+            omega_next = jnp.float32(1.0) / (
+                jnp.float32(1.0) - jnp.float32(rho2) * omega / 4.0
+            )
+            # Stage the E streams op-by-op so each stage's E ops are
+            # data-independent and can interleave.
+            jxs = [jacobis[e](x[e]) for e in range(E)]
+            delta = [jnp.max(jnp.abs(jxs[e] - x[e])) for e in range(E)]
+            x_nexts = [
+                omega_next * (jxs[e] - x_prev[e]) + x_prev[e]
+                for e in range(E)
+            ]
+            # Extrapolated iterate re-pinned exactly as the solo kernel
+            # does (unconditional on edge_fill; under ring_exterior the
+            # Jacobi map's pin is in the coefficients but the Chebyshev
+            # recombination still needs the select).
+            x_nexts = [
+                jnp.where(ext > 0, tinf_ref[e, 0, 0], x_nexts[e])
+                for e in range(E)
+            ]
+            x_prev = [
+                jnp.where(active[e], x[e], x_prev[e]) for e in range(E)
+            ]
+            x = [jnp.where(active[e], x_nexts[e], x[e]) for e in range(E)]
+            it = it + 1
+            omega = omega_next
+        iters = [
+            jnp.where(active[e], it, iters[e]) for e in range(E)
+        ]
+        done = [
+            jnp.where(
+                active[e] & (delta[e] <= thr), jnp.float32(1.0), done[e]
+            )
+            for e in range(E)
+        ]
+        return tuple(x_prev), tuple(x), tuple(done), tuple(iters), it, omega
+
+    def cond(carry):
+        _, _, done, _, it, _ = carry
+        any_active = done[0] < 0.5
+        for d in done[1:]:
+            any_active = jnp.logical_or(any_active, d < 0.5)
+        return jnp.logical_and(it < iteration_limit, any_active)
+
+    _, x_f, done, iters, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            tuple(xs0),
+            tuple(x1s),
+            tuple(dones0),
+            tuple(jnp.int32(1) for _ in range(E)),
+            jnp.int32(1),
+            omega0,
+        ),
+    )
+    x_outs = [jacobis[e](x_f[e]) for e in range(E)]
+    if conv_offsets:
+        x_outs = [
+            _kernel_apply_swaps(
+                x_outs[e], conv_lead_ref[:], conv_foll_ref[:],
+                conv_word_ref[e], conv_offsets
+            )
+            for e in range(E)
+        ]
+    for e in range(E):
+        out_ref[e] = x_outs[e]
+        _emit_iters_env(iters_ref, e, iters[e], done[e] > 0.5)
+    if stat_layout is not None:
+        for e in range(E):
+            stats_ref[e] = _kernel_grid_stats(
+                x_outs[e], stat_masks_ref[:], *stat_layout,
+                stats_ref.shape[1:]
+            )
+
+
 def fdm_step_pallas(
     temp: jnp.ndarray,  # (B, H, W)
     input_q: jnp.ndarray,  # (B, H, W)
@@ -589,6 +750,7 @@ def fdm_step_pallas(
     conv_word: jnp.ndarray = None,  # (B, H, W) uint32 packed swap decisions
     stat_layout=None,  # gridstats.ZoneStatLayout: emit in-kernel statistics
     check_every: int = 1,  # chebyshev sub-iterations per residual check
+    block_mode: str = "stack",  # "stack" (3-D block) | "interleave" (E 2-D streams)
 ) -> Tuple[jnp.ndarray, ...]:
     """VMEM-resident batched FDM step.
 
@@ -628,6 +790,12 @@ def fdm_step_pallas(
     """
     b, h, w = temp.shape
     block_envs = max(1, int(block_envs))
+    if block_mode == "interleave" and method != "chebyshev":
+        # The interleaved streams exist for the chebyshev production
+        # solver only; for Jacobi the 3-D stack blocks are a measured
+        # negative (TPU_PROBE_r04.md), so fall back to the solo kernels
+        # rather than silently running them.
+        block_envs = 1
     pad = (-b) % block_envs
     if pad:
         def _pad(x):
@@ -711,9 +879,19 @@ def fdm_step_pallas(
         )
         kernel_stat_layout = None
 
+    if block_mode not in ("stack", "interleave"):
+        raise ValueError(f"unknown block_mode: {block_mode!r}")
     if method == "chebyshev":
+        if e > 1:
+            block_kernel = (
+                _fdm_cheby_kernel_interleaved
+                if block_mode == "interleave"
+                else _fdm_cheby_kernel_block
+            )
+        else:
+            block_kernel = _fdm_cheby_kernel
         kernel = functools.partial(
-            _fdm_cheby_kernel_block if e > 1 else _fdm_cheby_kernel,
+            block_kernel,
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
             rho2=float(spectral_radius) ** 2,

@@ -217,6 +217,29 @@ def test_block_kernels_match_solo_bitwise(geom):
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c4))
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
+        if method == "chebyshev":
+            # The interleaved variant (E independent 2-D streams per
+            # program). Interpret mode runs through XLA CPU, where FMA
+            # contraction decisions differ between the solo and
+            # interleaved program shapes and flip the last mantissa bit
+            # in a handful of cells (measured: 1 ulp in 5/594 cells,
+            # identical per-env iteration counts) - so the interpret
+            # assertion is iters/converged exact + fields to 1e-4;
+            # the BITWISE gate for this variant runs on real TPU
+            # (tpu_probe.py --interleave), where Mosaic does not
+            # contract across ops.
+            oi, ii, ci, si = fdm_pallas.fdm_step_pallas(
+                temp, q, t_inf, h, coeffs, block_envs=4,
+                block_mode="interleave", **kw
+            )
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(ii))
+            np.testing.assert_array_equal(np.asarray(c1), np.asarray(ci))
+            np.testing.assert_allclose(
+                np.asarray(o1), np.asarray(oi), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(si), rtol=1e-6
+            )
 
 
 def test_sb1_preset_solver_tuning():
@@ -226,7 +249,9 @@ def test_sb1_preset_solver_tuning():
 
     cfg = presets.sb1_config(num_days_in_episode=1)
     assert cfg.cheby_check_every == 4
+    # 12-zone plane = 7 vregs: solo kernels (interleave loses 35% there).
     assert cfg.pallas_block_envs == 1
+    assert cfg.pallas_block_mode == "stack"
     # The 10-round seed-101 convection schedule (KS 0.096 vs the 16-round
     # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json),
     # served from the per-plan schedule cache (scenario/conv_cache).
@@ -250,6 +275,17 @@ def test_sb1_preset_solver_tuning():
     )
     assert unsearched.convection.rounds == 0
     assert unsearched.convection.seed == 5
+    # Full-scale plane >= 24 vregs: interleaved block kernels (+9.8%
+    # measured, bitwise-equal to solo - PROBE_r05 interleave_*_r5).
+    fs = presets.sb1_config(
+        num_days_in_episode=1,
+        floor_plan=make_synthetic_office_plan(9, 14, room_cvs=12),
+        layout="auto",
+    )
+    assert fs.pallas_block_envs == 4
+    assert fs.pallas_block_mode == "interleave"
+    # And its searched convection schedule comes from the cache.
+    assert fs.convection.rounds == 10 and fs.convection.seed == 11
 
 
 def test_converged_flag_semantics(geom):
