@@ -1,0 +1,141 @@
+"""Round-5 probe E: interleave width + gate boundary.
+
+probe_r5d measured interleave at E in {2, 4} on the 7-vreg (12-zone) and
+24-vreg (full-scale) planes. This session asks: (a) does E=8 buy more at
+full scale (VMEM allows ~10 MB/program)? (b) where between 7 and 24
+vregs does interleave start winning — measured on midsize plans so the
+preset gate is a measured boundary, not an interpolation.
+
+Usage: timeout 3600 env PYTHONPATH=/root/repo python benchmarks/probe_r5e.py
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ART = os.path.join(HERE, "..", "artifacts")
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def record(section, payload):
+    with open(os.path.join(ART, "PROBE_r05.jsonl"), "a") as f:
+        f.write(json.dumps({"section": section, **payload}) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-smoke", action="store_true")
+    p.add_argument("--scan", type=int, default=16)
+    args = p.parse_args()
+    quick = args.cpu_smoke
+    if quick:
+        jax.config.update("jax_platforms", "cpu")
+    solver = "xla_chebyshev" if quick else "pallas_cheby"
+
+    from sbsim_tpu.agents import schedule_policy
+    from sbsim_tpu.core.geometry import (
+        make_synthetic_office_plan,
+        padded_grid_cost,
+    )
+    from sbsim_tpu.envs import presets
+    from sbsim_tpu.envs.building_env import BuildingEnv
+
+    scan = 2 if quick else args.scan
+
+    def measure(base_env, batch, block, mode, repeats=4):
+        cfg = dataclasses.replace(
+            base_env.config, pallas_block_envs=block, pallas_block_mode=mode
+        )
+        env = BuildingEnv(cfg, geom=base_env.geom)
+        table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        states, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+        def rollout(s):
+            def body(s, _):
+                act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+                s, out = env.step_batched(s, act, solver=solver)
+                return s, out.reward
+
+            s, r = jax.lax.scan(body, s, None, length=scan)
+            return s, jnp.mean(r)
+
+        r = jax.jit(rollout)
+        s, _ = jax.block_until_ready(r(states))
+        best = 0.0
+        for _ in range(repeats):
+            t1 = time.perf_counter()
+            s, _ = r(s)
+            jax.block_until_ready(s)
+            best = max(best, batch * scan / (time.perf_counter() - t1))
+        return best
+
+    configs = [
+        # (label, plan args, layout, batch, Es). E=8 at full scale OOMs
+        # scoped VMEM (19.03M > 16M limit) - recorded on the first run of
+        # this probe; E=4 is the width ceiling there.
+        ("8x8_64z", (8, 8, 12), "auto", 512, (2, 4)),     # 111x111
+        ("6x6_36z", (6, 6, 12), "auto", 512, (2, 4)),     # 85x85
+        ("4x8_32z", (4, 8, 12), "auto", 512, (2, 4)),     # 59x111
+        # fullscale E=4 re-measured LAST so claim warmup lands on the
+        # small configs (the first probe run read +0.7% with fullscale
+        # first vs probe_r5d's +9.8% with fullscale second).
+        ("fullscale", (9, 14, 12), "auto", 512, (4,)),
+    ]
+    if quick:
+        configs = [("smoke", (2, 2, 9), "ref", 8, (2,))]
+    for label, (rx, ry, cvs), layout, batch, es in configs:
+        plan = make_synthetic_office_plan(rx, ry, room_cvs=cvs)
+        env = BuildingEnv(
+            presets.sb1_config(
+                num_days_in_episode=2, floor_plan=plan, layout=layout
+            )
+        )
+        h, w = env.geom.shape
+        vregs = padded_grid_cost((h, w)) // 1024
+        base = measure(env, batch, 1, "stack")
+        log(f"  {label} grid {h}x{w} ({vregs} vregs) solo: "
+            f"{base:.0f} env-steps/s")
+        record("interleave_gate_sweep_r5", {
+            "config": label, "grid": [int(h), int(w)], "vregs": int(vregs),
+            "E": 1, "mode": "solo", "batch": batch,
+            "env_steps_per_sec": round(base, 1),
+        })
+        for e in es:
+            try:
+                rate = measure(env, batch, e, "interleave")
+            except Exception as exc:  # e.g. scoped-VMEM OOM at E=8
+                msg = str(exc).splitlines()[0][:200]
+                log(f"  {label} interleave E={e}: FAILED ({msg})")
+                record("interleave_gate_sweep_r5", {
+                    "config": label, "vregs": int(vregs), "E": e,
+                    "mode": "interleave", "batch": batch,
+                    "error": msg,
+                })
+                continue
+            log(f"  {label} interleave E={e}: {rate:.0f} env-steps/s "
+                f"({rate / base - 1:+.1%})")
+            record("interleave_gate_sweep_r5", {
+                "config": label, "vregs": int(vregs), "E": e,
+                "mode": "interleave", "batch": batch,
+                "env_steps_per_sec": round(rate, 1),
+                "vs_solo": round(rate / base, 4),
+            })
+
+    log("probe_r5e done")
+
+
+if __name__ == "__main__":
+    main()

@@ -427,8 +427,20 @@ class BuildingEnv:
         # (skipping an extra HBM pass over the solved field) whenever the
         # field they hold is final - i.e. convection either runs fused
         # in-kernel or is disabled - and the zone sums fit one 128-lane row.
+        # EXCEPT under the interleaved block kernels: the in-kernel zone
+        # folds are serial per env and defeat the stream interleaving
+        # entirely (measured 125.2k vs 227.9k env-steps/s at the 12-zone
+        # batch-2048 config - PROBE_r05.jsonl stats_x_interleave_12z_r5),
+        # so interleaved programs always hand statistics to the XLA fold
+        # (bitwise-identical sums either way).
+        interleaved = (
+            solver == "pallas_cheby"
+            and self.config.pallas_block_envs > 1
+            and self.config.pallas_block_mode == "interleave"
+        )
         kernel_stats = (
             solver.startswith("pallas")
+            and not interleaved
             and (fuse_conv or not conv.enabled)
             and self.geom.n_zones
             <= min(128, self.config.kernel_stats_max_zones)

@@ -141,6 +141,18 @@ def _padded_vregs(floor_plan: np.ndarray, layout: str) -> int:
     return cost // (8 * 128)
 
 
+def _interleave_width(floor_plan: np.ndarray, layout: str) -> int:
+    """Widest interleave E in {4, 2, 1} whose estimated scoped-VMEM
+    footprint (~0.1 MB per vreg-plane per env, calibrated on the E=8
+    full-scale OOM: 19.03M at 8 x 24 vregs) fits the 16 MB limit with
+    margin."""
+    vregs = _padded_vregs(floor_plan, layout)
+    for e in (4, 2):
+        if e * vregs * 0.1 <= 14.0:
+            return e
+    return 1
+
+
 def _searched_convection(
     floor_plan: np.ndarray, p: float, distance: int
 ) -> ConvectionConfig:
@@ -268,20 +280,18 @@ def sb1_config(
         # are unaffected.
         cheby_check_every=4,
         # Interleaved block kernels (E independent 2-D streams per
-        # program) fill dependent-issue stalls on LARGE grids: measured
-        # +9.8% at the full-scale 24-vreg plane (E=4, bitwise-equal to
-        # solo on-chip) but -35% at the 12-zone 7-vreg plane, where the
-        # extra VMEM traffic and whole-program convergence dominate
-        # (PROBE_r05.jsonl interleave_perf_r5). Gate at the measured
-        # winning size: plane >= 24 (8, 128) vregs.
-        pallas_block_envs=(
-            4 if _padded_vregs(floor_plan, layout) >= 24 else 1
-        ),
-        pallas_block_mode=(
-            "interleave"
-            if _padded_vregs(floor_plan, layout) >= 24
-            else "stack"
-        ),
+        # program) fill dependent-issue stalls: measured wins at every
+        # probed plane size ONCE statistics go to the XLA fold (the
+        # serial in-kernel folds defeat interleaving; building_env
+        # forces XLA stats on interleaved programs) - +10.2% at the
+        # 12-zone 7-vreg plane (227.9k vs the kernel-stats solo default's
+        # 206.9k in one process), +8-14% at 8-14 vregs, +1-10% at the
+        # full-scale 24-vreg plane, bitwise-equal to solo on-chip
+        # (PROBE_r05.jsonl interleave_* + stats_x_interleave_12z_r5).
+        # E is clamped by the ~0.1 MB/vreg/env scoped-VMEM cost against
+        # the 16 MB limit (E=8 at 24 vregs OOMed at 19.03M).
+        pallas_block_envs=_interleave_width(floor_plan, layout),
+        pallas_block_mode="interleave",
         num_days_in_episode=num_days_in_episode,
         discount_factor=0.9,
         observation_normalization=SB1_OBSERVATION_NORMALIZATION,

@@ -249,9 +249,11 @@ def test_sb1_preset_solver_tuning():
 
     cfg = presets.sb1_config(num_days_in_episode=1)
     assert cfg.cheby_check_every == 4
-    # 12-zone plane = 7 vregs: solo kernels (interleave loses 35% there).
-    assert cfg.pallas_block_envs == 1
-    assert cfg.pallas_block_mode == "stack"
+    # Interleaved block kernels are the default at every preset scale
+    # (+10.2% at 12 zones with XLA-side stats, PROBE_r05
+    # stats_x_interleave_12z_r5); E clamped by scoped VMEM.
+    assert cfg.pallas_block_envs == 4
+    assert cfg.pallas_block_mode == "interleave"
     # The 10-round seed-101 convection schedule (KS 0.096 vs the 16-round
     # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json),
     # served from the per-plan schedule cache (scenario/conv_cache).
@@ -275,8 +277,8 @@ def test_sb1_preset_solver_tuning():
     )
     assert unsearched.convection.rounds == 0
     assert unsearched.convection.seed == 5
-    # Full-scale plane >= 24 vregs: interleaved block kernels (+9.8%
-    # measured, bitwise-equal to solo - PROBE_r05 interleave_*_r5).
+    # Full-scale (24-vreg plane): E=4 still fits scoped VMEM (9.5M of
+    # 16M; E=8 OOMed at 19.03M - PROBE_r05 interleave_gate_sweep_r5).
     fs = presets.sb1_config(
         num_days_in_episode=1,
         floor_plan=make_synthetic_office_plan(9, 14, room_cvs=12),
@@ -286,6 +288,13 @@ def test_sb1_preset_solver_tuning():
     assert fs.pallas_block_mode == "interleave"
     # And its searched convection schedule comes from the cache.
     assert fs.convection.rounds == 10 and fs.convection.seed == 11
+    # A plan ~2x the full-scale area clamps to E=2 by the VMEM model.
+    big = presets.sb1_config(
+        num_days_in_episode=1,
+        floor_plan=make_synthetic_office_plan(14, 18, room_cvs=12),
+        layout="auto",
+    )
+    assert big.pallas_block_envs == 2
 
 
 def test_converged_flag_semantics(geom):
