@@ -142,11 +142,15 @@ def _padded_vregs(floor_plan: np.ndarray, layout: str) -> int:
 
 
 def _interleave_width(floor_plan: np.ndarray, layout: str) -> int:
-    """Widest interleave E in {4, 2, 1} whose estimated scoped-VMEM
+    """Widest interleave E in {8, 4, 2, 1} whose estimated scoped-VMEM
     footprint (~0.1 MB per vreg-plane per env, calibrated on the E=8
     full-scale OOM: 19.03M at 8 x 24 vregs) fits the 16 MB limit with
-    margin."""
+    margin. E=8 is admitted only at <= 8 MB estimated (small planes,
+    where it measured +2.5-2.9% over E=4 at 12 zones -
+    PROBE_r05.jsonl interleave_width_12z_r5); wider margins elsewhere."""
     vregs = _padded_vregs(floor_plan, layout)
+    if 8 * vregs * 0.1 <= 8.0:
+        return 8
     for e in (4, 2):
         if e * vregs * 0.1 <= 14.0:
             return e

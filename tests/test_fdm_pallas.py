@@ -251,8 +251,9 @@ def test_sb1_preset_solver_tuning():
     assert cfg.cheby_check_every == 4
     # Interleaved block kernels are the default at every preset scale
     # (+10.2% at 12 zones with XLA-side stats, PROBE_r05
-    # stats_x_interleave_12z_r5); E clamped by scoped VMEM.
-    assert cfg.pallas_block_envs == 4
+    # stats_x_interleave_12z_r5); E clamped by scoped VMEM — E=8 on the
+    # small 7-vreg plane (cold bench 258.6k vs 247.1k at E=4).
+    assert cfg.pallas_block_envs == 8
     assert cfg.pallas_block_mode == "interleave"
     # The 10-round seed-101 convection schedule (KS 0.096 vs the 16-round
     # default's 0.134, replicated - artifacts/CONV_SCHEDULES_r04*.json),
