@@ -149,7 +149,10 @@ def _interleave_width(floor_plan: np.ndarray, layout: str) -> int:
     where it measured +2.5-2.9% over E=4 at 12 zones -
     PROBE_r05.jsonl interleave_width_12z_r5); wider margins elsewhere."""
     vregs = _padded_vregs(floor_plan, layout)
-    if 8 * vregs * 0.1 <= 8.0:
+    # E=8 only at the measured winning plane size (<= 7 vregs, the
+    # 12-zone class: cold A/B 247.1k -> 258.6k); 8-14-vreg planes were
+    # measured at E=4 (+7.7-13.9% over solo) and stay there.
+    if vregs <= 7:
         return 8
     for e in (4, 2):
         if e * vregs * 0.1 <= 14.0:
