@@ -35,8 +35,15 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--small", action="store_true",
                         help="use the tiny two-zone building")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the per-step metrics "
+                        "pulls make this script latency-bound through a "
+                        "remote-TPU relay; use the chunked-dispatch "
+                        "benchmarks/sac_sb1_train.py for TPU training runs)")
     parser.add_argument("--weather_csv", default=None)
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from sbsim_tpu.agents import schedule_policy
     from sbsim_tpu.agents.train import SACTrainer, recipe_for
