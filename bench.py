@@ -48,7 +48,14 @@ def tpu_available(timeout_sec: float = 120.0) -> bool:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=2048)
+    parser.add_argument(
+        "--batch",
+        type=int,
+        default=None,
+        help="env batch; default 2048 (12-zone) / 512 (--full-scale, "
+        "where larger batches measured SLOWER - PROBE_r05 "
+        "fullscale_batch_r5)",
+    )
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument(
         "--min-repeats",
@@ -96,6 +103,8 @@ def main():
     from sbsim_tpu.envs import presets
     from sbsim_tpu.envs.building_env import BuildingEnv
 
+    if args.batch is None:
+        args.batch = 512 if args.full_scale else 2048
     batch = args.batch if not on_cpu else min(args.batch, 64)
     n_steps = args.steps
 

@@ -1,0 +1,95 @@
+"""Full-scale (126-room) device-vs-host drift validation.
+
+The parity triangle (golden -> exact host -> device) is pinned at the
+two-zone and 12-zone scales by the test suite; this script closes it at
+the full 126-room scale, where the test would be too slow for CI
+(~15 min of f32 host oracle on CPU): 288 steps (one simulated day) on
+the deterministic contract (convection p=0, step-function occupancy,
+replay weather), device path vs ExactHostSimulator, max field drift and
+thermostat-mode agreement recorded to artifacts/FULLSCALE_PARITY_r05.json.
+
+The 12-zone budget is 5e-2 K over the same horizon; chaos grows with
+grid size, so the artifact records the measured curve rather than
+asserting a pre-committed bound - the number to watch is whether drift
+stays in the f32-noise regime (< 0.1 K, i.e. under the convergence
+threshold) or grows systematically.
+
+Usage: env PYTHONPATH=/root/repo python benchmarks/fullscale_parity_check.py
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from sbsim_tpu.core.geometry import make_synthetic_office_plan  # noqa: E402
+from sbsim_tpu.envs import presets  # noqa: E402
+from sbsim_tpu.envs.building_env import BuildingEnv  # noqa: E402
+from sbsim_tpu.envs.exact_host import ExactHostSimulator  # noqa: E402
+
+
+def main():
+    plan = make_synthetic_office_plan(9, 14, room_cvs=12)
+    cfg = presets.sb1_config(
+        num_days_in_episode=1, floor_plan=plan, convection_p=0.0
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        occupancy=dataclasses.replace(cfg.occupancy, kind="step_function"),
+    )
+    env = BuildingEnv(cfg)
+    assert env.geom.n_zones == 126
+    host = ExactHostSimulator(env)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+    action = jnp.asarray(env.default_action(setpoints))
+
+    drifts = []
+    modes_equal = True
+    for i in range(288):
+        state, _ = step(state, action)
+        host.step(setpoints)
+        drift = float(np.max(np.abs(np.asarray(state.temp) - host.temp)))
+        drifts.append(drift)
+        modes_equal = modes_equal and np.array_equal(
+            np.asarray(state.hvac.thermostat_mode), host.mode
+        )
+        if (i + 1) % 48 == 0:
+            print(f"step {i + 1}: drift {drift:.2e} K "
+                  f"(max so far {max(drifts):.2e})", flush=True)
+
+    out = {
+        "plan": "9x14 rooms, 12 CVs/side (126 zones, 124x189 grid)",
+        "steps": 288,
+        "max_drift_K": max(drifts),
+        "final_drift_K": drifts[-1],
+        "drift_every_48": [round(d, 6) for d in drifts[47::48]],
+        "thermostat_modes_identical": bool(modes_equal),
+        "under_convergence_threshold": bool(max(drifts) < 0.1),
+        "twelve_zone_budget_for_reference": 5e-2,
+    }
+    path = "artifacts/FULLSCALE_PARITY_r05.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in out.items()
+                      if k != "drift_every_48"}), flush=True)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

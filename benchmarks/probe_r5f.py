@@ -1,0 +1,57 @@
+"""Round-5 probe F: stats placement x interleave interaction at 12 zones.
+
+One process, batch 2048: kernel-stats solo (the pre-r5 default) vs XLA
+stats solo vs interleave E=2/4 under each placement. The row that decided
+the final defaults: XLA stats + E=4 beats the old default +10.2% while
+kernel stats + interleave collapses (serial per-zone folds defeat the
+stream interleaving). Records PROBE_r05.jsonl stats_x_interleave_12z_r5.
+
+Usage: timeout 3600 env PYTHONPATH=/root/repo python benchmarks/probe_r5f.py
+"""
+import dataclasses, json, sys, time
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+def measure(env, batch, repeats=4, scan=16):
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    def rollout(s):
+        def body(s, _):
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = env.step_batched(s, act, solver="pallas_cheby")
+            return s, out.reward
+        s, r = jax.lax.scan(body, s, None, length=scan)
+        return s, jnp.mean(r)
+    r = jax.jit(rollout)
+    s, _ = jax.block_until_ready(r(states))
+    best = 0.0
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        s, _ = r(s)
+        jax.block_until_ready(s)
+        best = max(best, batch * scan / (time.perf_counter() - t1))
+    return best
+
+base = presets.sb1_config(num_days_in_episode=2)
+rows = []
+for label, kmax, block, mode in (
+    ("kernelstats_solo(default)", 12, 1, "stack"),
+    ("xlastats_solo", 0, 1, "stack"),
+    ("xlastats_E2", 0, 2, "interleave"),
+    ("xlastats_E4", 0, 4, "interleave"),
+    ("kernelstats_E2", 12, 2, "interleave"),
+):
+    cfg = dataclasses.replace(base, kernel_stats_max_zones=kmax,
+                              pallas_block_envs=block, pallas_block_mode=mode)
+    env = BuildingEnv(cfg)
+    rate = measure(env, 2048)
+    print(json.dumps({"case": label, "env_steps_per_sec": round(rate,1)}), flush=True)
+    rows.append({"section": "stats_x_interleave_12z_r5", "case": label,
+                 "batch": 2048, "env_steps_per_sec": round(rate,1)})
+with open("/root/repo/artifacts/PROBE_r05.jsonl", "a") as f:
+    for r_ in rows:
+        f.write(json.dumps(r_) + "\n")

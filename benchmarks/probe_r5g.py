@@ -1,0 +1,88 @@
+"""Round-5 probe G: interleave width x check_every grid + 12-zone train.
+
+E in {4, 6, 8} x ce in {4, 8} at 12 zones batch 2048 (E=6 dips: 2048 %
+6 != 0 pads), plus the shard_map train step under the final defaults
+(147.8k env-steps/s vs round-4's 129.6k). Records PROBE_r05.jsonl
+interleave_width_12z_r5 + train_12z_newdefaults_r5.
+
+Usage: timeout 3600 env PYTHONPATH=/root/repo python benchmarks/probe_r5g.py
+"""
+import dataclasses, json, sys, time
+import jax, jax.numpy as jnp
+import numpy as np
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+ART = "/root/repo/artifacts/PROBE_r05.jsonl"
+def rec(row):
+    with open(ART, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+def measure(cfg, batch, repeats=4, scan=16):
+    env = BuildingEnv(cfg)
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    def rollout(s):
+        def body(s, _):
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = env.step_batched(s, act, solver="pallas_cheby")
+            return s, out.reward
+        s, r = jax.lax.scan(body, s, None, length=scan)
+        return s, jnp.mean(r)
+    r = jax.jit(rollout)
+    s, _ = jax.block_until_ready(r(states))
+    best = 0.0
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        s, _ = r(s)
+        jax.block_until_ready(s)
+        best = max(best, batch * scan / (time.perf_counter() - t1))
+    return best
+
+base12 = presets.sb1_config(num_days_in_episode=2)
+print("== 12-zone E x ce grid (interleave, XLA stats) ==", flush=True)
+for e, ce in ((4, 4), (6, 4), (8, 4), (4, 8), (8, 8)):
+    cfg = dataclasses.replace(base12, pallas_block_envs=e,
+                              pallas_block_mode="interleave",
+                              cheby_check_every=ce)
+    try:
+        rate = measure(cfg, 2048)
+    except Exception as exc:
+        print(f"E={e} ce={ce}: FAILED {str(exc).splitlines()[0][:120]}", flush=True)
+        rec({"section": "interleave_width_12z_r5", "E": e, "ce": ce,
+             "error": str(exc).splitlines()[0][:200]})
+        continue
+    print(f"E={e} ce={ce}: {rate:.0f} env-steps/s", flush=True)
+    rec({"section": "interleave_width_12z_r5", "E": e, "ce": ce,
+         "batch": 2048, "env_steps_per_sec": round(rate, 1)})
+
+print("== 12-zone shard_map TRAIN (new defaults) ==", flush=True)
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.distributed import mesh as mesh_lib
+env = BuildingEnv(base12)
+n_envs = 2048
+trainer = SACTrainer(env, TrainConfig(
+    n_envs=n_envs, replay_capacity=n_envs * 16, batch_size=n_envs,
+    seed_steps=0, updates_per_env_step=1))
+state = trainer.init(jax.random.PRNGKey(0))
+mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+state = mesh_lib.shard_train_state(state, mesh)
+step = mesh_lib.make_shardmapped_train_step(trainer, mesh, state.replay,
+                                            solver="pallas_cheby")
+t0 = time.time()
+state, m = step(state)
+jax.block_until_ready(m["reward_mean"])
+print(f"compile+run {time.time()-t0:.1f}s", flush=True)
+best_t = 0.0
+for _ in range(4):
+    t1 = time.perf_counter()
+    for _ in range(8):
+        state, m = step(state)
+    jax.block_until_ready(m["reward_mean"])
+    best_t = max(best_t, 8 * n_envs / (time.perf_counter() - t1))
+print(f"12-zone train (new defaults): {best_t:.0f} env-steps/s", flush=True)
+rec({"section": "train_12z_newdefaults_r5", "n_envs": n_envs,
+     "env_steps_per_sec_best": round(best_t, 1)})

@@ -1,0 +1,41 @@
+"""Round-5 probe H: on-chip bitwise gate for interleave E=6/8.
+
+Batch 16 exercises the pad path (16 % 6 != 0). Both widths matched the
+solo kernel bitwise (fields, per-env iteration counts, converged flags,
+stats). Records PROBE_r05.jsonl interleave_gate_r5.
+
+Usage: timeout 1800 env PYTHONPATH=/root/repo python benchmarks/probe_r5h.py
+"""
+import json, sys, time
+import jax, jax.numpy as jnp
+import numpy as np
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.physics import fdm_pallas, gridstats
+
+env0 = BuildingEnv(presets.sb1_config(num_days_in_episode=1))
+geom, coeffs, rho = env0.geom, env0.coeffs, env0._spectral_radius
+layout = gridstats.make_zone_stat_layout(geom)
+rng = np.random.default_rng(7)
+batch = 16
+temp = jnp.asarray(294.0 + rng.normal(0, 2.0, (batch,) + geom.shape), jnp.float32)
+q = jnp.zeros((batch,) + geom.shape, jnp.float32)
+t_inf = jnp.asarray(rng.uniform(270.0, 300.0, (batch,)), jnp.float32)
+h = jnp.full((batch,), 100.0, jnp.float32)
+kw = dict(convergence_threshold=0.1, iteration_limit=100, interpret=False,
+          method="chebyshev", spectral_radius=rho, stat_layout=layout, check_every=4)
+o1, i1, c1, s1 = jax.jit(lambda *a: fdm_pallas.fdm_step_pallas(*a, coeffs, block_envs=1, **kw))(temp, q, t_inf, h)
+for e in (6, 8):
+    oi, ii, ci, si = jax.jit(lambda *a, e=e: fdm_pallas.fdm_step_pallas(
+        *a, coeffs, block_envs=e, block_mode="interleave", **kw))(temp, q, t_inf, h)
+    same = (np.array_equal(np.asarray(o1), np.asarray(oi))
+            and np.array_equal(np.asarray(i1), np.asarray(ii))
+            and np.array_equal(np.asarray(c1), np.asarray(ci))
+            and np.array_equal(np.asarray(s1), np.asarray(si)))
+    print(json.dumps({"E": e, "bitwise": bool(same),
+        "max_abs_diff": float(np.abs(np.asarray(o1)-np.asarray(oi)).max())}), flush=True)
+    with open("/root/repo/artifacts/PROBE_r05.jsonl", "a") as f:
+        f.write(json.dumps({"section": "interleave_gate_r5", "E": e,
+            "bitwise": bool(same), "backend": "tpu",
+            "note": "batch 16 incl. pad path (16 % 6 != 0)"}) + "\n")

@@ -1,0 +1,48 @@
+"""E=12/16 width probe at 12 zones (one process)."""
+import dataclasses, json, sys, time
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+def rec(row):
+    with open("/root/repo/artifacts/PROBE_r05.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+def measure(cfg, batch, repeats=4, scan=16):
+    env = BuildingEnv(cfg)
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    def rollout(s):
+        def body(s, _):
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = env.step_batched(s, act, solver="pallas_cheby")
+            return s, out.reward
+        s, r = jax.lax.scan(body, s, None, length=scan)
+        return s, jnp.mean(r)
+    r = jax.jit(rollout)
+    s, _ = jax.block_until_ready(r(states))
+    best = 0.0
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        s, _ = r(s)
+        jax.block_until_ready(s)
+        best = max(best, batch * scan / (time.perf_counter() - t1))
+    return best
+
+base = presets.sb1_config(num_days_in_episode=2)
+for e in (8, 12, 16):
+    cfg = dataclasses.replace(base, pallas_block_envs=e,
+                              pallas_block_mode="interleave")
+    try:
+        rate = measure(cfg, 2048)
+    except Exception as exc:
+        print(f"E={e}: FAILED {str(exc).splitlines()[0][:140]}", flush=True)
+        rec({"section": "interleave_width_12z_r5", "E": e, "ce": 4,
+             "error": str(exc).splitlines()[0][:200]})
+        continue
+    print(f"E={e}: {rate:.0f} env-steps/s", flush=True)
+    rec({"section": "interleave_width_12z_r5", "E": e, "ce": 4,
+         "batch": 2048, "env_steps_per_sec": round(rate, 1)})

@@ -790,6 +790,10 @@ def fdm_step_pallas(
     """
     b, h, w = temp.shape
     block_envs = max(1, int(block_envs))
+    # A chunk size of 0 would leave the residual undefined in the kernel
+    # bodies (their chunk loops are Python-unrolled); clamp to the
+    # reference cadence.
+    check_every = max(1, int(check_every))
     if block_mode == "interleave" and method != "chebyshev":
         # The interleaved streams exist for the chebyshev production
         # solver only; for Jacobi the 3-D stack blocks are a measured
