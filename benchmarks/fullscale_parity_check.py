@@ -39,9 +39,11 @@ from sbsim_tpu.envs.exact_host import ExactHostSimulator  # noqa: E402
 
 
 def main():
+    layout = "auto" if "--transposed" in sys.argv else "ref"
     plan = make_synthetic_office_plan(9, 14, room_cvs=12)
     cfg = presets.sb1_config(
-        num_days_in_episode=1, floor_plan=plan, convection_p=0.0
+        num_days_in_episode=1, floor_plan=plan, convection_p=0.0,
+        layout=layout,
     )
     cfg = dataclasses.replace(
         cfg,
@@ -73,7 +75,9 @@ def main():
                   f"(max so far {max(drifts):.2e})", flush=True)
 
     out = {
-        "plan": "9x14 rooms, 12 CVs/side (126 zones, 124x189 grid)",
+        "plan": "9x14 rooms, 12 CVs/side (126 zones)",
+        "layout": layout,
+        "grid": list(env.geom.shape),
         "steps": 288,
         "max_drift_K": max(drifts),
         "final_drift_K": drifts[-1],
@@ -82,7 +86,8 @@ def main():
         "under_convergence_threshold": bool(max(drifts) < 0.1),
         "twelve_zone_budget_for_reference": 5e-2,
     }
-    path = "artifacts/FULLSCALE_PARITY_r05.json"
+    path = ("artifacts/FULLSCALE_PARITY_r05_transposed.json"
+            if layout == "auto" else "artifacts/FULLSCALE_PARITY_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")

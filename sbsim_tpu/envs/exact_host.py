@@ -167,6 +167,14 @@ class ExactHostSimulator:
         if solver not in ("jacobi", "gauss_seidel"):
             raise ValueError(f"unknown solver: {solver}")
         self.solver = solver
+        # The host path rebuilds float64 arrays (materials, diffusers,
+        # in-building mask) from the RAW floor plan; when the geometry
+        # runs the transposed device layout (BuildingConfig.layout,
+        # core/geometry.transpose_geometry), those rebuilds must be
+        # transposed to match. Detected by the diffuser pattern (exact by
+        # construction: the geometry's diffusers are the plan-orientation
+        # ones, transposed).
+        self._plan_transposed = self._detect_transposed_layout()
         self._scalar_materials = (
             self._materials64() if solver == "gauss_seidel" else None
         )
@@ -201,6 +209,49 @@ class ExactHostSimulator:
 
         self.reset()
 
+    def _align(self, arr: np.ndarray) -> np.ndarray:
+        """Brings a plan-orientation array into the geometry's layout."""
+        if self._plan_transposed:
+            return np.ascontiguousarray(arr.T)
+        return arr
+
+    def _rebuild_diffusers_raw(self) -> Optional[np.ndarray]:
+        """Float64 diffusers in the RAW plan orientation, or None when the
+        config has no floor plan to rebuild from."""
+        b = self.cfg.building
+        if b.kind == "floor_plan" and b.floor_plan is not None:
+            from sbsim_tpu.core import floorplan as floorplan_lib
+
+            processed = floorplan_lib.process_floor_plan(
+                b.floor_plan, b.zone_map
+            )
+            return floorplan_lib.assign_thermal_diffusers(
+                processed.floor_plan.shape,
+                processed.room_dict,
+                interior_walls=processed.interior_walls_initial,
+                buffer_from_walls=b.buffer_from_walls,
+            )
+        return None
+
+    def _detect_transposed_layout(self) -> bool:
+        raw = self._rebuild_diffusers_raw()
+        if raw is None:
+            return False
+        geom_pattern = np.asarray(self.geom.diffusers) > 0
+        if raw.shape == geom_pattern.shape and np.array_equal(
+            raw > 0, geom_pattern
+        ):
+            return False
+        if raw.T.shape == geom_pattern.shape and np.array_equal(
+            raw.T > 0, geom_pattern
+        ):
+            return True
+        raise ValueError(
+            "floor plan and geometry diffuser patterns disagree in both "
+            "orientations; the env's geometry was not built from "
+            "config.building.floor_plan"
+        )
+
     def _materials64(self):
         """Float64 (conductivity, heat_capacity, density) grids rebuilt from
         the config materials (the geometry keeps float32 for the device
@@ -223,7 +274,7 @@ class ExactHostSimulator:
                     b.building_exterior, prop
                 )
                 out[processed.interior_walls] = getattr(b.inside_wall, prop)
-                return out
+                return self._align(out)
 
             return (
                 assign("conductivity"),
@@ -242,25 +293,15 @@ class ExactHostSimulator:
             from sbsim_tpu.core import floorplan as floorplan_lib
 
             plan = floorplan_lib.guarantee_air_padding(b.floor_plan)
-            return plan != consts.EXTERIOR_SPACE_VALUE
+            return self._align(plan != consts.EXTERIOR_SPACE_VALUE)
         return np.ones(self.geom.shape, bool)
 
     def _recompute_diffusers64(self) -> np.ndarray:
         """Reference diffuser arrays are float64 (building.py:751-757);
         rebuild them at full precision from the floor plan when possible."""
-        b = self.cfg.building
-        if b.kind == "floor_plan" and b.floor_plan is not None:
-            from sbsim_tpu.core import floorplan as floorplan_lib
-
-            processed = floorplan_lib.process_floor_plan(
-                b.floor_plan, b.zone_map
-            )
-            return floorplan_lib.assign_thermal_diffusers(
-                processed.floor_plan.shape,
-                processed.room_dict,
-                interior_walls=processed.interior_walls_initial,
-                buffer_from_walls=b.buffer_from_walls,
-            )
+        raw = self._rebuild_diffusers_raw()
+        if raw is not None:
+            return self._align(raw)
         return np.asarray(self.geom.diffusers, np.float64)
 
     # ------------------------------------------------------------------

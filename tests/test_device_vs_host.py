@@ -169,3 +169,45 @@ def test_device_vs_host_drift_budget_full_day_sb1():
             np.asarray(state.hvac.thermostat_mode), host.mode
         ), f"step {i}: thermostat modes diverged"
     assert max_drift < 5e-2
+
+
+def test_device_vs_host_transposed_layout():
+    """The host oracle follows the geometry's layout: with
+    BuildingConfig.layout="transposed" the f64 rebuilds (diffusers,
+    in-building mask, materials) are aligned to the transposed grid
+    (round-5 fix: they were rebuilt in raw plan orientation and indexed
+    out of bounds). Full-scale artifact: FULLSCALE_PARITY_r05_transposed
+    (max drift 2.2 mK over 288 steps)."""
+    from sbsim_tpu.core.geometry import make_synthetic_office_plan
+
+    plan = make_synthetic_office_plan(2, 3, room_cvs=8)
+    cfg = presets.sb1_config(
+        num_days_in_episode=1, floor_plan=plan, convection_p=0.0,
+        layout="transposed",
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        occupancy=dataclasses.replace(cfg.occupancy, kind="step_function"),
+    )
+    env = BuildingEnv(cfg)
+    assert env.geom.shape == (plan.shape[1], plan.shape[0])
+    host = ExactHostSimulator(env)
+    assert host._plan_transposed
+    np.testing.assert_array_equal(
+        host._diffusers64 > 0, np.asarray(env.geom.diffusers) > 0
+    )
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    setpoints = {
+        "supply_water_setpoint": 340.0,
+        "supply_air_heating_temperature_setpoint": 285.0,
+    }
+    action = jnp.asarray(env.default_action(setpoints))
+    for i in range(12):
+        state, _ = step(state, action)
+        host.step(setpoints)
+        drift = float(np.max(np.abs(np.asarray(state.temp) - host.temp)))
+        assert drift < 5e-2, f"step {i}: drift {drift}"
+    # The gauss_seidel host solver aligns its material rebuilds too.
+    gs = ExactHostSimulator(env, solver="gauss_seidel")
+    assert gs._scalar_materials[0].shape == env.geom.shape
