@@ -461,17 +461,29 @@ class BuildingEnv:
                     check_every=self.config.cheby_check_every,
                 )
             if fuse_conv:
-                words = jax.vmap(
-                    lambda k: convection_lib.swap_decision_word(
-                        conv, k, self.geom.shape
-                    )
-                )(conv_keys)
                 kwargs.update(
                     conv_offsets=conv.offsets,
                     conv_lead=conv.lead_words,
                     conv_foll=conv.foll_words,
-                    conv_word=words,
                 )
+                word_params = convection_lib.decision_word_params(conv)
+                if word_params is not None:
+                    # mix32 words regenerate IN-KERNEL from the raw keys
+                    # (bitwise-identical); the XLA-side generation +
+                    # (B, H, W) word DMA cost ~2.9 us/env-step at full
+                    # scale, the entire convection bill
+                    # (PROBE_r05.jsonl conv_cost_split_r5).
+                    kwargs.update(
+                        conv_keys=jnp.asarray(conv_keys, jnp.uint32),
+                        conv_word_params=word_params,
+                    )
+                else:
+                    words = jax.vmap(
+                        lambda k: convection_lib.swap_decision_word(
+                            conv, k, self.geom.shape
+                        )
+                    )(conv_keys)
+                    kwargs.update(conv_word=words)
             if kernel_stats:
                 kwargs.update(stat_layout=self.zone_stats)
                 new_temp, n_iter, converged, stats = kernel_fn(

@@ -46,7 +46,7 @@ are first-class via ConvectionConfig.schedule.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -357,6 +357,77 @@ def _mix32_planes(
     x = _fmix32(idx ^ k[0])
     x = _fmix32(x ^ k[1])
     return x.reshape((n_planes,) + shape)
+
+
+def decision_word_params(
+    buckets: ConvectionBuckets,
+) -> Optional[Tuple[int, int, int, int]]:
+    """Static (n_rounds, n_planes, lane_bits, threshold_q) of the mix32
+    decision-word computation, or None when the in-kernel generator does
+    not apply (rng != "mix32" or swapping disabled).
+
+    These are exactly the constants swap_decision_word derives from the
+    buckets; exposing them statically lets the Pallas kernels regenerate
+    the SAME word bitwise from the raw per-env key (the (H, W) mix32
+    planes cost ~2.9 us/env-step on the XLA side at full scale - the
+    entire convection bill - while the in-kernel ALU cost is noise:
+    PROBE_r05.jsonl conv_cost_split_r5)."""
+    if buckets.rng != "mix32" or not buckets.enabled:
+        return None
+    n_rounds = len(buckets.offsets)
+    q16 = int(round(buckets.p_round * 16.0))
+    use4 = (
+        buckets.p_round > 0.0
+        and q16 >= 1
+        and abs(q16 / 16.0 - buckets.p_round) <= 0.02 * buckets.p_round
+    )
+    lane_bits = 4 if use4 else 8
+    lanes_per_plane = 32 // lane_bits
+    n_planes = (n_rounds + lanes_per_plane - 1) // lanes_per_plane
+    if use4:
+        q = q16
+    else:
+        q = int(round(buckets.p_round * 256.0))
+        if buckets.p_round > 0.0:
+            q = max(q, 1)
+    return n_rounds, n_planes, lane_bits, q
+
+
+def decision_word_from_key(
+    k0: jnp.ndarray,
+    k1: jnp.ndarray,
+    params: Tuple[int, int, int, int],
+    shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """The mix32 decision word from the raw (2,) uint32 key parts -
+    BITWISE identical to swap_decision_word for rng="mix32", expressed
+    with broadcasted_iota + elementwise uint32 ops only so it runs
+    unchanged inside the Mosaic kernels (tests/test_convection.py pins
+    the equivalence)."""
+    n_rounds, n_planes, lane_bits, q = params
+    lanes_per_plane = 32 // lane_bits
+    lane_mask = jnp.uint32((1 << lane_bits) - 1)
+    threshold = jnp.uint32(q)
+    h, w = shape
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    cell = row * jnp.uint32(w) + col
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    word = jnp.zeros(shape, jnp.uint32)
+    for p in range(n_planes):
+        # Plane-major flat counter, exactly _mix32_planes' arange layout.
+        idx = cell + jnp.uint32(p * h * w)
+        bits = _fmix32(_fmix32(idx ^ k0) ^ k1)
+        for lane in range(lanes_per_plane):
+            r = p * lanes_per_plane + lane
+            if r >= n_rounds:
+                break
+            v = (bits >> jnp.uint32(lane_bits * lane)) & lane_mask
+            word = word | (
+                (v < threshold).astype(jnp.uint32) << jnp.uint32(r)
+            )
+    return word
 
 
 def swap_decision_word(

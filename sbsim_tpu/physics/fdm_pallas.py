@@ -37,6 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sbsim_tpu.physics import convection as convection_lib
 from sbsim_tpu.physics import gridstats
 from sbsim_tpu.physics.fdm import StencilCoefficients
 
@@ -188,6 +189,21 @@ def _emit_iters(iters_ref, n_iter, converged):
 # ---------------------------------------------------------------------------
 
 
+def _kernel_conv_word(conv_word_ref, conv_key_ref, e, conv_params, shape):
+    """Env e's packed swap-decision word: regenerated IN-KERNEL from the
+    raw per-env key when conv_params is given (bitwise-identical to
+    convection.swap_decision_word; the XLA-side generation + (B, H, W)
+    word DMA costs ~2.9 us/env-step at full scale - the whole convection
+    bill - while the in-kernel ALU cost is noise), else read from the
+    precomputed word plane (threefry rng, or the XLA solver paths)."""
+    if conv_params is not None:
+        return convection_lib.decision_word_from_key(
+            conv_key_ref[e, 0, 0], conv_key_ref[e, 0, 1],
+            conv_params, shape,
+        )
+    return conv_word_ref[e]
+
+
 def _fdm_kernel(
     temp_ref,
     const_ref,
@@ -201,6 +217,7 @@ def _fdm_kernel(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    conv_key_ref,
     stat_masks_ref,
     out_ref,
     iters_ref,
@@ -209,6 +226,7 @@ def _fdm_kernel(
     threshold: float,
     iteration_limit: int,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_params=None,
     edge_fill: bool = True,
     stat_layout=None,
 ):
@@ -244,9 +262,11 @@ def _fdm_kernel(
         cond, body, (x0, big, jnp.int32(0))
     )
     if conv_offsets:
+        word = _kernel_conv_word(
+            conv_word_ref, conv_key_ref, 0, conv_params, x_final.shape
+        )
         x_final = _kernel_apply_swaps(
-            x_final, conv_lead_ref[:], conv_foll_ref[:],
-            conv_word_ref[0], conv_offsets
+            x_final, conv_lead_ref[:], conv_foll_ref[:], word, conv_offsets
         )
     out_ref[0] = x_final
     _emit_iters(iters_ref, n_iter, delta_f <= threshold)
@@ -269,6 +289,7 @@ def _fdm_cheby_kernel(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    conv_key_ref,
     stat_masks_ref,
     out_ref,
     iters_ref,
@@ -278,6 +299,7 @@ def _fdm_cheby_kernel(
     iteration_limit: int,
     rho2: float,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_params=None,
     edge_fill: bool = True,
     stat_layout=None,
     check_every: int = 1,
@@ -339,9 +361,11 @@ def _fdm_cheby_kernel(
     # Emit J(x) for the converged iterate, mirroring fdm.fdm_step_chebyshev.
     x_out = jacobi(x_f)
     if conv_offsets:
+        word = _kernel_conv_word(
+            conv_word_ref, conv_key_ref, 0, conv_params, x_out.shape
+        )
         x_out = _kernel_apply_swaps(
-            x_out, conv_lead_ref[:], conv_foll_ref[:],
-            conv_word_ref[0], conv_offsets
+            x_out, conv_lead_ref[:], conv_foll_ref[:], word, conv_offsets
         )
     out_ref[0] = x_out
     _emit_iters(iters_ref, n_iter, delta_f <= threshold)
@@ -402,6 +426,7 @@ def _fdm_kernel_block(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    conv_key_ref,
     stat_masks_ref,
     out_ref,
     iters_ref,
@@ -410,6 +435,7 @@ def _fdm_kernel_block(
     threshold: float,
     iteration_limit: int,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_params=None,
     edge_fill: bool = True,
     stat_layout=None,
 ):
@@ -457,9 +483,18 @@ def _fdm_kernel_block(
         ),
     )
     if conv_offsets:
+        if conv_params is not None:
+            word = jnp.stack([
+                _kernel_conv_word(
+                    conv_word_ref, conv_key_ref, e, conv_params,
+                    x_f.shape[-2:],
+                )
+                for e in range(x_f.shape[0])
+            ])
+        else:
+            word = conv_word_ref[:]
         x_f = _kernel_apply_swaps(
-            x_f, conv_lead_ref[:], conv_foll_ref[:],
-            conv_word_ref[:], conv_offsets
+            x_f, conv_lead_ref[:], conv_foll_ref[:], word, conv_offsets
         )
     out_ref[:] = x_f
     _emit_iters(iters_ref, iters, done > 0.5)
@@ -480,6 +515,7 @@ def _fdm_cheby_kernel_block(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    conv_key_ref,
     stat_masks_ref,
     out_ref,
     iters_ref,
@@ -489,6 +525,7 @@ def _fdm_cheby_kernel_block(
     iteration_limit: int,
     rho2: float,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_params=None,
     edge_fill: bool = True,
     stat_layout=None,
     check_every: int = 1,
@@ -560,9 +597,18 @@ def _fdm_cheby_kernel_block(
     )
     x_out = jacobi(x_f)
     if conv_offsets:
+        if conv_params is not None:
+            word = jnp.stack([
+                _kernel_conv_word(
+                    conv_word_ref, conv_key_ref, e, conv_params,
+                    x_out.shape[-2:],
+                )
+                for e in range(x_out.shape[0])
+            ])
+        else:
+            word = conv_word_ref[:]
         x_out = _kernel_apply_swaps(
-            x_out, conv_lead_ref[:], conv_foll_ref[:],
-            conv_word_ref[:], conv_offsets
+            x_out, conv_lead_ref[:], conv_foll_ref[:], word, conv_offsets
         )
     out_ref[:] = x_out
     _emit_iters(iters_ref, iters, done > 0.5)
@@ -594,6 +640,7 @@ def _fdm_cheby_kernel_interleaved(
     conv_lead_ref,
     conv_foll_ref,
     conv_word_ref,
+    conv_key_ref,
     stat_masks_ref,
     out_ref,
     iters_ref,
@@ -603,6 +650,7 @@ def _fdm_cheby_kernel_interleaved(
     iteration_limit: int,
     rho2: float,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_params=None,
     edge_fill: bool = True,
     stat_layout=None,
     check_every: int = 1,
@@ -713,10 +761,17 @@ def _fdm_cheby_kernel_interleaved(
     )
     x_outs = [jacobis[e](x_f[e]) for e in range(E)]
     if conv_offsets:
+        words = [
+            _kernel_conv_word(
+                conv_word_ref, conv_key_ref, e, conv_params,
+                x_outs[0].shape,
+            )
+            for e in range(E)
+        ]
         x_outs = [
             _kernel_apply_swaps(
                 x_outs[e], conv_lead_ref[:], conv_foll_ref[:],
-                conv_word_ref[e], conv_offsets
+                words[e], conv_offsets
             )
             for e in range(E)
         ]
@@ -745,9 +800,12 @@ def fdm_step_pallas(
     method: str = "jacobi",
     spectral_radius: float = 0.0,
     conv_offsets: Tuple[Tuple[int, int], ...] = (),
+    conv_params=None,
     conv_lead: jnp.ndarray = None,  # (H, W) uint32 packed lead masks
     conv_foll: jnp.ndarray = None,  # (H, W) uint32 packed follower masks
     conv_word: jnp.ndarray = None,  # (B, H, W) uint32 packed swap decisions
+    conv_keys: jnp.ndarray = None,  # (B, 2) uint32 raw per-env step keys
+    conv_word_params=None,  # convection.decision_word_params output
     stat_layout=None,  # gridstats.ZoneStatLayout: emit in-kernel statistics
     check_every: int = 1,  # chebyshev sub-iterations per residual check
     block_mode: str = "stack",  # "stack" (3-D block) | "interleave" (E 2-D streams)
@@ -812,6 +870,8 @@ def fdm_step_pallas(
         h_conv = _pad(h_conv)
         if conv_word is not None:
             conv_word = _pad(conv_word)
+        if conv_keys is not None:
+            conv_keys = _pad(conv_keys)
         b = b + pad
 
     hT = h_conv[:, None, None]
@@ -846,11 +906,29 @@ def fdm_step_pallas(
     )
     shared = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    in_kernel_words = bool(
+        conv_offsets and conv_word_params is not None and conv_keys is not None
+    )
+    key_strip = jnp.zeros((b, 1, 128), jnp.uint32)
     if conv_offsets:
-        word_spec = per_env
         conv_lead = conv_lead.astype(jnp.uint32)
         conv_foll = conv_foll.astype(jnp.uint32)
-        conv_word = conv_word.astype(jnp.uint32)
+        if in_kernel_words:
+            # Words regenerate in-kernel from the raw keys (lanes 0/1 of a
+            # tile-aligned strip); the (B, H, W) word plane - and the XLA
+            # pass that would fill it - disappears entirely.
+            key_strip = jax.lax.dynamic_update_slice(
+                key_strip,
+                conv_keys.astype(jnp.uint32)[:, None, :],
+                (0, 0, 0),
+            )
+            word_spec = pl.BlockSpec(
+                (e, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+            conv_word = jnp.zeros((e, h, w), jnp.uint32)
+        else:
+            word_spec = per_env
+            conv_word = conv_word.astype(jnp.uint32)
     else:
         # Dummy single-tile inputs; the kernel's swap loop is empty.
         word_spec = pl.BlockSpec(
@@ -859,6 +937,9 @@ def fdm_step_pallas(
         conv_lead = jnp.zeros((h, w), jnp.uint32)
         conv_foll = jnp.zeros((h, w), jnp.uint32)
         conv_word = jnp.zeros((e, h, w), jnp.uint32)
+    key_spec = pl.BlockSpec(
+        (e, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
 
     if stat_layout is not None:
         if len(stat_layout.row0) > 128:
@@ -900,6 +981,7 @@ def fdm_step_pallas(
             iteration_limit=iteration_limit,
             rho2=float(spectral_radius) ** 2,
             conv_offsets=tuple(conv_offsets),
+            conv_params=conv_word_params if in_kernel_words else None,
             edge_fill=edge_fill,
             stat_layout=kernel_stat_layout,
             check_every=int(check_every),
@@ -910,6 +992,7 @@ def fdm_step_pallas(
             threshold=convergence_threshold,
             iteration_limit=iteration_limit,
             conv_offsets=tuple(conv_offsets),
+            conv_params=conv_word_params if in_kernel_words else None,
             edge_fill=edge_fill,
             stat_layout=kernel_stat_layout,
         )
@@ -946,6 +1029,7 @@ def fdm_step_pallas(
             shared,  # convection packed lead masks (uint32 plane)
             shared,  # convection packed follower masks (uint32 plane)
             word_spec,  # convection decision words
+            key_spec,  # raw per-env step keys (in-kernel word generation)
             stat_mask_spec,  # zone statistic masks
         ],
         out_specs=out_specs,
@@ -964,6 +1048,7 @@ def fdm_step_pallas(
         conv_lead,
         conv_foll,
         conv_word,
+        key_strip,
         stat_masks,
     )
     out, iters = results[0], results[1]

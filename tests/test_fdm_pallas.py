@@ -138,7 +138,7 @@ def test_pallas_fused_convection_matches_xla_swaps(geom, method):
     coeffs = fdm.stencil_coefficients(geom, 300.0)
     rho = fdm.estimate_spectral_radius(coeffs, 12.0)
     buckets = convection_lib.make_convection_buckets(
-        geom, p=1.0, distance=5, seed=5
+        geom, p=1.0, distance=5, seed=5, rng="mix32"
     )
     assert buckets.enabled and len(buckets.offsets) >= 16
     rng = np.random.default_rng(4)
@@ -171,6 +171,38 @@ def test_pallas_fused_convection_matches_xla_swaps(geom, method):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(expected))
     # The mixing really happened (some cells moved).
     assert float(jnp.max(jnp.abs(fused - plain))) > 0.0
+
+    # In-kernel word GENERATION (mix32 regenerated from the raw per-env
+    # keys inside the kernel) is bitwise-identical to the precomputed-word
+    # path, for solo and interleaved layouts.
+    params = convection_lib.decision_word_params(buckets)
+    assert params is not None
+    ref_word = convection_lib.swap_decision_word(
+        buckets, keys[1], geom.shape
+    )
+    k = jnp.asarray(keys[1], jnp.uint32).reshape(-1)
+    gen_word = convection_lib.decision_word_from_key(
+        k[0], k[1], params, geom.shape
+    )
+    np.testing.assert_array_equal(np.asarray(ref_word), np.asarray(gen_word))
+    for extra in (
+        {},
+        {"block_envs": 2, "block_mode": "interleave"}
+        if method == "chebyshev"
+        else {},
+    ):
+        fused_keys, _, _ = fdm_pallas.fdm_step_pallas(
+            temp, q, t_inf, h, coeffs,
+            conv_offsets=buckets.offsets,
+            conv_lead=buckets.lead_words,
+            conv_foll=buckets.foll_words,
+            conv_keys=jnp.asarray(keys, jnp.uint32),
+            conv_word_params=params,
+            **{**kw, **extra},
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused_keys), np.asarray(fused)
+        )
 
 
 def test_block_kernels_match_solo_bitwise(geom):
