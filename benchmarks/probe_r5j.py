@@ -1,0 +1,59 @@
+"""Round-5 probe J: full-scale floor decomposition.
+
+Full step vs iteration_limit=1 vs no-convection at 126 rooms, batch 512
+(auto layout). Result: extra FDM iterations ~12%% of the step,
+convection ~35%% - which session K then pinned on the XLA-side word
+generation. Records PROBE_r05.jsonl fullscale_floor_r5.
+
+Usage: timeout 2700 env PYTHONPATH=/root/repo python benchmarks/probe_r5j.py
+"""
+import dataclasses, json, sys, time
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.agents import schedule_policy
+from sbsim_tpu.core.geometry import make_synthetic_office_plan
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+def rec(row):
+    with open("/root/repo/artifacts/PROBE_r05.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+def measure(cfg, batch=512, repeats=4, scan=16):
+    env = BuildingEnv(cfg)
+    table = jnp.asarray(schedule_policy.build_schedule_actions(env))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = jax.jit(jax.vmap(env.reset))(keys)
+    def rollout(s):
+        def body(s, _):
+            act = table[jnp.clip(s.step_idx, 0, table.shape[0] - 1)]
+            s, out = env.step_batched(s, act, solver="pallas_cheby")
+            return s, out.reward
+        s, r = jax.lax.scan(body, s, None, length=scan)
+        return s, jnp.mean(r)
+    r = jax.jit(rollout)
+    s, _ = jax.block_until_ready(r(states))
+    best = 0.0
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        s, _ = r(s)
+        jax.block_until_ready(s)
+        best = max(best, batch * scan / (time.perf_counter() - t1))
+    return best
+
+base = presets.sb1_config(num_days_in_episode=2,
+    floor_plan=make_synthetic_office_plan(9, 14, room_cvs=12), layout="auto")
+full = measure(base)
+print(f"full step: {full:.0f} env-steps/s", flush=True)
+rec({"section": "fullscale_floor_r5", "variant": "full_step", "batch": 512,
+     "env_steps_per_sec": round(full, 1)})
+floor_cfg = dataclasses.replace(base, iteration_limit=1)
+floor = measure(floor_cfg)
+print(f"non-FDM floor (iteration_limit=1): {floor:.0f} env-steps/s", flush=True)
+rec({"section": "fullscale_floor_r5", "variant": "iterlimit1", "batch": 512,
+     "env_steps_per_sec": round(floor, 1)})
+noconv = dataclasses.replace(base, convection=dataclasses.replace(base.convection, p=0.0, distance=0))
+nc = measure(noconv)
+print(f"no-convection: {nc:.0f} env-steps/s", flush=True)
+rec({"section": "fullscale_floor_r5", "variant": "no_convection", "batch": 512,
+     "env_steps_per_sec": round(nc, 1)})

@@ -1,0 +1,47 @@
+"""Round-5 probe K: convection cost split - decision words alone.
+
+Times ONLY the XLA-side mix32 decision-word generation at full scale:
+2.89 us/env-step, i.e. essentially the entire convection bill measured
+in probe J. Motivated the in-kernel word generation (the fifth lever).
+Records PROBE_r05.jsonl conv_cost_split_r5.
+
+Usage: timeout 1800 env PYTHONPATH=/root/repo python benchmarks/probe_r5k.py
+"""
+import dataclasses, json, sys, time
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.core.geometry import make_synthetic_office_plan
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+from sbsim_tpu.physics import convection as conv_lib
+
+def rec(row):
+    with open("/root/repo/artifacts/PROBE_r05.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+base = presets.sb1_config(num_days_in_episode=2,
+    floor_plan=make_synthetic_office_plan(9, 14, room_cvs=12), layout="auto")
+env = BuildingEnv(base)
+conv = env.convection
+B = 512
+keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+# (a) decision-word generation alone, scanned like a rollout
+def words_only(keys):
+    def body(c, _):
+        w = jax.vmap(lambda k: conv_lib.swap_decision_word(conv, k, env.geom.shape))(keys)
+        # fold to keep it live
+        return c + jnp.sum(w & 1, dtype=jnp.int32), None
+    out, _ = jax.lax.scan(body, jnp.int32(0), None, length=16)
+    return out
+f = jax.jit(words_only)
+jax.block_until_ready(f(keys))
+best = 1e9
+for _ in range(4):
+    t1 = time.perf_counter()
+    jax.block_until_ready(f(keys))
+    best = min(best, (time.perf_counter() - t1) / (B * 16))
+print(f"decision words alone: {best*1e6:.2f} us/env-step "
+      f"({1/best:.0f} equiv env-steps/s)", flush=True)
+rec({"section": "conv_cost_split_r5", "variant": "words_only",
+     "us_per_env_step": round(best*1e6, 3)})

@@ -1,0 +1,49 @@
+"""Round-5 probe L: final shard_map train rows with all five levers.
+
+12-zone n_envs=2048: 152.6k env-steps/s (r4: 129.6k); full-scale
+n_envs=512: 47.9k. Records PROBE_r05.jsonl train_final_r5.
+
+Usage: timeout 2700 env PYTHONPATH=/root/repo python benchmarks/probe_r5l.py
+"""
+import json, sys, time
+import jax, jax.numpy as jnp
+import numpy as np
+sys.path.insert(0, "/root/repo")
+from sbsim_tpu.agents import train as train_lib
+from sbsim_tpu.agents.train import SACTrainer, TrainConfig
+from sbsim_tpu.core.geometry import make_synthetic_office_plan
+from sbsim_tpu.distributed import mesh as mesh_lib
+from sbsim_tpu.envs import presets
+from sbsim_tpu.envs.building_env import BuildingEnv
+
+def rec(row):
+    with open("/root/repo/artifacts/PROBE_r05.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+mesh = mesh_lib.make_mesh(np.asarray(jax.devices()[:1]))
+for label, plan, layout, n_envs in (
+    ("12zone", None, "ref", 2048),
+    ("fullscale", make_synthetic_office_plan(9, 14, room_cvs=12), "auto", 512),
+):
+    env = BuildingEnv(presets.sb1_config(
+        num_days_in_episode=2, floor_plan=plan, layout=layout))
+    trainer = SACTrainer(env, train_lib.recipe_for(
+        env, n_envs=n_envs, replay_capacity=n_envs * 16, batch_size=n_envs,
+        seed_steps=0, updates_per_env_step=1))
+    state = mesh_lib.shard_train_state(trainer.init(jax.random.PRNGKey(0)), mesh)
+    step = mesh_lib.make_shardmapped_train_step(trainer, mesh, state.replay,
+                                                solver="pallas_cheby")
+    t0 = time.time()
+    state, m = step(state)
+    jax.block_until_ready(m["reward_mean"])
+    print(f"{label} compile+run {time.time()-t0:.1f}s", flush=True)
+    best = 0.0
+    for _ in range(4):
+        t1 = time.perf_counter()
+        for _ in range(8):
+            state, m = step(state)
+        jax.block_until_ready(m["reward_mean"])
+        best = max(best, 8 * n_envs / (time.perf_counter() - t1))
+    print(f"{label} train (all r5 levers): {best:.0f} env-steps/s", flush=True)
+    rec({"section": "train_final_r5", "config": label, "n_envs": n_envs,
+         "env_steps_per_sec_best": round(best, 1)})
